@@ -1,0 +1,6 @@
+"""Cross-cutting utilities: constants, errors, output control, logging, hashing."""
+
+from . import constants  # noqa: F401
+from .errors import CodeSearchError  # noqa: F401
+from .hashing import sha256_hex  # noqa: F401
+from .output import info_print, warn_print, error_print, set_quiet, is_quiet  # noqa: F401
