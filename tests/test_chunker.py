@@ -1,0 +1,434 @@
+"""Chunker tests: structural scanning across languages, gaps, splitting, dedup.
+
+Mirrors the reference's chunker unit tests (chunker/semantic.rs:489-684) plus
+extra per-language coverage for the structural scanner.
+"""
+
+import textwrap
+
+from codesearch_tpu.chunker import Chunk, ChunkDeduplicator, ChunkKind, SemanticChunker
+from codesearch_tpu.chunker.lexer import mask_c_family, mask_python, mask_source
+from codesearch_tpu.fileio.language import Language
+
+
+def chunks_of(lang, path, code, **kw):
+    return SemanticChunker(**kw).chunk_semantic(lang, path, code)
+
+
+class TestLexer:
+    def test_masks_strings_and_comments(self):
+        src = 'fn f() { let s = "a { b }"; } // brace }\n'
+        masked = mask_c_family(src, lifetimes=True)
+        assert masked.count("{") == 1
+        assert masked.count("}") == 1
+        assert len(masked) == len(src)
+
+    def test_rust_raw_string(self):
+        src = 'let s = r#"hello "x" { } "#; fn g() {}'
+        masked = mask_source("rust", src)
+        assert masked.count("{") == 1
+
+    def test_rust_lifetime_not_char(self):
+        src = "fn f<'a>(x: &'a str) {}"
+        masked = mask_source("rust", src)
+        assert "fn f" in masked
+        assert "{}" in masked
+
+    def test_python_triple_quote(self):
+        src = 'def f():\n    """doc { with brace"""\n    return 1\n'
+        masked = mask_python(src)
+        assert "{" not in masked
+        assert "def f" in masked
+
+    def test_go_backtick(self):
+        src = 'var s = `raw { string`\nfunc main() {}\n'
+        masked = mask_source("go", src)
+        assert masked.count("{") == 1
+
+    def test_ts_template_literal(self):
+        src = "const s = `hi ${name} {`; function f() {}"
+        masked = mask_source("ts", src)
+        assert masked.count("{") == 1
+
+
+RUST_CODE = '''
+/// This is a doc comment
+fn hello_world() {
+    println!("Hello, world!");
+}
+
+fn add(a: i32, b: i32) -> i32 {
+    a + b
+}
+
+struct Point {
+    x: f64,
+    y: f64,
+}
+'''
+
+
+class TestRustChunking:
+    def test_chunk_rust_code(self):
+        chunks = chunks_of(Language.RUST, "test.rs", RUST_CODE)
+        fns = [c for c in chunks if c.kind is ChunkKind.FUNCTION]
+        assert len(fns) >= 2
+        hello = next(c for c in fns if "hello_world" in c.content)
+        assert hello.signature and "fn hello_world" in hello.signature
+        assert hello.docstring and "doc comment" in hello.docstring
+        structs = [c for c in chunks if c.kind is ChunkKind.STRUCT]
+        assert len(structs) == 1 and structs[0].signature.startswith("struct Point")
+
+    def test_context_breadcrumbs_impl(self):
+        code = '''
+impl MyStruct {
+    fn method(&self) {
+        println!("method");
+    }
+}
+'''
+        chunks = chunks_of(Language.RUST, "test.rs", code)
+        method = next(c for c in chunks if c.kind is ChunkKind.METHOD)
+        assert method.context[0].startswith("File:")
+        assert any("Impl" in c for c in method.context)
+        impl = next(c for c in chunks if c.kind is ChunkKind.IMPL)
+        assert impl.start_line < method.start_line
+
+    def test_trait_and_enum_and_alias(self):
+        code = '''
+pub trait Runner {
+    fn run(&self) -> bool;
+}
+
+pub enum Mode { Fast, Slow }
+
+pub type Alias = Vec<u8>;
+
+pub const LIMIT: usize = 10;
+
+pub static NAME: &str = "x";
+'''
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.TRAIT in kinds
+        assert ChunkKind.ENUM in kinds
+        assert ChunkKind.TYPE_ALIAS in kinds
+        assert ChunkKind.CONST in kinds
+        assert ChunkKind.STATIC in kinds
+        # trait method declaration (ends with ';') nested in trait
+        m = next(c for c in chunks if c.kind is ChunkKind.METHOD)
+        assert "fn run" in m.signature
+
+    def test_attributes_covered(self):
+        code = '''
+#[derive(Debug, Clone)]
+pub struct Config {
+    pub name: String,
+}
+'''
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        # the attribute line should NOT appear as a gap chunk
+        gap_contents = [c.content for c in chunks if c.kind is ChunkKind.BLOCK]
+        assert not any("#[derive" in g for g in gap_contents)
+
+    def test_module_docs_gap(self):
+        # One contiguous uncovered region starting with //! classifies as
+        # ModuleDocs (classification precedence mirrors semantic.rs:443-487).
+        code = '''//! Module documentation.
+//! More docs.
+
+use std::path::Path;
+use std::fs;
+
+fn work() {}
+'''
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        kinds = [c.kind for c in chunks]
+        assert ChunkKind.MODULE_DOCS in kinds
+        assert ChunkKind.FUNCTION in kinds
+
+    def test_imports_gap(self):
+        code = '''use std::path::Path;
+use std::fs;
+use std::io;
+
+fn work() {}
+'''
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        kinds = [c.kind for c in chunks]
+        assert ChunkKind.IMPORTS in kinds
+
+
+PY_CODE = '''
+def hello():
+    """Say hello"""
+    print("Hello!")
+
+class Calculator:
+    """A simple calculator"""
+
+    def add(self, a, b):
+        """Add two numbers"""
+        return a + b
+'''
+
+
+class TestPythonChunking:
+    def test_chunk_python_code(self):
+        chunks = chunks_of(Language.PYTHON, "test.py", PY_CODE)
+        assert len(chunks) >= 2
+        withdocs = [c for c in chunks if c.docstring]
+        assert withdocs, "should extract docstrings"
+        hello = next(c for c in chunks if c.kind is ChunkKind.FUNCTION)
+        assert hello.docstring == "Say hello"
+        cls = next(c for c in chunks if c.kind is ChunkKind.CLASS)
+        assert cls.docstring == "A simple calculator"
+        method = next(c for c in chunks if c.kind is ChunkKind.METHOD)
+        assert method.docstring == "Add two numbers"
+        assert any("Class: Calculator" in x for x in method.context)
+
+    def test_decorators_covered(self):
+        code = '''
+@app.route("/x")
+def handler():
+    return 1
+'''
+        chunks = chunks_of(Language.PYTHON, "t.py", code)
+        gaps = [c for c in chunks if c.kind not in (ChunkKind.FUNCTION,)]
+        assert not any("@app.route" in c.content for c in gaps)
+
+    def test_nested_function(self):
+        code = '''
+def outer():
+    def inner():
+        return 2
+    return inner
+'''
+        chunks = chunks_of(Language.PYTHON, "t.py", code)
+        names = [c.context[-1] for c in chunks if c.kind is ChunkKind.FUNCTION]
+        assert "Function: outer" in names
+        assert "Function: inner" in names
+
+    def test_multiline_signature(self):
+        code = '''
+def long_fn(
+    a: int,
+    b: str = "x",
+) -> bool:
+    return True
+'''
+        chunks = chunks_of(Language.PYTHON, "t.py", code)
+        fn = next(c for c in chunks if c.kind is ChunkKind.FUNCTION)
+        assert fn.end_line >= 5
+        assert "long_fn" in fn.signature
+
+
+class TestOtherLanguages:
+    def test_go(self):
+        code = '''
+package main
+
+type Server struct {
+    Addr string
+}
+
+type Handler interface {
+    Serve() error
+}
+
+func (s *Server) Start() error {
+    return nil
+}
+
+func main() {
+    fmt.Println("hi")
+}
+'''
+        chunks = chunks_of(Language.GO, "main.go", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.STRUCT in kinds
+        assert ChunkKind.INTERFACE in kinds
+        assert ChunkKind.METHOD in kinds
+        assert ChunkKind.FUNCTION in kinds
+        start = next(c for c in chunks if c.kind is ChunkKind.METHOD)
+        assert start.signature.startswith("func (s *Server) Start")
+
+    def test_typescript(self):
+        code = '''
+export interface Props {
+    name: string;
+}
+
+export class Widget {
+    render(): string {
+        return "x";
+    }
+}
+
+export function build(props: Props): Widget {
+    return new Widget();
+}
+
+export const compute = (x: number): number => {
+    return x * 2;
+};
+
+type Alias = string | number;
+'''
+        chunks = chunks_of(Language.TYPESCRIPT, "w.ts", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.INTERFACE in kinds
+        assert ChunkKind.CLASS in kinds
+        assert ChunkKind.FUNCTION in kinds
+        assert ChunkKind.METHOD in kinds
+        assert ChunkKind.TYPE_ALIAS in kinds
+        arrow = [c for c in chunks if c.kind is ChunkKind.FUNCTION and "compute" in (c.signature or "")]
+        assert arrow
+
+    def test_c(self):
+        code = '''
+#include <stdio.h>
+
+struct point {
+    int x;
+    int y;
+};
+
+static int add(int a, int b) {
+    return a + b;
+}
+
+int main(void)
+{
+    return add(1, 2);
+}
+'''
+        chunks = chunks_of(Language.C, "m.c", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.STRUCT in kinds
+        fns = [c for c in chunks if c.kind is ChunkKind.FUNCTION]
+        names = " ".join(c.signature or "" for c in fns)
+        assert "add" in names and "main" in names
+
+    def test_cpp(self):
+        code = '''
+namespace app {
+
+class Engine {
+public:
+    Engine() : started_(false) {}
+    void start() {
+        started_ = true;
+    }
+private:
+    bool started_;
+};
+
+}  // namespace app
+
+int run(app::Engine& e) {
+    e.start();
+    return 0;
+}
+'''
+        chunks = chunks_of(Language.CPP, "e.cpp", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.MOD in kinds  # namespace
+        assert ChunkKind.CLASS in kinds
+        assert ChunkKind.METHOD in kinds
+        assert ChunkKind.FUNCTION in kinds
+
+    def test_java(self):
+        code = '''
+public class Service {
+    private final String name;
+
+    public Service(String name) {
+        this.name = name;
+    }
+
+    public String getName() {
+        return name;
+    }
+}
+'''
+        chunks = chunks_of(Language.JAVA, "S.java", code)
+        cls = [c for c in chunks if c.kind is ChunkKind.CLASS]
+        methods = [c for c in chunks if c.kind is ChunkKind.METHOD]
+        assert len(cls) == 1
+        assert len(methods) >= 2  # ctor + getter
+
+    def test_csharp(self):
+        code = '''
+namespace App.Core
+{
+    public class Store
+    {
+        public int Count { get; set; }
+
+        public void Add(string item)
+        {
+            Count++;
+        }
+    }
+
+    public interface IStore
+    {
+    }
+}
+'''
+        chunks = chunks_of(Language.CSHARP, "s.cs", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.MOD in kinds
+        assert ChunkKind.CLASS in kinds
+        assert ChunkKind.INTERFACE in kinds
+        assert ChunkKind.METHOD in kinds
+
+
+class TestGapsAndSplitting:
+    def test_unsupported_language_fallback(self):
+        content = "Some random text file\nWith multiple lines\nThat should be chunked\nAs fallback"
+        chunks = chunks_of(Language.UNKNOWN, "test.txt", content)
+        assert chunks
+        assert all(c.kind is ChunkKind.BLOCK for c in chunks)
+
+    def test_chunk_splitting(self):
+        chunker = SemanticChunker(5, 100, 1)
+        large = "\n".join(f"line {i}" for i in range(20))
+        chunk = Chunk(content=large, start_line=0, end_line=20, kind=ChunkKind.FUNCTION, path="t.rs")
+        splits = chunker.split_if_needed(chunk)
+        assert len(splits) > 1
+        for s in splits:
+            assert not s.is_complete
+            assert s.split_index is not None
+            assert "[Part" in s.content
+
+    def test_split_preserves_docstring_on_first_only(self):
+        chunker = SemanticChunker(5, 100, 1)
+        chunk = Chunk(
+            content="\n".join(f"l{i}" for i in range(12)),
+            start_line=0, end_line=12, kind=ChunkKind.FUNCTION, path="t.rs",
+            docstring="docs", signature="fn f()",
+        )
+        splits = chunker.split_if_needed(chunk)
+        assert splits[0].docstring == "docs"
+        assert all(s.docstring is None for s in splits[1:])
+
+    def test_context_windows(self):
+        code = "// before\n// before2\nfn f() {\n    1;\n}\n// after\n"
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        fn = next(c for c in chunks if c.kind is ChunkKind.FUNCTION)
+        assert fn.context_prev and "before" in fn.context_prev
+        assert fn.context_next and "after" in fn.context_next
+
+
+class TestDedup:
+    def test_dedup(self):
+        a = Chunk(content="same", start_line=0, end_line=1, kind=ChunkKind.BLOCK, path="a")
+        b = Chunk(content="same", start_line=5, end_line=6, kind=ChunkKind.BLOCK, path="b")
+        c = Chunk(content="diff", start_line=0, end_line=1, kind=ChunkKind.BLOCK, path="c")
+        d = ChunkDeduplicator()
+        out = d.deduplicate([a, b, c])
+        assert len(out) == 2
+        assert d.stats.duplicates == 1
+        assert d.stats.unique == 2
