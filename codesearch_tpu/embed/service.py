@@ -1,0 +1,287 @@
+"""Embedding service: text preparation, batching, device inference, caching.
+
+Facade parity with the reference EmbeddingService (src/embed/mod.rs:17-292):
+persistent-cache lookup by chunk hash → device inference for misses →
+write-back, order-preserving merge; cached single-query embed; batched
+multi-variant query embed. The CPU ONNX mini-batch loop inverts into large
+length-bucketed device batches (SURVEY.md §3.5): tokenize on host, pad to
+power-of-two token tiers (bounded recompiles), one jit call per tier batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..chunker import Chunk
+from ..utils.constants import get_embedding_cache_dir, get_global_models_cache_dir, is_shutdown_requested
+from ..utils.logger import get_logger
+from .cache import (
+    LruBytesCache,
+    PersistentEmbeddingCache,
+    default_memory_cache,
+    default_query_cache,
+)
+from ..models.registry import DEFAULT_MODEL, ModelSpec, parse_model
+
+log = get_logger("embed")
+
+# Device batch size: large batches amortize dispatch; env-overridable
+# (reference: CODESEARCH_BATCH_SIZE, embedder.rs:249-263).
+def _default_batch_size(dims: int) -> int:
+    env = os.environ.get("CODESEARCH_BATCH_SIZE")
+    if env:
+        return max(1, int(env))
+    if dims <= 384:
+        return 256
+    if dims <= 768:
+        return 128
+    return 64
+
+
+@dataclass
+class EmbeddedChunk:
+    chunk: Chunk
+    embedding: np.ndarray
+
+
+def prepare_text(chunk: Chunk) -> str:
+    """Embedding text: Context / Signature / Name / Documentation / Code
+    (behavioral parity with embed/batch.rs:137-181)."""
+    parts: list[str] = []
+    if chunk.context:
+        parts.append("Context: " + " > ".join(chunk.context))
+    if chunk.signature:
+        parts.append("Signature: " + chunk.signature)
+        words = chunk.signature.split()
+        if len(words) >= 2:
+            name = words[1].split("<")[0].split("(")[0].split("{")[0]
+            if name:
+                parts.append("Name: " + name)
+    if chunk.docstring:
+        cleaned = clean_docstring(chunk.docstring)
+        if cleaned:
+            parts.append("Documentation: " + cleaned)
+    parts.append("Code:\n" + chunk.content)
+    return "\n".join(parts)
+
+
+def clean_docstring(doc: str) -> str:
+    """Strip comment markers (parity with embed/batch.rs:197-231)."""
+    out: list[str] = []
+    for line in doc.split("\n"):
+        t = line.strip()
+        if t == "*/":
+            t = ""
+        else:
+            for prefix in ("///", "//!", "//", "/**", "*", '"'):
+                if t.startswith(prefix):
+                    t = t[len(prefix):].strip()
+                    break
+        if t:
+            out.append(t)
+    result = " ".join(out)
+    return result.removesuffix('"').strip()
+
+
+class _BertBackend:
+    """JAX BERT-family encoder backend with length-bucketed batching."""
+
+    def __init__(self, spec: ModelSpec, models_dir: Path):
+        import jax
+
+        from ..models import encoder as enc
+        from ..models.tokenizer import load_tokenizer
+
+        assert spec.arch is not None
+        self.spec = spec
+        self.cfg = spec.arch
+        model_dir = models_dir / spec.short_name
+        self.tokenizer = load_tokenizer(
+            model_dir if model_dir.exists() else None,
+            lowercase=self.cfg.lowercase,
+            max_len=self.cfg.max_len,
+            vocab_size=self.cfg.vocab_size,
+        )
+        st = model_dir / "model.safetensors"
+        if st.exists():
+            self.params = enc.load_safetensors(st, self.cfg)
+            self.pretrained = True
+        else:
+            self.params = enc.init_params(jax.random.PRNGKey(0), self.cfg)
+            self.pretrained = False
+            log.warning(
+                "no local weights for %s (zero-egress env); using deterministic "
+                "random init — place model.safetensors under %s for parity",
+                spec.short_name, model_dir,
+            )
+        self._encode = enc.encode
+
+    @staticmethod
+    def _bucket(length: int) -> int:
+        b = 16
+        while b < length:
+            b *= 2
+        return min(b, 512)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        if not texts:
+            return np.zeros((0, self.spec.dims), np.float32)
+        encs = [self.tokenizer.encode(t) for t in texts]
+        out = np.zeros((len(texts), self.spec.dims), np.float32)
+        # group by padded-length bucket, then emit device batches
+        order = sorted(range(len(encs)), key=lambda i: len(encs[i].ids))
+        bs = _default_batch_size(self.spec.dims)
+        i = 0
+        while i < len(order):
+            j = min(i + bs, len(order))
+            batch_idx = order[i:j]
+            max_len = self._bucket(max(len(encs[b].ids) for b in batch_idx))
+            ids = np.zeros((len(batch_idx), max_len), np.int32)
+            mask = np.zeros((len(batch_idx), max_len), np.int32)
+            for row, b in enumerate(batch_idx):
+                L = min(len(encs[b].ids), max_len)
+                ids[row, :L] = encs[b].ids[:L]
+                mask[row, :L] = 1
+            vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
+            out[batch_idx] = np.asarray(vecs, np.float32)
+            i = j
+            if is_shutdown_requested():
+                break
+        return out
+
+
+class _HashBackend:
+    def __init__(self, spec: ModelSpec):
+        from ..models.hash_embedder import HashEmbedder
+
+        self.spec = spec
+        self.model = HashEmbedder(spec.dims)
+        self.pretrained = True  # deterministic; nothing to download
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        return self.model.embed_texts(texts)
+
+
+class EmbeddingService:
+    """Public embedding facade used by index/search/serving layers."""
+
+    def __init__(
+        self,
+        model: str | ModelSpec = DEFAULT_MODEL,
+        cache_dir: Path | None = None,
+        use_persistent_cache: bool = True,
+    ):
+        spec = model if isinstance(model, ModelSpec) else parse_model(model)
+        if spec is None:
+            raise ValueError(f"unknown model: {model!r}")
+        self.spec = spec
+        models_dir = get_global_models_cache_dir()
+        if spec.kind == "hash":
+            self.backend = _HashBackend(spec)
+        else:
+            self.backend = _BertBackend(spec, models_dir)
+        self.mem_cache: LruBytesCache = default_memory_cache()
+        self.query_cache: LruBytesCache = default_query_cache()
+        self.persistent: PersistentEmbeddingCache | None = None
+        if use_persistent_cache:
+            pdir = cache_dir or get_embedding_cache_dir(spec.short_name)
+            self.persistent = PersistentEmbeddingCache(pdir, spec.dims)
+
+    @property
+    def dims(self) -> int:
+        return self.spec.dims
+
+    @property
+    def model_name(self) -> str:
+        return self.spec.short_name
+
+    # -- chunks ---------------------------------------------------------------
+
+    def embed_chunks(self, chunks: list[Chunk]) -> list[EmbeddedChunk]:
+        """Cache-aware batch embed, order-preserving (embed/mod.rs:86-161)."""
+        if not chunks:
+            return []
+        hashes = [c.hash for c in chunks]
+        found: dict[str, np.ndarray] = {}
+        for h in hashes:
+            v = self.mem_cache.get(h)
+            if v is not None:
+                found[h] = v
+        missing_after_mem = [h for h in set(hashes) if h not in found]
+        if self.persistent is not None and missing_after_mem:
+            disk = self.persistent.get_batch(missing_after_mem)
+            for h, v in disk.items():
+                found[h] = v
+                self.mem_cache.put(h, v)
+        to_compute: list[int] = []
+        seen: set[str] = set()
+        for i, c in enumerate(chunks):
+            if c.hash not in found and c.hash not in seen:
+                to_compute.append(i)
+                seen.add(c.hash)
+        if to_compute:
+            texts = [prepare_text(chunks[i]) for i in to_compute]
+            vecs = self.backend.embed(texts)
+            new: dict[str, np.ndarray] = {}
+            for row, i in enumerate(to_compute):
+                h = chunks[i].hash
+                v = vecs[row]
+                found[h] = v
+                new[h] = v
+                self.mem_cache.put(h, v)
+            if self.persistent is not None:
+                self.persistent.put_batch(new)
+        return [EmbeddedChunk(chunk=c, embedding=found[c.hash]) for c in chunks]
+
+    # -- queries ----------------------------------------------------------------
+
+    def embed_query(self, query: str) -> np.ndarray:
+        key = "q:" + query
+        v = self.query_cache.get(key)
+        if v is not None:
+            return v
+        text = self.spec.query_prefix + query
+        vec = self.backend.embed([text])[0]
+        self.query_cache.put(key, vec)
+        return vec
+
+    def embed_queries_batch(self, queries: list[str]) -> list[np.ndarray]:
+        """One device call for all cache misses (embed/mod.rs:184-226)."""
+        out: dict[int, np.ndarray] = {}
+        misses: list[int] = []
+        for i, q in enumerate(queries):
+            v = self.query_cache.get("q:" + q)
+            if v is not None:
+                out[i] = v
+            else:
+                misses.append(i)
+        if misses:
+            vecs = self.backend.embed([self.spec.query_prefix + queries[i] for i in misses])
+            for row, i in enumerate(misses):
+                out[i] = vecs[row]
+                self.query_cache.put("q:" + queries[i], vecs[row])
+        return [out[i] for i in range(len(queries))]
+
+    def cache_stats(self) -> dict:
+        stats = {
+            "memory": {
+                "entries": len(self.mem_cache),
+                "bytes": self.mem_cache.size_bytes,
+                "hits": self.mem_cache.hits,
+                "misses": self.mem_cache.misses,
+            },
+            "query": {
+                "entries": len(self.query_cache),
+                "hits": self.query_cache.hits,
+                "misses": self.query_cache.misses,
+            },
+        }
+        if self.persistent is not None:
+            stats["persistent"] = self.persistent.stats()
+        return stats

@@ -1,0 +1,122 @@
+"""Deterministic weights-free code embedder (``code-hash-384``).
+
+A TPU-native bootstrap model that needs zero downloaded assets: bag-of-
+subwords random projection. Each code token (identifier subwords, whole
+identifiers, adjacent-token bigrams) hashes to a row of a deterministic
+random table [V, d]; a document embeds as the L2-normalized TF-weighted sum
+of its token rows — mathematically a Johnson-Lindenstrauss random projection
+of a sparse lexical vector, so cosine similarity approximates weighted
+token-overlap similarity. Runs as one gather + weighted-sum matmul per
+batch on device, and the table is trainable (contrastive fine-tuning in
+``train/``) since it is just an embedding matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.hashing import stable_u64
+from .tokenizer import code_tokens
+
+VOCAB_BUCKETS = 1 << 16
+TABLE_SEED = 0xC0DE5EA
+_BIGRAM_WEIGHT = 0.7
+_WHOLE_IDENT_WEIGHT = 1.5
+MAX_TOKENS = 512
+
+
+def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> jax.Array:
+    """Deterministic random table; rows ~N(0, 1/sqrt(d)) (JL projection)."""
+    rng = jax.random.PRNGKey(TABLE_SEED)
+    table = jax.random.normal(rng, (buckets, dims), dtype=jnp.float32)
+    table = table / math.sqrt(dims)
+    return table.astype(dtype)
+
+
+def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.ndarray]:
+    """Host featurization: (bucket_ids [T], weights [T]) padded by caller.
+
+    Features: subword unigrams (w=1+log tf), whole identifiers (w×1.5),
+    adjacent-subword bigrams (w×0.7).
+    """
+    toks = code_tokens(text)
+    feats: Counter[int] = Counter()
+    whole: set[int] = set()
+    for t in toks:
+        b = stable_u64(t) % VOCAB_BUCKETS
+        feats[b] += 1
+        if "_" in t or len(t) > 12:
+            whole.add(b)
+    bigrams: Counter[int] = Counter()
+    for a, b2 in zip(toks, toks[1:]):
+        bigrams[stable_u64(a + "\x1f" + b2) % VOCAB_BUCKETS] += 1
+
+    ids: list[int] = []
+    ws: list[float] = []
+    for b, tf in feats.items():
+        if tf <= 0:
+            continue
+        w = 1.0 + math.log(tf)
+        if b in whole:
+            w *= _WHOLE_IDENT_WEIGHT
+        ids.append(b)
+        ws.append(w)
+    for b, tf in bigrams.items():
+        ids.append(b)
+        ws.append(_BIGRAM_WEIGHT * (1.0 + math.log(tf)))
+    if not ids:
+        ids, ws = [0], [0.0]
+    if len(ids) > max_tokens:
+        # keep the highest-weight features
+        order = np.argsort(ws)[::-1][:max_tokens]
+        ids = [ids[i] for i in order]
+        ws = [ws[i] for i in order]
+    return np.asarray(ids, np.int32), np.asarray(ws, np.float32)
+
+
+def batch_features(
+    texts: list[str], max_tokens: int = MAX_TOKENS
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a batch of featurized texts to [B, T] ids + weights (0-weight pad)."""
+    pairs = [featurize(t, max_tokens) for t in texts]
+    t_max = max((len(i) for i, _ in pairs), default=1)
+    # round up so XLA sees few distinct shapes (avoids recompile storms)
+    t_max = 1 << max(4, (t_max - 1).bit_length())
+    t_max = min(t_max, max_tokens)
+    b = len(texts)
+    ids = np.zeros((b, t_max), np.int32)
+    ws = np.zeros((b, t_max), np.float32)
+    for row, (i, w) in enumerate(pairs):
+        m = min(len(i), t_max)
+        ids[row, :m] = i[:m]
+        ws[row, :m] = w[:m]
+    return ids, ws
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def embed_features(table: jax.Array, ids: jax.Array, weights: jax.Array) -> jax.Array:
+    """[B, T] bucket ids + weights → [B, d] L2-normalized embeddings."""
+    rows = table[ids].astype(jnp.float32)                  # [B, T, d] gather
+    vec = jnp.einsum("btd,bt->bd", rows, weights)
+    return vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-12)
+
+
+class HashEmbedder:
+    """Stateful convenience wrapper holding the device table."""
+
+    def __init__(self, dims: int):
+        self.dims = dims
+        self.table = make_table(dims)
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dims), np.float32)
+        ids, ws = batch_features(texts)
+        out = embed_features(self.table, jnp.asarray(ids), jnp.asarray(ws))
+        return np.asarray(out)

@@ -1,0 +1,130 @@
+"""Fused multi-head encoder attention (non-causal, padding-masked).
+
+The reference's hot kernel is the ONNX BERT forward on CPU
+(embed/embedder.rs:249-295); here the equivalent is a Pallas flash-attention
+kernel feeding the MXU: grid over (batch·heads, query blocks), online
+softmax accumulation over key blocks, padding handled via additive mask.
+
+For encoder workloads (seq ≤ 512) the XLA-composed path is already close to
+roofline, so the Pallas kernel must beat it to earn dispatch; both are kept
+and tested for numerical agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def reference_attention(
+    q: jax.Array,  # [B, H, S, Dh]
+    k: jax.Array,  # [B, H, S, Dh]
+    v: jax.Array,  # [B, H, S, Dh]
+    mask: jax.Array,  # [B, S] 1.0 = valid, 0.0 = pad
+) -> jax.Array:
+    """XLA-composed attention; the correctness reference."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _NEG_INF
+    scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    return out
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scale: float):
+    """One (batch·head, q-block) program: online softmax over key blocks."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # [Bq, Dh]
+    seq_len = k_ref.shape[1]
+    num_kb = seq_len // block_k
+    bq = q.shape[0]
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        mask_blk = mask_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bq, Bk]
+        s = s + (1.0 - mask_blk)[None, :] * _NEG_INF
+        m_cur = jnp.max(s, axis=-1, keepdims=True)       # [Bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                           # [Bq, Bk]
+        alpha = jnp.exp(m_prev - m_new)                  # [Bq, 1]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    dh = v_ref.shape[-1]
+    acc0 = jnp.zeros((bq, dh), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def pallas_attention(
+    q: jax.Array,  # [B, H, S, Dh]
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,  # [B, S]
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, s, dh = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, "pad seq to a block multiple"
+    sm_scale = 1.0 / (dh ** 0.5)
+
+    # fold batch and heads into the grid's first axis
+    qf = q.reshape(b * h, s, dh)
+    kf = k.reshape(b * h, s, dh)
+    vf = v.reshape(b * h, s, dh)
+    maskf = jnp.repeat(mask, h, axis=0)  # [B*H, S]
+
+    grid = (b * h, s // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+    return out.reshape(b, h, s, dh)
+
+
+@functools.lru_cache(maxsize=1)
+def _default_backend() -> str:
+    return jax.default_backend()
+
+
+def fused_encoder_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
+
+    Backend is decided at trace time (jax.default_backend()), never from
+    array values — safe under jit.
+    """
+    if _default_backend() == "tpu" and q.shape[2] % 128 == 0:
+        return pallas_attention(q, k, v, mask)
+    return reference_attention(q, k, v, mask)

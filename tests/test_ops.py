@@ -1,0 +1,121 @@
+"""Ops tests: attention kernel parity, exact top-k, int8 quantized search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codesearch_tpu.ops.attention import pallas_attention, reference_attention
+from codesearch_tpu.ops.topk import (
+    cosine_topk,
+    cosine_topk_int8,
+    quantize_rows_int8,
+)
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestAttention:
+    def test_pallas_matches_reference(self):
+        rng = np.random.default_rng(0)
+        b, h, s, dh = 2, 4, 128, 32
+        q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        mask = jnp.asarray((rng.random((b, s)) > 0.3).astype(np.float32))
+        mask = mask.at[:, 0].set(1.0)  # at least one valid position
+        # this environment evaluates f32 matmuls at reduced (bf16-pass)
+        # precision even on CPU; pin to full precision for the parity check
+        with jax.default_matmul_precision("float32"):
+            ref = reference_attention(q, k, v, mask)
+            out = pallas_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-3)
+
+    def test_fully_masked_rows_are_finite(self):
+        b, h, s, dh = 1, 1, 64, 16
+        q = jnp.ones((b, h, s, dh))
+        k = jnp.ones((b, h, s, dh))
+        v = jnp.ones((b, h, s, dh))
+        mask = jnp.zeros((b, s))
+        out = pallas_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTopK:
+    def test_scores_consistent_with_numpy(self):
+        # matmuls run at reduced precision in this env → compare top-k
+        # values/sets with tolerance and check self-consistency exactly
+        rng = np.random.default_rng(1)
+        q = _norm(rng.standard_normal((3, 64)).astype(np.float32))
+        c = _norm(rng.standard_normal((500, 64)).astype(np.float32))
+        valid = np.ones(500, bool)
+        vals, idx = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), 10)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        expect = q @ c.T
+        # returned scores match numpy scores of the returned rows
+        np.testing.assert_allclose(
+            vals, np.take_along_axis(expect, idx, 1), atol=5e-3
+        )
+        # descending order + the true best row is found
+        assert (np.diff(vals, axis=1) <= 1e-6).all()
+        np.testing.assert_allclose(vals[:, 0], expect.max(axis=1), atol=5e-3)
+        # strong set overlap with the numpy top-k
+        exp_idx = np.argsort(-expect, axis=1)[:, :10]
+        overlap = np.mean([
+            len(set(idx[i]) & set(exp_idx[i])) / 10 for i in range(3)
+        ])
+        assert overlap >= 0.8
+
+    def test_hierarchical_selection_exact(self):
+        # the selection stage itself is exact: feed fixed scores, compare
+        # with flat lax.top_k on the same inputs
+        from codesearch_tpu.ops.topk import _hierarchical_topk
+
+        rng = np.random.default_rng(2)
+        scores = jnp.asarray(rng.standard_normal((2, 20_000)).astype(np.float32))
+        vals_h, idx_h = _hierarchical_topk(scores, 25, block=1024)
+        vals_f, idx_f = jax.lax.top_k(scores, 25)
+        np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_f))
+        np.testing.assert_allclose(np.asarray(vals_h), np.asarray(vals_f))
+
+    def test_hierarchical_nondivisible_n(self):
+        from codesearch_tpu.ops.topk import _hierarchical_topk
+
+        rng = np.random.default_rng(7)
+        scores = jnp.asarray(rng.standard_normal((1, 10_003)).astype(np.float32))
+        vals_h, idx_h = _hierarchical_topk(scores, 7, block=1024)
+        vals_f, idx_f = jax.lax.top_k(scores, 7)
+        np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_f))
+
+    def test_respects_tombstones(self):
+        rng = np.random.default_rng(3)
+        c = _norm(rng.standard_normal((100, 16)).astype(np.float32))
+        q = c[:1]  # query equals row 0
+        valid = np.ones(100, bool)
+        valid[0] = False  # tombstone the exact match
+        vals, idx = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), 5)
+        assert 0 not in np.asarray(idx)
+
+    def test_k_larger_than_valid(self):
+        rng = np.random.default_rng(4)
+        c = _norm(rng.standard_normal((8, 16)).astype(np.float32))
+        q = c[:1]
+        valid = np.zeros(8, bool)
+        valid[:3] = True
+        vals, idx = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), 5)
+        # only 3 valid rows → remaining entries carry -inf scores
+        assert (np.asarray(vals)[0, 3:] < -1e30).all()
+
+    def test_int8_close_to_fp(self):
+        rng = np.random.default_rng(5)
+        c = _norm(rng.standard_normal((1000, 64)).astype(np.float32))
+        q = _norm(rng.standard_normal((2, 64)).astype(np.float32))
+        valid = np.ones(1000, bool)
+        cq, scale = quantize_rows_int8(jnp.asarray(c))
+        v8, i8 = cosine_topk_int8(jnp.asarray(q), cq, scale, jnp.asarray(valid), 10)
+        vf, if_ = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid), 10)
+        # top-1 should agree; scores within quantization error
+        assert np.asarray(i8)[:, 0].tolist() == np.asarray(if_)[:, 0].tolist()
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(vf), atol=0.03)

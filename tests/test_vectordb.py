@@ -1,0 +1,160 @@
+"""Vector store tests: tempdir-isolated against the real device path with
+tiny hand-made embeddings — mirroring the reference's store tests
+(vectordb/store.rs:833-1028): insert/search ordering, replace, delete,
+reopen persistence, stats, clear."""
+
+import numpy as np
+import pytest
+
+from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+from codesearch_tpu.utils.errors import DatabaseError
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _meta(path="a.rs", content="fn a() {}", kind="Function", **kw):
+    return ChunkMetadata(
+        path=path, content=content, start_line=0, end_line=1, kind=kind, **kw
+    )
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return VectorStore(tmp_path / "db", dims=4)
+
+
+def _embs(*rows):
+    return _norm(np.asarray(rows, np.float32))
+
+
+class TestInsertSearch:
+    def test_search_ordering(self, store):
+        embs = _embs([1, 0, 0, 0], [0, 1, 0, 0], [0.9, 0.1, 0, 0])
+        ids = store.insert_chunks_with_ids(embs, [_meta(content=f"c{i}") for i in range(3)])
+        assert ids == [0, 1, 2]
+        q = _norm(np.asarray([1.0, 0, 0, 0], np.float32))
+        res = store.search(q, limit=3)
+        assert [r.chunk_id for r in res] == [0, 2, 1]
+        assert res[0].score == pytest.approx(1.0, abs=1e-2)
+        assert res[0].metadata.content == "c0"
+
+    def test_replace_same_id(self, store):
+        store.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta(content="old")], ids=[7])
+        store.insert_chunks_with_ids(_embs([0, 1, 0, 0]), [_meta(content="new")], ids=[7])
+        assert len(store) == 1
+        res = store.search(_norm(np.asarray([0, 1, 0, 0], np.float32)), 1)
+        assert res[0].chunk_id == 7
+        assert res[0].metadata.content == "new"
+
+    def test_next_id_advances(self, store):
+        store.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta()], ids=[10])
+        ids = store.insert_chunks_with_ids(_embs([0, 1, 0, 0]), [_meta()])
+        assert ids == [11]
+
+    def test_dims_mismatch(self, store):
+        with pytest.raises(DatabaseError):
+            store.insert_chunks_with_ids(np.zeros((1, 8), np.float32), [_meta()])
+
+    def test_empty_store_search(self, store):
+        assert store.search(np.zeros(4, np.float32), 5) == []
+
+
+class TestDelete:
+    def test_delete_removes_from_results(self, store):
+        embs = _embs([1, 0, 0, 0], [0, 1, 0, 0])
+        store.insert_chunks_with_ids(embs, [_meta(content="a"), _meta(content="b")])
+        assert store.delete_chunks([0]) == 1
+        res = store.search(_norm(np.asarray([1, 0, 0, 0], np.float32)), 5)
+        assert all(r.chunk_id != 0 for r in res)
+        assert len(store) == 1
+
+    def test_get_chunks_by_file(self, store):
+        store.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]),
+            [_meta(path="x.rs"), _meta(path="y.rs"), _meta(path="x.rs")],
+        )
+        assert sorted(store.get_chunks_by_file("x.rs")) == [0, 2]
+
+
+class TestPersistence:
+    def test_reopen(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0, 1, 0, 0]),
+            [_meta(content="first"), _meta(content="second")],
+        )
+        s.save()
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 2
+        res = s2.search(_norm(np.asarray([0, 1, 0, 0], np.float32)), 1)
+        assert res[0].metadata.content == "second"
+        assert s2.next_id() == 2
+
+    def test_save_compacts_tombstones(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]),
+            [_meta(), _meta(), _meta()],
+        )
+        s.delete_chunks([1])
+        s.save()
+        assert s.stats().tombstones == 0
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 2
+        assert s2.get_chunk(1) is None
+        assert s2.get_chunk(0) is not None
+
+    def test_readonly(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta()])
+        s.save()
+        r = VectorStore(tmp_path / "db", dims=4, readonly=True)
+        assert len(r) == 1
+        with pytest.raises(DatabaseError):
+            r.insert_chunks_with_ids(_embs([0, 1, 0, 0]), [_meta()])
+
+    def test_readonly_missing_db(self, tmp_path):
+        with pytest.raises(DatabaseError):
+            VectorStore(tmp_path / "nope", dims=4, readonly=True)
+
+    def test_dims_mismatch_on_open(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta()])
+        s.save()
+        with pytest.raises(DatabaseError):
+            VectorStore(tmp_path / "db", dims=8)
+
+    def test_clear(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta()])
+        s.clear()
+        assert len(s) == 0
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 0
+
+
+class TestBatchAndStats:
+    def test_batched_multi_query(self, store):
+        embs = _embs([1, 0, 0, 0], [0, 1, 0, 0])
+        store.insert_chunks_with_ids(embs, [_meta(content="a"), _meta(content="b")])
+        qs = _norm(np.asarray([[1, 0, 0, 0], [0, 1, 0, 0]], np.float32))
+        res = store.search_batch(qs, 1)
+        assert res[0][0].metadata.content == "a"
+        assert res[1][0].metadata.content == "b"
+
+    def test_stats(self, store):
+        store.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta()])
+        st = store.stats()
+        assert st.chunk_count == 1
+        assert st.dims == 4
+
+    def test_int8_store(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4, int8=True)
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0.9, 0.1, 0, 0], [0, 1, 0, 0]),
+            [_meta(content=f"c{i}") for i in range(3)],
+        )
+        res = s.search(_norm(np.asarray([1, 0, 0, 0], np.float32)), 2)
+        assert res[0].metadata.content == "c0"
