@@ -15,3 +15,29 @@ for large corpora. There is no ANN tree to build: ``build_index`` is O(1).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _configure_jax() -> None:
+    """Persistent XLA compilation cache: CLI invocations are short-lived
+    processes and recompiles dominate cold-start on small hosts.
+
+    Uses jax.config (not env vars) because some environments pre-import jax
+    at interpreter startup, consuming env configuration before user code.
+    """
+    try:
+        import jax
+
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.codesearch/jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # jax misconfiguration must never break the CLI
+        pass
+
+
+_configure_jax()

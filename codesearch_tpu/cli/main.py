@@ -1,0 +1,368 @@
+"""CLI entry: argument parsing and dispatch."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+from pathlib import Path
+
+from ..utils import constants
+from ..utils.logger import init_logger
+from ..utils.output import error_print, info_print, result_print, set_quiet
+
+
+def _install_sigint() -> None:
+    """First CTRL-C requests graceful shutdown; second force-exits
+    (reference: main.rs:50-66)."""
+    state = {"count": 0}
+
+    def handler(signum, frame):
+        state["count"] += 1
+        if state["count"] == 1:
+            constants.request_shutdown()
+            info_print("shutdown requested — finishing current batch (CTRL-C again to force)")
+        else:
+            sys.exit(130)
+
+    try:
+        signal.signal(signal.SIGINT, handler)
+    except ValueError:
+        pass  # not the main thread
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="codesearch",
+        description="TPU-native local semantic code search",
+    )
+    p.add_argument("--loglevel", default="warn",
+                   choices=["trace", "debug", "info", "warn", "error"])
+    p.add_argument(
+        "--platform",
+        default=os.environ.get("CODESEARCH_PLATFORM", "auto"),
+        choices=["auto", "tpu", "cpu"],
+        help="JAX backend (auto = environment default; cpu avoids the "
+        "tunneled-TPU per-process init for small local runs)",
+    )
+    p.add_argument("--quiet", "-q", action="store_true", help="suppress non-result output")
+    p.add_argument("--store", type=Path, default=None, help="explicit database path")
+    p.add_argument("--model", default=None, help="embedding model (see `codesearch setup --list`)")
+    sub = p.add_subparsers(dest="command")
+
+    s = sub.add_parser("search", help="search the codebase")
+    s.add_argument("query")
+    s.add_argument("path", nargs="?", default=".")
+    s.add_argument("--limit", "-n", type=int, default=10)
+    s.add_argument("--vector-only", action="store_true", help="skip BM25/hybrid fusion")
+    s.add_argument("--rerank", action="store_true", help="neural cross-encoder rerank")
+    s.add_argument("--filter", dest="path_filter", default=None, help="substring path filter")
+    s.add_argument("--min-score", type=float, default=None)
+    s.add_argument("--json", action="store_true", dest="json_out")
+    s.add_argument("--compact", action="store_true")
+    s.add_argument("--scores", action="store_true", help="show stage timings")
+    s.add_argument("--sync", action="store_true", help="incremental refresh before searching")
+    s.add_argument("--no-expand", action="store_true", help="disable query expansion")
+    s.add_argument("--create-index", action="store_true",
+                   help="build the index first if none exists")
+
+    i = sub.add_parser("index", help="build or refresh the index")
+    i.add_argument("path", nargs="?", default=".")
+    i.add_argument("--force", "-f", action="store_true", help="full rebuild")
+    i.add_argument("--register", action="store_true", help="add repo to the global registry")
+
+    st = sub.add_parser("stats", help="index statistics")
+    st.add_argument("path", nargs="?", default=".")
+    st.add_argument("--json", action="store_true", dest="json_out")
+
+    c = sub.add_parser("clear", help="delete the index")
+    c.add_argument("path", nargs="?", default=".")
+    c.add_argument("--yes", "-y", action="store_true")
+
+    d = sub.add_parser("doctor", help="health checks")
+    d.add_argument("path", nargs="?", default=".")
+    d.add_argument("--fix", action="store_true")
+    d.add_argument("--json", action="store_true", dest="json_out")
+
+    setup = sub.add_parser("setup", help="model management")
+    setup.add_argument("--list", action="store_true", dest="list_models")
+
+    m = sub.add_parser("mcp", help="MCP stdio server")
+    m.add_argument("path", nargs="?", default=".")
+    m.add_argument("--no-create-index", action="store_true")
+
+    srv = sub.add_parser("serve", help="HTTP server")
+    srv.add_argument("path", nargs="?", default=".")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=7878)
+
+    cache = sub.add_parser("cache", help="embedding cache management")
+    cache_sub = cache.add_subparsers(dest="cache_command")
+    cache_sub.add_parser("stats")
+    cc = cache_sub.add_parser("clear")
+    cc.add_argument("--yes", "-y", action="store_true")
+
+    listp = sub.add_parser("list", help="list discovered databases")
+    listp.add_argument("path", nargs="?", default=".")
+    return p
+
+
+def _apply_platform(platform: str) -> None:
+    if platform == "auto":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu" if platform == "cpu" else None)
+    except Exception as e:
+        error_print(f"could not set platform {platform}: {e}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _apply_platform(args.platform)
+    set_quiet(args.quiet)
+    _install_sigint()
+    init_logger(level=args.loglevel if args.loglevel != "warn" else "warning",
+                quiet=args.quiet)
+    try:
+        return _dispatch(args)
+    except KeyboardInterrupt:
+        return 130
+    except Exception as e:
+        error_print(str(e))
+        if args.loglevel in ("trace", "debug"):
+            raise
+        return 1
+
+
+def _dispatch(args) -> int:
+    cmd = args.command
+    if cmd == "search":
+        return _cmd_search(args)
+    if cmd == "index":
+        return _cmd_index(args)
+    if cmd == "stats":
+        return _cmd_stats(args)
+    if cmd == "clear":
+        return _cmd_clear(args)
+    if cmd == "doctor":
+        return _cmd_doctor(args)
+    if cmd == "setup":
+        return _cmd_setup(args)
+    if cmd == "cache":
+        return _cmd_cache(args)
+    if cmd == "list":
+        return _cmd_list(args)
+    if cmd == "mcp":
+        from ..server.mcp import run_mcp_server
+
+        return run_mcp_server(Path(args.path), create_index=not args.no_create_index)
+    if cmd == "serve":
+        from ..server.http import serve
+
+        return serve(Path(args.path), host=args.host, port=args.port)
+    build_parser().print_help(sys.stderr)
+    return 2
+
+
+def _cmd_search(args) -> int:
+    from ..search import SearchOptions, search
+
+    options = SearchOptions(
+        limit=args.limit,
+        mode="vector" if args.vector_only else "hybrid",
+        rerank=args.rerank,
+        path_filter=args.path_filter,
+        min_score=args.min_score,
+        model=args.model,
+        sync=args.sync,
+        create_index=args.create_index,
+        no_expand=args.no_expand,
+    )
+    resp = search(args.query, args.path, options)
+    if args.json_out:
+        result_print(json.dumps(_response_json(resp, args.scores), indent=2))
+    elif args.compact:
+        for h in resp.hits:
+            result_print(f"{h.path}:{h.start_line + 1}-{h.end_line} {h.score:.3f} "
+                         f"{h.kind} {h.signature or ''}".rstrip())
+    else:
+        _pretty_print(resp, args.scores)
+    return 0
+
+
+def _response_json(resp, scores: bool) -> dict:
+    out = {
+        "query": resp.query,
+        "mode": resp.mode,
+        "total_chunks": resp.total_chunks,
+        "results": [
+            {
+                "path": h.path,
+                "start_line": h.start_line + 1,
+                "end_line": h.end_line,
+                "score": round(h.score, 4),
+                "kind": h.kind,
+                "signature": h.signature,
+                "context": h.context,
+                "content": h.content,
+            }
+            for h in resp.hits
+        ],
+    }
+    if scores:
+        out["timings_ms"] = {k: round(v, 2) for k, v in resp.timings_ms.items()}
+    return out
+
+
+def _pretty_print(resp, scores: bool) -> None:
+    if not resp.hits:
+        result_print(f"no results for {resp.query!r}")
+        return
+    lines = []
+    for i, h in enumerate(resp.hits, 1):
+        lines.append(
+            f"{i}. {h.path}:{h.start_line + 1}-{h.end_line}  "
+            f"[{h.kind}]  score={h.score:.3f}"
+        )
+        if h.signature:
+            lines.append(f"   {h.signature}")
+        snippet = h.content.strip().split("\n")
+        for sline in snippet[:3]:
+            lines.append(f"   | {sline[:120]}")
+        if len(snippet) > 3:
+            lines.append(f"   | … ({len(snippet) - 3} more lines)")
+        lines.append("")
+    if scores:
+        t = resp.timings_ms
+        lines.append(
+            "timings: " + ", ".join(f"{k}={v:.1f}ms" for k, v in t.items())
+        )
+    result_print("\n".join(lines))
+
+
+def _cmd_index(args) -> int:
+    from ..index import IndexOptions, index, register_repo
+
+    stats = index(
+        args.path,
+        IndexOptions(
+            model=args.model or "code-hash-384",
+            force=args.force,
+            quiet=args.quiet,
+            store_path=args.store,
+        ),
+    )
+    if args.register:
+        register_repo(Path(args.path).resolve())
+    info_print(
+        f"indexed {stats.files_indexed} files ({stats.chunks_added} chunks) "
+        f"in {stats.elapsed_s:.1f}s — db: {stats.db_path}"
+    )
+    if stats.cancelled:
+        return 130
+    return 0
+
+
+def _cmd_stats(args) -> int:
+    from ..index import db_stats, resolve_database_with_message
+
+    db, msg = resolve_database_with_message(Path(args.path))
+    if db is None:
+        error_print(msg)
+        return 1
+    s = db_stats(db)
+    if args.json_out:
+        result_print(json.dumps(s, indent=2))
+    else:
+        result_print(
+            f"database: {s['db_path']}\n"
+            f"model: {s['model']} ({s['vector'].get('dims', '?')}d)\n"
+            f"files: {s['files']}  chunks: {s['vector'].get('chunks', '?')}\n"
+            f"fts terms: {s['fts']['docs']} docs / {s['fts']['terms']} terms\n"
+            f"indexed_at: {s['indexed_at']}\n"
+            f"primary_language: {s['primary_language']}"
+        )
+    return 0
+
+
+def _cmd_clear(args) -> int:
+    from ..index import resolve_database_with_message
+    from ..index.pipeline import clear_database
+
+    db, msg = resolve_database_with_message(Path(args.path))
+    if db is None:
+        error_print(msg)
+        return 1
+    if not args.yes:
+        error_print(f"would delete {db} — pass --yes to confirm")
+        return 1
+    clear_database(db)
+    info_print(f"deleted {db}")
+    return 0
+
+
+def _cmd_doctor(args) -> int:
+    from .doctor import run_doctor
+
+    return run_doctor(Path(args.path), fix=args.fix, json_out=args.json_out)
+
+
+def _cmd_setup(args) -> int:
+    from ..models import all_models
+
+    rows = []
+    for spec in all_models():
+        tag = " (no download needed)" if spec.kind == "hash" else ""
+        rows.append(f"{spec.short_name:20s} {spec.dims:5d}d  {spec.full_name}{tag}")
+    result_print("\n".join(rows))
+    return 0
+
+
+def _cmd_cache(args) -> int:
+    from ..utils.constants import get_config_dir
+
+    cache_root = get_config_dir() / "embedding_cache"
+    if args.cache_command == "clear":
+        if not getattr(args, "yes", False):
+            error_print(f"would delete {cache_root} — pass --yes to confirm")
+            return 1
+        import shutil
+
+        shutil.rmtree(cache_root, ignore_errors=True)
+        info_print("embedding cache cleared")
+        return 0
+    # stats (default)
+    total_bytes = 0
+    per_model = {}
+    if cache_root.exists():
+        for model_dir in sorted(cache_root.iterdir()):
+            size = sum(f.stat().st_size for f in model_dir.rglob("*") if f.is_file())
+            per_model[model_dir.name] = size
+            total_bytes += size
+    result_print(json.dumps({"total_bytes": total_bytes, "models": per_model}, indent=2))
+    return 0
+
+
+def _cmd_list(args) -> int:
+    from ..index import find_databases
+    from ..index.pipeline import db_stats
+
+    dbs = find_databases(Path(args.path))
+    if not dbs:
+        result_print("no databases found")
+        return 0
+    for db in dbs:
+        s = db_stats(db)
+        result_print(
+            f"{db}  model={s['model']}  files={s['files']}  "
+            f"chunks={s['vector'].get('chunks', '?')}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

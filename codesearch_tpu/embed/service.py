@@ -181,6 +181,10 @@ class EmbeddingService:
         if spec is None:
             raise ValueError(f"unknown model: {model!r}")
         self.spec = spec
+        # overlap the tunneled-TPU first-transfer init with host work
+        from ..utils.device import start_transfer_warmup
+
+        start_transfer_warmup()
         models_dir = get_global_models_cache_dir()
         if spec.kind == "hash":
             self.backend = _HashBackend(spec)

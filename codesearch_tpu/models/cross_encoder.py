@@ -1,0 +1,124 @@
+"""Cross-encoder reranker model (Jina-reranker-v1-turbo class).
+
+The reference scores (query, doc) pairs one-by-one on CPU via ort
+(rerank/neural.rs:24-74, ~1.7s per query). Here all pairs score in one
+batched device forward: BERT over ``[CLS] query [SEP] doc [SEP]`` with
+segment ids, CLS pooler + linear head → logit → sigmoid.
+
+Zero-egress fallback: without local weights, pair scores come from the
+deterministic hash embedder's cosine (a bi-encoder proxy) so the rerank
+pipeline stays functional end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+
+from .registry import ArchConfig
+from .tokenizer import load_tokenizer
+
+CROSS_ENCODER_ARCH = ArchConfig(
+    vocab_size=30522, hidden=384, layers=6, heads=12, intermediate=1536,
+    max_len=512, pooling="cls",
+)
+
+
+class CrossEncoder:
+    def __init__(self, models_dir: Path | None = None, name: str = "jina-reranker-v1-turbo-en"):
+        import jax
+
+        from . import encoder as enc
+
+        self.cfg = CROSS_ENCODER_ARCH
+        self.name = name
+        model_dir = (models_dir / name) if models_dir is not None else None
+        self.tokenizer = load_tokenizer(
+            model_dir if model_dir is not None and model_dir.exists() else None,
+            lowercase=True,
+            max_len=self.cfg.max_len,
+            vocab_size=self.cfg.vocab_size,
+        )
+        st = model_dir / "model.safetensors" if model_dir is not None else None
+        if st is not None and st.exists():
+            self.params = enc.load_safetensors(st, self.cfg)
+            self._head = self._load_head(st)
+            self.pretrained = True
+        else:
+            self.params = None
+            self._head = None
+            self.pretrained = False
+            from .hash_embedder import HashEmbedder
+
+            self._proxy = HashEmbedder(384)
+
+    def _load_head(self, st: Path):
+        import jax.numpy as jnp
+        from safetensors import safe_open
+
+        head = {}
+        with safe_open(str(st), framework="np") as f:
+            keys = set(f.keys())
+            def grab(*names):
+                for n in names:
+                    if n in keys:
+                        return jnp.asarray(f.get_tensor(n))
+                return None
+            head["pooler_w"] = grab("bert.pooler.dense.weight", "pooler.dense.weight")
+            head["pooler_b"] = grab("bert.pooler.dense.bias", "pooler.dense.bias")
+            head["cls_w"] = grab("classifier.weight")
+            head["cls_b"] = grab("classifier.bias")
+        return head
+
+    def score_pairs(self, query: str, docs: list[str]) -> np.ndarray:
+        """Sigmoid relevance scores for all (query, doc) pairs, one batch."""
+        if not docs:
+            return np.zeros((0,), np.float32)
+        if not self.pretrained:
+            q = self._proxy.embed_texts([query])[0]
+            d = self._proxy.embed_texts(docs)
+            cos = d @ q
+            return _sigmoid(4.0 * cos)  # map cosine to (0,1) with slope
+        return self._score_pairs_model(query, docs)
+
+    def _score_pairs_model(self, query: str, docs: list[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from . import encoder as enc
+
+        q_ids = self.tokenizer.encode(query).ids
+        batches_ids, batches_tt = [], []
+        max_len = 0
+        for d in docs:
+            d_ids = self.tokenizer.encode(d).ids[1:]  # drop duplicate CLS
+            ids = (q_ids + d_ids)[: self.cfg.max_len]
+            tt = ([0] * len(q_ids) + [1] * len(d_ids))[: self.cfg.max_len]
+            batches_ids.append(ids)
+            batches_tt.append(tt)
+            max_len = max(max_len, len(ids))
+        max_len = 1 << max(4, (max_len - 1).bit_length())
+        max_len = min(max_len, self.cfg.max_len)
+        n = len(docs)
+        ids = np.zeros((n, max_len), np.int32)
+        tt = np.zeros((n, max_len), np.int32)
+        mask = np.zeros((n, max_len), np.int32)
+        for i, (a, b) in enumerate(zip(batches_ids, batches_tt)):
+            L = min(len(a), max_len)
+            ids[i, :L] = a[:L]
+            tt[i, :L] = b[:L]
+            mask[i, :L] = 1
+        hidden = enc.encode_hidden(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
+            token_type_ids=jnp.asarray(tt),
+        )  # [n, S, H]
+        cls = hidden[:, 0, :].astype(jnp.float32)
+        h = self._head
+        pooled = jnp.tanh(cls @ h["pooler_w"].T + h["pooler_b"]) if h["pooler_w"] is not None else cls
+        logits = pooled @ h["cls_w"].T + h["cls_b"]  # [n, 1]
+        return _sigmoid(np.asarray(logits)[:, 0])
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return (1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))).astype(np.float32)

@@ -91,22 +91,36 @@ def _encoder_layer(x: jax.Array, mask: jax.Array, p: dict, cfg: ArchConfig) -> j
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
-           cfg: ArchConfig) -> jax.Array:
-    """Forward: [B, S] ids + mask → [B, hidden] L2-normalized embeddings."""
+def encode_hidden(
+    params: dict,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: ArchConfig,
+    token_type_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Transformer trunk: [B, S] ids + mask → [B, S, hidden] states."""
     emb = params["embeddings"]
     b, s = input_ids.shape
+    tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
     x = (
         emb["word"][input_ids]
         + emb["position"][jnp.arange(s)][None, :, :]
-        + emb["token_type"][jnp.zeros_like(input_ids)]
+        + emb["token_type"][tt]
     )
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
     x = x.astype(jnp.bfloat16)
     maskf = attention_mask.astype(jnp.float32)
     for p in params["layers"]:
         x = _encoder_layer(x, maskf, p, cfg)
-    x32 = x.astype(jnp.float32)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
+           cfg: ArchConfig) -> jax.Array:
+    """Forward: [B, S] ids + mask → [B, hidden] L2-normalized embeddings."""
+    x32 = encode_hidden(params, input_ids, attention_mask, cfg).astype(jnp.float32)
+    maskf = attention_mask.astype(jnp.float32)
     if cfg.pooling == "cls":
         pooled = x32[:, 0, :]
     else:

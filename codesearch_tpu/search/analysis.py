@@ -1,0 +1,115 @@
+"""Query analysis helpers (behavioral parity with src/search/mod.rs:130-406):
+identifier detection, structural intent, query expansion (≤9 variants),
+adaptive RRF-k selection."""
+
+from __future__ import annotations
+
+from ..chunker import ChunkKind
+
+_STOP_PASCAL = {"Find", "Show", "Get", "Where", "How", "What", "All"}
+
+
+def detect_identifiers(query: str) -> list[str]:
+    out = []
+    for token in query.split():
+        is_pascal = (
+            token[:1].isupper()
+            and any(c.islower() for c in token)
+            and token not in _STOP_PASCAL
+        )
+        is_snake = "_" in token and all(c.isalnum() or c == "_" for c in token)
+        is_camel = token[:1].islower() and any(c.isupper() for c in token)
+        if is_pascal or is_snake or is_camel:
+            out.append(token)
+    return out
+
+
+def contains_identifier(query: str) -> bool:
+    chars = query
+    n = len(chars)
+    for i in range(n - 1):
+        if chars[i].isupper() and (chars[i + 1].islower() or chars[i + 1].isdigit()):
+            return True
+    for i in range(1, n - 1):
+        if chars[i] == "_" and chars[i - 1].islower() and chars[i + 1].islower():
+            return True
+    for i in range(n - 1):
+        if chars[i].islower() and chars[i + 1].isupper():
+            return True
+    return False
+
+
+_INTENT_KINDS = [
+    ("class ", ChunkKind.CLASS),
+    ("struct ", ChunkKind.STRUCT),
+    ("function ", ChunkKind.FUNCTION),
+    ("fn ", ChunkKind.FUNCTION),
+    ("method ", ChunkKind.METHOD),
+    ("enum ", ChunkKind.ENUM),
+    ("interface ", ChunkKind.INTERFACE),
+    ("trait ", ChunkKind.TRAIT),
+]
+
+
+def detect_structural_intent(query: str) -> ChunkKind | None:
+    """Kind boost only when BOTH a structural keyword AND an identifier
+    are present (prevents boosting ALL enums for the query 'enum')."""
+    if not contains_identifier(query):
+        return None
+    low = query.lower()
+    for kw, kind in _INTENT_KINDS:
+        if kw in low:
+            return kind
+    return None
+
+
+_ABBREVIATIONS = [
+    ("auth", "authentication"),
+    ("config", "configuration"),
+    ("db", "database"),
+    ("conn", "connection"),
+    ("err", "error"),
+    ("msg", "message"),
+]
+
+MAX_TOTAL_VARIANTS = 9
+
+
+def expand_query(query: str) -> list[str]:
+    variants = [query]
+    if len(query) < 4 or len(query) > 50:
+        return variants
+    looks_like_function = "_" in query and " " not in query
+    looks_like_type = query[:1].isupper() and " " not in query
+    if looks_like_function:
+        variants += [f"fn {query}", f"async fn {query}", f"pub fn {query}",
+                     f"{query} method", f"Function: {query}"]
+    if looks_like_type:
+        variants += [f"struct {query}", f"impl {query}", f"enum {query}",
+                     f"class {query}", f"Struct: {query}"]
+    is_single_concept = (
+        "_" not in query and " " not in query and query[:1].islower()
+    )
+    if is_single_concept:
+        variants += [f"fn {query}", f"{query} function"]
+    abbrev_count = 0
+    for abbr, full in _ABBREVIATIONS:
+        if abbrev_count >= 2:
+            break
+        if abbr in query:
+            expanded = query.replace(abbr, full)
+            if expanded != query:
+                variants.append(expanded)
+                abbrev_count += 1
+    return variants[:MAX_TOTAL_VARIANTS]
+
+
+def adapt_rrf_k(query: str) -> tuple[float, float]:
+    """(vector_k, fts_k) by query type (search/mod.rs:392-406)."""
+    has_identifiers = bool(detect_identifiers(query))
+    has_structural = detect_structural_intent(query) is not None
+    if has_identifiers:
+        return (12.0, 28.0)
+    if has_structural:
+        return (15.0, 25.0)
+    return (20.0, 20.0)

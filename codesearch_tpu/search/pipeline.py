@@ -1,0 +1,261 @@
+"""Search pipeline — the read plane (parity with src/search/mod.rs:409-1053).
+
+query → batched variant embedding (one device call) → batched multi-variant
+exact vector search (one device call; replaces rayon-parallel ANN) → best-
+score-per-chunk dedup → early termination to vector-only on a confident
+top-5 → hybrid: BM25 + per-identifier exact match + adaptive 3-way RRF →
+path filter → primary-language boost ×1.2 → kind boost ×1.15 → optional
+neural rerank blend.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..embed import EmbeddingService
+from ..fts import FtsStore
+from ..index.db_discovery import resolve_database_with_message
+from ..index.pipeline import read_metadata
+from ..rerank import rrf_fusion_with_exact, vector_only
+from ..rerank.neural import NeuralReranker
+from ..utils.constants import FTS_DIR_NAME
+from ..utils.errors import SearchError
+from ..utils.logger import get_logger
+from ..vectordb import VectorStore
+from .analysis import (
+    adapt_rrf_k,
+    detect_identifiers,
+    detect_structural_intent,
+    expand_query,
+)
+
+log = get_logger("search")
+
+EARLY_TERMINATION_SCORE = 0.85   # top-5 similarity (ref: distance < 0.15)
+LANGUAGE_BOOST = 1.2
+KIND_BOOST = 1.15
+OVERSAMPLE = 3                   # fetch limit×3 for fusion headroom
+
+
+@dataclass
+class SearchOptions:
+    limit: int = 10
+    mode: str = "hybrid"          # "hybrid" | "vector"
+    rerank: bool = False
+    path_filter: str | None = None
+    min_score: float | None = None
+    model: str | None = None
+    sync: bool = False
+    create_index: bool = False
+    no_expand: bool = False
+
+
+@dataclass
+class SearchHit:
+    chunk_id: int
+    score: float
+    path: str
+    start_line: int
+    end_line: int
+    kind: str
+    signature: str | None
+    content: str
+    context: list[str] = field(default_factory=list)
+    docstring: str | None = None
+    language: str | None = None
+    vector_score: float | None = None
+    fts_score: float | None = None
+
+
+@dataclass
+class SearchResponse:
+    hits: list[SearchHit]
+    query: str
+    mode: str
+    total_chunks: int
+    timings_ms: dict[str, float] = field(default_factory=dict)
+    db_path: str = ""
+
+
+class SearchSession:
+    """Holds open stores + embedding service for repeated queries
+    (the reference reopens per CLI call; servers keep this warm)."""
+
+    def __init__(self, db_path: Path, model: str | None = None, readonly: bool = True):
+        meta = read_metadata(db_path)
+        model_name = model or meta.get("model") or "code-hash-384"
+        dims = int(meta.get("dimensions", 384))
+        self.db_path = db_path
+        self.metadata = meta
+        self.service = EmbeddingService(model_name)
+        if self.service.dims != dims:
+            raise SearchError(
+                f"model {model_name} has {self.service.dims} dims but index "
+                f"was built with {dims}"
+            )
+        self.store = VectorStore(db_path, dims=dims, readonly=readonly)
+        self.fts = FtsStore(db_path / FTS_DIR_NAME, readonly=readonly)
+        self.reranker: NeuralReranker | None = None
+
+    def search(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
+        options = options or SearchOptions()
+        if not query or not query.strip():
+            raise SearchError("empty query")
+        t_all = time.time()
+        timings: dict[str, float] = {}
+
+        identifiers = detect_identifiers(query)
+        intent = detect_structural_intent(query)
+        vector_k, fts_k = adapt_rrf_k(query)
+        variants = [query] if options.no_expand else expand_query(query)
+
+        # ---- embed all variants in one device call ----------------------
+        t = time.time()
+        qvecs = np.stack(self.service.embed_queries_batch(variants))
+        timings["embed"] = (time.time() - t) * 1000
+
+        # ---- batched multi-variant vector search ------------------------
+        t = time.time()
+        fetch = max(options.limit * OVERSAMPLE, options.limit)
+        per_variant = self.store.search_batch(qvecs, fetch)
+        # best score per chunk across variants (search/mod.rs:513-590)
+        best: dict[int, float] = {}
+        meta_of = {}
+        for results in per_variant:
+            for r in results:
+                if r.chunk_id not in best or r.score > best[r.chunk_id]:
+                    best[r.chunk_id] = r.score
+                meta_of[r.chunk_id] = r.metadata
+        vector_ranked = sorted(best.items(), key=lambda kv: -kv[1])[:fetch]
+        timings["vector"] = (time.time() - t) * 1000
+
+        # ---- early termination (search/mod.rs:595-621) -------------------
+        top5 = [s for _, s in vector_ranked[:5]]
+        confident = len(top5) >= 5 and min(top5) > EARLY_TERMINATION_SCORE
+        use_hybrid = options.mode == "hybrid" and not confident
+
+        t = time.time()
+        if use_hybrid:
+            fts_results = self.fts.search(
+                query, limit=fetch,
+                boost_kind=intent.value if intent else None,
+            )
+            exact_results = []
+            for ident in identifiers:
+                exact_results.extend(
+                    self.fts.search_exact(
+                        ident, kind=intent.value if intent else None, limit=fetch
+                    )
+                )
+            fused = rrf_fusion_with_exact(
+                vector_ranked,
+                [(r.chunk_id, r.score) for r in fts_results],
+                [(r.chunk_id, r.score) for r in exact_results],
+                vector_k=vector_k, fts_k=fts_k,
+            )
+        else:
+            fused = vector_only(vector_ranked)
+        timings["fusion"] = (time.time() - t) * 1000
+
+        # ---- materialize hits (incl. FTS-only chunks) --------------------
+        hits: list[SearchHit] = []
+        for f in fused:
+            meta = meta_of.get(f.chunk_id) or self.store.get_chunk(f.chunk_id)
+            if meta is None:
+                continue
+            hits.append(
+                SearchHit(
+                    chunk_id=f.chunk_id,
+                    score=f.rrf_score,
+                    path=meta.path,
+                    start_line=meta.start_line,
+                    end_line=meta.end_line,
+                    kind=meta.kind,
+                    signature=meta.signature,
+                    content=meta.content,
+                    context=meta.context,
+                    docstring=meta.docstring,
+                    language=meta.language,
+                    vector_score=f.vector_score,
+                    fts_score=f.fts_score,
+                )
+            )
+
+        # ---- path filter (pre-rerank, search/mod.rs:698-745) -------------
+        if options.path_filter:
+            needle = options.path_filter
+            hits = [h for h in hits if needle in h.path]
+
+        # ---- language boost ×1.2 (search/mod.rs:789-806) -----------------
+        primary = self.metadata.get("primary_language")
+        if primary:
+            for h in hits:
+                if h.language == primary:
+                    h.score *= LANGUAGE_BOOST
+
+        # ---- kind boost ×1.15 + resort (search/mod.rs:238-252) -----------
+        if intent is not None:
+            for h in hits:
+                if h.kind == intent.value:
+                    h.score *= KIND_BOOST
+        hits.sort(key=lambda h: -h.score)
+
+        # ---- neural rerank blend (search/mod.rs:829-866) -----------------
+        if options.rerank and hits:
+            t = time.time()
+            if self.reranker is None:
+                self.reranker = NeuralReranker()
+            cands = hits[: max(100, options.limit)]
+            reranked = self.reranker.rerank_and_blend(
+                query,
+                [(h.chunk_id, h.signature or h.content[:512]) for h in cands],
+                {h.chunk_id: h.score for h in cands},
+            )
+            order = {r.chunk_id: (i, r.final_score) for i, r in enumerate(reranked)}
+            cands.sort(key=lambda h: order.get(h.chunk_id, (len(order), 0.0))[0])
+            for h in cands:
+                if h.chunk_id in order:
+                    h.score = order[h.chunk_id][1]
+            hits = cands + hits[len(cands):]
+            timings["rerank"] = (time.time() - t) * 1000
+
+        if options.min_score is not None:
+            hits = [h for h in hits if h.score >= options.min_score]
+        hits = hits[: options.limit]
+        timings["total"] = (time.time() - t_all) * 1000
+        return SearchResponse(
+            hits=hits,
+            query=query,
+            mode="vector" if not use_hybrid else "hybrid",
+            total_chunks=len(self.store),
+            timings_ms=timings,
+            db_path=str(self.db_path),
+        )
+
+
+def search(
+    query: str,
+    path: str | Path = ".",
+    options: SearchOptions | None = None,
+) -> SearchResponse:
+    """One-shot CLI search: resolve db (optionally auto-create/sync), query."""
+    options = options or SearchOptions()
+    db, message = resolve_database_with_message(Path(path))
+    if db is None:
+        if options.create_index:
+            from ..index.pipeline import IndexOptions, index
+
+            stats = index(path, IndexOptions(model=options.model or "code-hash-384"))
+            db = stats.db_path
+        else:
+            raise SearchError(message)
+    elif options.sync:
+        from ..index.pipeline import index_quiet
+
+        index_quiet(path)
+    session = SearchSession(db, model=options.model, readonly=True)
+    return session.search(query, options)

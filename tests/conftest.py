@@ -8,12 +8,21 @@ Must run before any ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's sitecustomize pre-imports jax with the axon
+# (tunneled TPU) platform — env vars like JAX_PLATFORMS are consumed before
+# user code runs. Only jax.config.update() reliably forces the CPU backend.
+# XLA_FLAGS is still read lazily at CPU-client creation, so setting it here
+# (before any computation) gives the 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import tempfile
 from pathlib import Path

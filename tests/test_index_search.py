@@ -1,0 +1,269 @@
+"""Index pipeline + search pipeline + discovery + file-meta + watcher tests."""
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from codesearch_tpu.index import (
+    FileMetaStore,
+    IndexOptions,
+    find_best_database,
+    find_git_root,
+    get_db_path_smart,
+    index,
+    read_metadata,
+)
+from codesearch_tpu.index.db_discovery import is_valid_database, register_repo
+from codesearch_tpu.search import (
+    SearchOptions,
+    SearchSession,
+    adapt_rrf_k,
+    detect_identifiers,
+    detect_structural_intent,
+    expand_query,
+    search,
+)
+from codesearch_tpu.chunker import ChunkKind
+from codesearch_tpu.watch import EventKind, FileWatcher, GitHeadWatcher
+from codesearch_tpu.watch.watcher import is_watchable
+
+
+class TestQueryAnalysis:
+    def test_detect_identifiers(self):
+        assert detect_identifiers("find UserService class") == ["UserService"]
+        assert detect_identifiers("handle_file_modified") == ["handle_file_modified"]
+        assert detect_identifiers("getUserName helper") == ["getUserName"]
+        assert detect_identifiers("Find the parser") == []  # stopword Pascal
+
+    def test_structural_intent_needs_identifier(self):
+        assert detect_structural_intent("enum") is None
+        assert detect_structural_intent("all enums") is None
+        assert detect_structural_intent("enum ChunkKind") is ChunkKind.ENUM
+        assert detect_structural_intent("class UserService") is ChunkKind.CLASS
+        assert detect_structural_intent("fn parse_config") is ChunkKind.FUNCTION
+
+    def test_expand_query_function(self):
+        v = expand_query("handle_file_modified")
+        assert v[0] == "handle_file_modified"
+        assert "fn handle_file_modified" in v
+        assert len(v) <= 9
+
+    def test_expand_query_type(self):
+        v = expand_query("UserService")
+        assert "struct UserService" in v
+        assert "impl UserService" in v
+
+    def test_expand_query_short_or_long(self):
+        assert expand_query("ab") == ["ab"]
+        long_q = "a" * 60
+        assert expand_query(long_q) == [long_q]
+
+    def test_expand_abbreviations(self):
+        v = expand_query("auth flow")
+        assert "authentication flow" in v
+
+    def test_adapt_rrf_k(self):
+        assert adapt_rrf_k("handle_file_modified") == (12.0, 28.0)
+        assert adapt_rrf_k("class UserService") == (12.0, 28.0)  # identifier wins
+        assert adapt_rrf_k("how are files walked") == (20.0, 20.0)
+
+
+class TestFileMeta:
+    def test_check_and_update(self, tmp_path):
+        f = tmp_path / "a.py"
+        f.write_text("x = 1\n")
+        fm = FileMetaStore.load_or_create(tmp_path / "db", "m")
+        chk = fm.check_file(f)
+        assert chk.changed and chk.reason == "new"
+        fm.update_file(f, [1, 2])
+        chk2 = fm.check_file(f)
+        assert not chk2.changed
+        # content change
+        time.sleep(0.01)
+        f.write_text("x = 2\n")
+        chk3 = fm.check_file(f)
+        assert chk3.changed and chk3.reason == "hash"
+
+    def test_touch_without_change(self, tmp_path):
+        f = tmp_path / "a.py"
+        f.write_text("x = 1\n")
+        fm = FileMetaStore.load_or_create(tmp_path / "db", "m")
+        fm.update_file(f, [1])
+        os.utime(f, (time.time() + 5, time.time() + 5))
+        chk = fm.check_file(f)
+        assert not chk.changed  # hash slow-path catches identity
+
+    def test_model_change_invalidates(self, tmp_path):
+        f = tmp_path / "a.py"
+        f.write_text("x = 1\n")
+        fm = FileMetaStore.load_or_create(tmp_path / "db", "model-a")
+        fm.update_file(f, [1])
+        fm.save()
+        fm2 = FileMetaStore.load_or_create(tmp_path / "db", "model-b")
+        assert fm2.files == {}
+
+    def test_find_deleted(self, tmp_path):
+        f = tmp_path / "a.py"
+        f.write_text("x\n")
+        fm = FileMetaStore.load_or_create(tmp_path / "db", "m")
+        fm.update_file(f, [1])
+        assert fm.find_deleted_files(set()) == [str(f).replace("\\", "/")]
+        assert fm.find_deleted_files({str(f)}) == []
+
+
+class TestDiscovery:
+    def test_git_root(self, tmp_path):
+        (tmp_path / ".git").mkdir()
+        sub = tmp_path / "a" / "b"
+        sub.mkdir(parents=True)
+        assert find_git_root(sub) == tmp_path
+
+    def test_git_worktree_file(self, tmp_path):
+        (tmp_path / ".git").write_text("gitdir: /elsewhere/.git/worktrees/x\n")
+        assert find_git_root(tmp_path) == tmp_path
+
+    def test_db_path_smart_uses_git_root(self, tmp_path):
+        (tmp_path / ".git").mkdir()
+        sub = tmp_path / "src"
+        sub.mkdir()
+        db, root = get_db_path_smart(sub)
+        assert root == tmp_path
+        assert db == tmp_path / ".codesearch.db"
+
+
+@pytest.fixture()
+def indexed_repo(tmp_repo):
+    stats = index(tmp_repo, IndexOptions(model="code-hash-384", quiet=True))
+    return tmp_repo, stats
+
+
+class TestIndexPipeline:
+    def test_full_index(self, indexed_repo):
+        repo, stats = indexed_repo
+        assert stats.files_indexed >= 3
+        assert stats.chunks_added > 0
+        db = repo / ".codesearch.db"
+        assert is_valid_database(db)
+        meta = read_metadata(db)
+        assert meta["model"] == "code-hash-384"
+        assert meta["dimensions"] == 384
+
+    def test_incremental_noop(self, indexed_repo):
+        repo, _ = indexed_repo
+        stats2 = index(repo, IndexOptions(quiet=True))
+        assert stats2.files_indexed == 0
+        assert stats2.files_unchanged >= 3
+
+    def test_incremental_change(self, indexed_repo):
+        repo, _ = indexed_repo
+        time.sleep(0.01)
+        (repo / "src" / "main.py").write_text("def brand_new_fn():\n    return 42\n")
+        stats2 = index(repo, IndexOptions(quiet=True))
+        assert stats2.files_indexed == 1
+        assert stats2.chunks_deleted > 0
+
+    def test_incremental_delete(self, indexed_repo):
+        repo, _ = indexed_repo
+        (repo / "src" / "lib.rs").unlink()
+        stats2 = index(repo, IndexOptions(quiet=True))
+        assert stats2.files_deleted == 1
+        session = SearchSession(repo / ".codesearch.db")
+        resp = session.search("content hash walker", SearchOptions(limit=10))
+        assert all("lib.rs" not in h.path for h in resp.hits)
+
+
+class TestSearchPipeline:
+    def test_hybrid_search_finds_function(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("parse_config", repo, SearchOptions(limit=5))
+        assert resp.hits
+        top = resp.hits[0]
+        assert "main.py" in top.path
+        assert "parse_config" in (top.signature or top.content)
+
+    def test_semantic_query(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("compute a content hash", repo, SearchOptions(limit=5))
+        assert any("lib.rs" in h.path for h in resp.hits[:3])
+
+    def test_path_filter(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("hash", repo, SearchOptions(limit=10, path_filter="lib.rs"))
+        assert resp.hits
+        assert all("lib.rs" in h.path for h in resp.hits)
+
+    def test_vector_only_mode(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("configuration parsing", repo, SearchOptions(limit=5, mode="vector"))
+        assert resp.mode == "vector"
+        assert resp.hits
+
+    def test_no_db_raises(self, tmp_path):
+        from codesearch_tpu.utils.errors import SearchError
+
+        with pytest.raises(SearchError):
+            search("anything", tmp_path, SearchOptions(create_index=False))
+
+    def test_rerank_path(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("parse the configuration file", repo,
+                      SearchOptions(limit=5, rerank=True))
+        assert resp.hits
+        assert "rerank" in resp.timings_ms
+
+
+class TestWatcher:
+    def test_polling_watcher_detects_changes(self, tmp_path):
+        (tmp_path / "a.py").write_text("x = 1\n")
+        w = FileWatcher(tmp_path, debounce_ms=0, backend="polling")
+        assert w.poll() == []
+        time.sleep(0.01)
+        (tmp_path / "b.py").write_text("y = 2\n")
+        (tmp_path / "a.py").unlink()
+        events = {(e.kind, e.path.name) for e in w.flush()}
+        assert (EventKind.MODIFIED, "b.py") in events
+        assert (EventKind.DELETED, "a.py") in events
+        w.close()
+
+    def test_inotify_watcher(self, tmp_path):
+        try:
+            w = FileWatcher(tmp_path, debounce_ms=0, backend="inotify")
+        except Exception:
+            pytest.skip("inotify unavailable")
+        (tmp_path / "new.py").write_text("z = 3\n")
+        time.sleep(0.1)
+        events = {(e.kind, e.path.name) for e in w.flush()}
+        assert (EventKind.MODIFIED, "new.py") in events
+        w.close()
+
+    def test_is_watchable(self, tmp_path):
+        assert is_watchable(Path("src/main.py"))
+        assert not is_watchable(Path("node_modules/x.js"))
+        assert not is_watchable(Path(".git/config"))
+        assert not is_watchable(Path("src/app.min.js"))
+        assert not is_watchable(Path("img.png"))
+
+    def test_git_head_watcher(self, tmp_path):
+        git = tmp_path / ".git"
+        git.mkdir()
+        (git / "HEAD").write_text("ref: refs/heads/main\n")
+        w = GitHeadWatcher(tmp_path)
+        assert w.check() is None
+        (git / "HEAD").write_text("ref: refs/heads/feature\n")
+        change = w.check()
+        assert change is not None
+        assert "main" in change.old_head and "feature" in change.new_head
+        assert w.check() is None
+
+    def test_git_head_worktree(self, tmp_path):
+        main = tmp_path / "main" / ".git" / "worktrees" / "wt"
+        main.mkdir(parents=True)
+        (main / "HEAD").write_text("ref: refs/heads/wt\n")
+        wt = tmp_path / "wt"
+        wt.mkdir()
+        (wt / ".git").write_text(f"gitdir: {main}\n")
+        w = GitHeadWatcher(wt)
+        assert w.head_path == main / "HEAD"
