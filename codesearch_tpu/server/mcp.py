@@ -1,0 +1,384 @@
+"""MCP server over stdio (JSON-RPC 2.0, newline-delimited).
+
+Parity with src/mcp/mod.rs: four tools (semantic_search, find_references,
+index_status, find_databases), compact-by-default responses (~40 tokens per
+result vs ~600, mcp/types.rs:15-19), <5s startup via a placeholder database
+plus background refresh (mcp/mod.rs:945-1182), readonly multi-instance mode,
+and strict stdout discipline — stdout carries only JSON-RPC frames (a
+source-scanning test enforces no stray prints in this module).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import sys
+import threading
+from pathlib import Path
+
+from ..index.db_discovery import find_best_database, find_databases
+from ..index.file_meta import FileMetaStore
+from ..index.manager import IndexManager, SharedStores
+from ..index.pipeline import get_db_path_smart, read_metadata, write_metadata
+from ..search.analysis import adapt_rrf_k, detect_identifiers, detect_structural_intent
+from ..rerank import rrf_fusion_with_exact, vector_only
+from ..utils.constants import DB_DIR_NAME, FTS_DIR_NAME, METADATA_FILE_NAME
+from ..utils.logger import get_logger, init_logger
+from ..embed import EmbeddingService
+
+log = get_logger("mcp")
+
+PROTOCOL_VERSION = "2024-11-05"
+
+INSTRUCTIONS = """\
+codesearch: local semantic code search over this repository.
+
+Workflow: call index_status once to confirm readiness, then semantic_search
+with natural-language queries ("where is retry logic for uploads") or
+identifier queries ("handle_file_modified"). Results are compact metadata
+(path, line range, kind, signature, score) — open the file at the returned
+lines for code; set compact=false only when you need inline content.
+Use find_references INSTEAD OF grep to locate call sites of a symbol.
+The index refreshes automatically (file watcher + git branch detection).
+"""
+
+TOOLS = [
+    {
+        "name": "semantic_search",
+        "description": (
+            "Search code semantically using natural language. Returns compact "
+            "metadata by default (path, line numbers, kind, signature, score). "
+            "Use the read tool with the returned line numbers to view actual "
+            "code. Set compact=false only when you need full content inline. "
+            "Use filter_path to narrow results to a specific directory."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "The search query (natural language or code snippet)"},
+                "limit": {"type": "integer", "description": "Maximum number of results (default 10)"},
+                "compact": {"type": "boolean", "description": "Metadata-only results to save tokens (default true)"},
+                "filter_path": {"type": "string", "description": "Only results under this path prefix (e.g. src/api/)"},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "find_references",
+        "description": (
+            "Find all references/usages of a symbol (function, class, method, "
+            "variable) across the codebase. USE THIS INSTEAD OF GREP when you "
+            "need to find where a symbol is used — for refactoring, impact "
+            "analysis, or understanding call sites."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "symbol": {"type": "string", "description": "Symbol name, e.g. authenticate, User, Config"},
+                "limit": {"type": "integer", "description": "Maximum references (default 20)"},
+            },
+            "required": ["symbol"],
+        },
+    },
+    {
+        "name": "index_status",
+        "description": (
+            "Get the status of the semantic search index including model info "
+            "and statistics. Check this before searching to verify the index "
+            "is ready."
+        ),
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "find_databases",
+        "description": (
+            "Find all available codesearch databases in current directory, "
+            "parent directories, and globally tracked repositories."
+        ),
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+]
+
+
+class CodesearchService:
+    def __init__(
+        self,
+        project_root: Path,
+        db_path: Path,
+        stores: SharedStores,
+        service: EmbeddingService,
+        manager: IndexManager | None,
+    ):
+        self.project_root = project_root
+        self.db_path = db_path
+        self.stores = stores
+        self.service = service
+        self.manager = manager
+
+    # ------------------------------------------------------------------
+    # tools
+    # ------------------------------------------------------------------
+
+    def semantic_search(self, args: dict) -> dict:
+        query = str(args.get("query", "")).strip()
+        if not query:
+            return {"error": "empty query"}
+        limit = int(args.get("limit") or 10)
+        compact = args.get("compact", True)
+        filter_path = args.get("filter_path")
+
+        import numpy as np
+
+        qvec = self.service.embed_query(query)
+        intent = detect_structural_intent(query)
+        vector_k, fts_k = adapt_rrf_k(query)
+        with self.stores.lock:
+            vres = self.stores.store.search(np.asarray(qvec), limit * 3)
+            fres = self.stores.fts.search(
+                query, limit * 3, boost_kind=intent.value if intent else None
+            )
+            eres = []
+            for ident in detect_identifiers(query):
+                eres.extend(
+                    self.stores.fts.search_exact(
+                        ident, kind=intent.value if intent else None, limit=limit * 3
+                    )
+                )
+            fused = rrf_fusion_with_exact(
+                [(r.chunk_id, r.score) for r in vres],
+                [(r.chunk_id, r.score) for r in fres],
+                [(r.chunk_id, r.score) for r in eres],
+                vector_k=vector_k, fts_k=fts_k,
+            )
+            items = []
+            for f in fused:
+                meta = self.stores.store.get_chunk(f.chunk_id)
+                if meta is None:
+                    continue
+                if filter_path and filter_path not in meta.path:
+                    continue
+                item = {
+                    "path": meta.path,
+                    "start_line": meta.start_line + 1,
+                    "end_line": meta.end_line,
+                    "kind": meta.kind,
+                    "score": round(f.rrf_score, 4),
+                }
+                if meta.signature:
+                    item["signature"] = meta.signature
+                if not compact:
+                    item["content"] = meta.content
+                items.append(item)
+                if len(items) >= limit:
+                    break
+        return {"query": query, "results": items, "total": len(items)}
+
+    def find_references(self, args: dict) -> dict:
+        symbol = str(args.get("symbol", "")).strip()
+        if not symbol:
+            return {"error": "empty symbol"}
+        limit = int(args.get("limit") or 20)
+        with self.stores.lock:
+            hits = self.stores.fts.search(symbol, limit)
+            refs = []
+            for h in hits:
+                meta = self.stores.store.get_chunk(h.chunk_id)
+                if meta is None:
+                    continue
+                refs.append(
+                    {
+                        "path": meta.path,
+                        "line": meta.start_line + 1,
+                        "kind": meta.kind,
+                        "signature": meta.signature,
+                        "score": round(h.score, 3),
+                    }
+                )
+        return {"symbol": symbol, "references": refs}
+
+    def index_status(self, args: dict) -> dict:
+        meta = read_metadata(self.db_path)
+        fm = FileMetaStore.load_or_create(self.db_path)
+        with self.stores.lock:
+            total_chunks = len(self.stores.store)
+            max_id = self.stores.store.next_id()
+        status = self.manager.status if self.manager else "ready"
+        return {
+            "indexed": total_chunks > 0,
+            "status": status,
+            "status_message": (self.manager.status_message if self.manager else "")
+            or f"{total_chunks} chunks across {len(fm.files)} files",
+            "total_chunks": total_chunks,
+            "total_files": len(fm.files),
+            "model": meta.get("model", self.service.model_name),
+            "dimensions": meta.get("dimensions", self.service.dims),
+            "max_chunk_id": max_id,
+            "db_path": str(self.db_path),
+            "project_path": str(self.project_root),
+        }
+
+    def find_databases_tool(self, args: dict) -> dict:
+        cwd = Path.cwd()
+        dbs = []
+        for db in find_databases(cwd):
+            meta = read_metadata(db)
+            fm = FileMetaStore.load_or_create(db)
+            project = db.parent
+            try:
+                depth = len(cwd.resolve().relative_to(project.resolve()).parts)
+                is_current = depth == 0
+            except ValueError:
+                depth = -1
+                is_current = False
+            dbs.append(
+                {
+                    "database_path": str(db),
+                    "project_path": str(project),
+                    "is_current_directory": is_current,
+                    "depth_from_current": depth,
+                    "total_files": len(fm.files),
+                    "model": meta.get("model"),
+                }
+            )
+        return {
+            "databases": dbs,
+            "message": f"found {len(dbs)} database(s)",
+            "current_directory": str(cwd),
+        }
+
+    def call_tool(self, name: str, args: dict) -> dict:
+        if name == "semantic_search":
+            return self.semantic_search(args)
+        if name == "find_references":
+            return self.find_references(args)
+        if name == "index_status":
+            return self.index_status(args)
+        if name == "find_databases":
+            return self.find_databases_tool(args)
+        raise ValueError(f"unknown tool: {name}")
+
+
+# ---------------------------------------------------------------------------
+# stdio transport
+# ---------------------------------------------------------------------------
+
+def _write_frame(obj: dict, out) -> None:
+    out.write(json.dumps(obj, separators=(",", ":")) + "\n")
+    out.flush()
+
+
+def serve_stdio(service: CodesearchService, stdin=None, stdout=None) -> int:
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            _write_frame(
+                {"jsonrpc": "2.0", "id": None,
+                 "error": {"code": -32700, "message": "parse error"}},
+                stdout,
+            )
+            continue
+        method = req.get("method", "")
+        req_id = req.get("id")
+        if method.startswith("notifications/"):
+            continue  # notifications get no response
+        try:
+            result = _handle(service, method, req.get("params") or {})
+        except Exception as e:
+            log.exception("mcp method %s failed", method)
+            _write_frame(
+                {"jsonrpc": "2.0", "id": req_id,
+                 "error": {"code": -32603, "message": str(e)}},
+                stdout,
+            )
+            continue
+        if req_id is not None:
+            _write_frame({"jsonrpc": "2.0", "id": req_id, "result": result}, stdout)
+        if method == "shutdown":
+            break
+    return 0
+
+
+def _handle(service: CodesearchService, method: str, params: dict) -> dict:
+    if method == "initialize":
+        return {
+            "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
+            "capabilities": {"tools": {}},
+            "serverInfo": {"name": "codesearch-tpu", "version": "0.1.0"},
+            "instructions": INSTRUCTIONS,
+        }
+    if method == "ping":
+        return {}
+    if method == "tools/list":
+        return {"tools": TOOLS}
+    if method == "tools/call":
+        name = params.get("name", "")
+        args = params.get("arguments") or {}
+        payload = service.call_tool(name, args)
+        return {
+            "content": [{"type": "text", "text": json.dumps(payload)}],
+            "isError": "error" in payload,
+        }
+    if method == "shutdown":
+        return {}
+    raise ValueError(f"unknown method: {method}")
+
+
+# ---------------------------------------------------------------------------
+# startup
+# ---------------------------------------------------------------------------
+
+def make_placeholder_db(db_path: Path, service: EmbeddingService) -> None:
+    """Minimal valid db for <5s MCP startup (mcp/mod.rs:982-1029); the
+    background refresh fills it."""
+    db_path.mkdir(parents=True, exist_ok=True)
+    (db_path / FTS_DIR_NAME).mkdir(exist_ok=True)
+    from ..vectordb import VectorStore
+
+    VectorStore(db_path, dims=service.dims).save()
+    from ..fts import FtsStore
+
+    FtsStore(db_path / FTS_DIR_NAME).commit()
+    fm = FileMetaStore(db_path, service.model_name)
+    fm.save()
+
+    class _S:
+        primary_language = None
+
+    write_metadata(db_path, service, _S())
+
+
+def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
+    project_path = Path(project_path).resolve()
+    db = find_best_database(project_path)
+    if db is None:
+        db, root = get_db_path_smart(project_path)
+    else:
+        root = db.parent
+    meta = read_metadata(db)
+    model = meta.get("model", "code-hash-384")
+    service = EmbeddingService(model)
+    if not (db / METADATA_FILE_NAME).exists():
+        if not create_index:
+            sys.stderr.write(f"no index at {db}; run `codesearch index`\n")
+            return 1
+        make_placeholder_db(db, service)
+    init_logger(db_path=db, quiet=True)  # file-only: stdout is JSON-RPC
+    stores, writer_lock = SharedStores.new_or_readonly(db, service.dims)
+    manager: IndexManager | None = None
+    if not stores.readonly:
+        manager = IndexManager(root, db, stores, service)
+        manager.start_background(initial_refresh=True)
+    svc = CodesearchService(root, db, stores, service, manager)
+    try:
+        return serve_stdio(svc)
+    finally:
+        if manager is not None:
+            manager.stop()
+        if writer_lock is not None:
+            writer_lock.release()

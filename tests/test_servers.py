@@ -1,0 +1,296 @@
+"""Serving layer tests: MCP JSON-RPC, HTTP endpoints, index manager
+refresh/ghost scenarios, stdout discipline meta-test."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from codesearch_tpu.embed import EmbeddingService
+from codesearch_tpu.index import IndexOptions, index
+from codesearch_tpu.index.file_meta import FileMetaStore
+from codesearch_tpu.index.manager import IndexManager, SharedStores, WriterLock
+from codesearch_tpu.index.pipeline import read_metadata
+from codesearch_tpu.server.mcp import CodesearchService, serve_stdio
+from codesearch_tpu.watch.watcher import EventKind, FileEvent
+
+
+@pytest.fixture()
+def indexed(tmp_repo):
+    stats = index(tmp_repo, IndexOptions(quiet=True))
+    return tmp_repo, stats.db_path
+
+
+def _mk_service(root, db):
+    meta = read_metadata(db)
+    service = EmbeddingService(meta["model"])
+    stores, lock = SharedStores.new_or_readonly(db, service.dims)
+    manager = IndexManager(root, db, stores, service)
+    return CodesearchService(root, db, stores, service, manager), lock
+
+
+def _rpc(service, requests):
+    stdin = io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n")
+    stdout = io.StringIO()
+    serve_stdio(service, stdin=stdin, stdout=stdout)
+    return [json.loads(line) for line in stdout.getvalue().splitlines()]
+
+
+class TestMcp:
+    def test_initialize_and_tools_list(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        ])
+        assert out[0]["result"]["serverInfo"]["name"] == "codesearch-tpu"
+        names = [t["name"] for t in out[1]["result"]["tools"]]
+        assert names == ["semantic_search", "find_references", "index_status", "find_databases"]
+        if lock:
+            lock.release()
+
+    def test_semantic_search_tool(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+             "params": {"name": "semantic_search",
+                        "arguments": {"query": "parse_config", "limit": 3}}},
+        ])
+        payload = json.loads(out[0]["result"]["content"][0]["text"])
+        assert payload["results"]
+        top = payload["results"][0]
+        assert set(top) >= {"path", "start_line", "end_line", "kind", "score"}
+        assert "content" not in top  # compact by default
+        if lock:
+            lock.release()
+
+    def test_semantic_search_full_content(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+             "params": {"name": "semantic_search",
+                        "arguments": {"query": "parse_config", "compact": False}}},
+        ])
+        payload = json.loads(out[0]["result"]["content"][0]["text"])
+        assert "content" in payload["results"][0]
+        if lock:
+            lock.release()
+
+    def test_find_references(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+             "params": {"name": "find_references", "arguments": {"symbol": "parse_config"}}},
+        ])
+        payload = json.loads(out[0]["result"]["content"][0]["text"])
+        assert payload["references"]
+        assert any("main.py" in r["path"] for r in payload["references"])
+        if lock:
+            lock.release()
+
+    def test_index_status(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+             "params": {"name": "index_status", "arguments": {}}},
+        ])
+        payload = json.loads(out[0]["result"]["content"][0]["text"])
+        assert payload["indexed"] is True
+        assert payload["total_chunks"] > 0
+        assert payload["status"] == "ready"
+        if lock:
+            lock.release()
+
+    def test_unknown_tool_and_bad_json(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        stdin = io.StringIO(
+            "this is not json\n"
+            + json.dumps({"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+                          "params": {"name": "nope", "arguments": {}}}) + "\n"
+        )
+        stdout = io.StringIO()
+        serve_stdio(svc, stdin=stdin, stdout=stdout)
+        lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+        assert lines[0]["error"]["code"] == -32700
+        assert lines[1]["error"]["code"] == -32603
+        if lock:
+            lock.release()
+
+    def test_stdout_is_pure_jsonrpc(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        out_lines = _rpc(svc, [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+             "params": {"name": "semantic_search", "arguments": {"query": "hash"}}},
+        ])
+        for frame in out_lines:
+            assert frame.get("jsonrpc") == "2.0"
+        if lock:
+            lock.release()
+
+
+class TestStdoutDiscipline:
+    def test_no_print_in_server_modules(self):
+        """No raw print()/sys.stdout in MCP/search modules (would corrupt
+        JSON-RPC) — mirrors the reference's source-scanning test
+        (mcp/mod.rs:13-52)."""
+        import re
+
+        roots = [
+            Path("codesearch_tpu/server/mcp.py"),
+            Path("codesearch_tpu/search/pipeline.py"),
+            Path("codesearch_tpu/index/manager.py"),
+        ]
+        pattern = re.compile(r"(?<!\w)print\(")
+        for f in roots:
+            src = (Path("/root/repo") / f).read_text()
+            for i, line in enumerate(src.splitlines(), 1):
+                stripped = line.strip()
+                if stripped.startswith("#") or stripped.startswith('"'):
+                    continue
+                assert not pattern.search(line), f"raw print in {f}:{i}: {line.strip()}"
+
+
+class TestWriterLock:
+    def test_second_writer_falls_back_readonly(self, indexed):
+        root, db = indexed
+        l1 = WriterLock(db)
+        assert l1.acquire()
+        stores, l2 = SharedStores.new_or_readonly(db, 384)
+        assert l2 is None
+        assert stores.readonly
+        l1.release()
+
+    def test_lock_released_allows_new_writer(self, indexed):
+        root, db = indexed
+        l1 = WriterLock(db)
+        assert l1.acquire()
+        l1.release()
+        l2 = WriterLock(db)
+        assert l2.acquire()
+        l2.release()
+
+
+class TestManagerScenarios:
+    """Ghost/stale-state scenarios (reference: index/manager.rs:1355-1644)."""
+
+    def _mk(self, indexed):
+        root, db = indexed
+        meta = read_metadata(db)
+        service = EmbeddingService(meta["model"])
+        stores, lock = SharedStores.new_or_readonly(db, service.dims)
+        mgr = IndexManager(root, db, stores, service)
+        return root, db, mgr, lock
+
+    def test_ghost_file_cleaned_on_refresh(self, indexed):
+        root, db, mgr, lock = self._mk(indexed)
+        fm = FileMetaStore.load_or_create(db, mgr.service.model_name)
+        ghost_ids = fm.chunk_ids_for(root / "src" / "lib.rs")
+        assert ghost_ids
+        (root / "src" / "lib.rs").unlink()
+        mgr.perform_incremental_refresh()
+        with mgr.stores.lock:
+            for cid in ghost_ids:
+                assert mgr.stores.store.get_chunk(cid) is None
+        if lock:
+            lock.release()
+
+    def test_orphan_sweep(self, indexed):
+        import numpy as np
+
+        from codesearch_tpu.vectordb import ChunkMetadata
+
+        root, db, mgr, lock = self._mk(indexed)
+        with mgr.stores.lock:
+            mgr.stores.store.insert_chunks_with_ids(
+                np.ones((1, 384), np.float32),
+                [ChunkMetadata(path="ghost.rs", content="x", start_line=0,
+                               end_line=1, kind="Function")],
+                ids=[99999],
+            )
+        swept = mgr.sweep_orphans()
+        assert swept == 1
+        with mgr.stores.lock:
+            assert mgr.stores.store.get_chunk(99999) is None
+        if lock:
+            lock.release()
+
+    def test_watcher_batch_modify_and_delete(self, indexed):
+        root, db, mgr, lock = self._mk(indexed)
+        new_file = root / "src" / "extra.py"
+        new_file.write_text("def extra_feature():\n    return 7\n")
+        victim = root / "README.md"
+        victim.unlink()
+        mgr.process_batch([
+            FileEvent(EventKind.MODIFIED, new_file),
+            FileEvent(EventKind.DELETED, victim),
+        ])
+        fm = FileMetaStore.load_or_create(db, mgr.service.model_name)
+        assert fm.chunk_ids_for(new_file)
+        assert not fm.chunk_ids_for(victim)
+        with mgr.stores.lock:
+            paths = mgr.stores.store.all_paths()
+        assert not any("README.md" in p for p in paths)
+        if lock:
+            lock.release()
+
+    def test_directory_prefix_removal(self, indexed):
+        root, db, mgr, lock = self._mk(indexed)
+        mgr.process_batch([FileEvent(EventKind.DELETED, root / "src")])
+        fm = FileMetaStore.load_or_create(db, mgr.service.model_name)
+        assert not any("src/" in p or p.endswith("main.py") for p in fm.files)
+        if lock:
+            lock.release()
+
+
+class TestHttp:
+    def test_endpoints(self, indexed):
+        from codesearch_tpu.server.http import make_server
+
+        root, db = indexed
+        httpd, state = make_server(root, host="127.0.0.1", port=0, initial_index=False)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            health = json.loads(urllib.request.urlopen(base + "/health").read())
+            assert health == {"status": "ok"}
+            status = json.loads(urllib.request.urlopen(base + "/status").read())
+            assert status["total_chunks"] > 0
+            req = urllib.request.Request(
+                base + "/search",
+                data=json.dumps({"query": "parse the configuration", "limit": 3}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            res = json.loads(urllib.request.urlopen(req).read())
+            assert res["results"]
+            assert len(res["results"][0]["snippet"]) <= 200
+            assert "took_ms" in res
+            # probe: malformed body
+            bad = urllib.request.Request(
+                base + "/search", data=b"{not json", method="POST"
+            )
+            try:
+                urllib.request.urlopen(bad)
+                raise AssertionError("should have failed")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            if state.manager:
+                state.manager.stop()
