@@ -36,6 +36,10 @@ def _configure_jax() -> None:
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            # XLA-internal AOT caches spam machine-feature mismatch errors
+            # on reload (observed with the CPU backend); the JAX-level
+            # executable cache is the one that matters
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # jax misconfiguration must never break the CLI
         pass
 

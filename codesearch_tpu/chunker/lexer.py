@@ -183,6 +183,13 @@ def mask_python(src: str) -> str:
 
 
 def mask_source(language_family: str, src: str) -> str:
+    # native fast path (byte-level; only safe when byte==char positions)
+    if src.isascii():
+        from ..native import mask_native
+
+        masked = mask_native(language_family, src)
+        if masked is not None:
+            return masked
     if language_family == "python":
         return mask_python(src)
     if language_family == "rust":

@@ -121,6 +121,10 @@ def _apply_platform(platform: str) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # XLA's AOT-cache loader logs spurious machine-feature mismatch errors
+    # on every persistent-cache hit; silence C++ logs for CLI UX (python
+    # logging and our stderr output are unaffected)
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     args = build_parser().parse_args(argv)
     _apply_platform(args.platform)
     set_quiet(args.quiet)

@@ -30,9 +30,29 @@ import msgpack
 import numpy as np
 
 from ..models.tokenizer import code_tokens
+from ..utils.hashing import stable_u64
 from ..utils.logger import get_logger
 
 log = get_logger("fts")
+
+
+def _to_i64(h: int) -> int:
+    """Unsigned 64-bit hash → signed-int64 key (matches the native tier)."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_keys(text: str) -> np.ndarray:
+    """Ordered token term keys (int64, duplicates kept). Native when
+    available; byte-identical Python fallback."""
+    from ..native import token_hashes_native
+
+    keys = token_hashes_native(text)
+    if keys is not None:
+        return keys
+    toks = code_tokens(text)
+    if not toks:
+        return np.zeros(0, np.int64)
+    return np.asarray([_to_i64(stable_u64(t)) for t in toks], np.int64)
 
 _K1 = 1.2
 _B = 0.75
@@ -83,8 +103,8 @@ class FtsStore:
         with self._lock:
             if chunk_id in self._docs:
                 self.delete_chunk(chunk_id)
-            c_tf = Counter(code_tokens(content))
-            s_tf = Counter(code_tokens(signature or ""))
+            c_tf = Counter(term_keys(content).tolist())
+            s_tf = Counter(term_keys(signature or "").tolist())
             doc_len = sum(c_tf.values()) + sum(s_tf.values())
             self._docs[chunk_id] = (max(doc_len, 1), kind, path)
             for term in set(c_tf) | set(s_tf):
@@ -188,7 +208,7 @@ class FtsStore:
     ) -> list[FtsResult]:
         postings = self._np()
         n = max(len(self._docs), 1)
-        terms = set(code_tokens(query))
+        terms = set(term_keys(query).tolist())
         if not terms:
             return []
         scores: dict[int, float] = {}
@@ -235,7 +255,7 @@ class FtsStore:
                     target = t
         if target is None:
             return []
-        rows = postings.get(target)
+        rows = postings.get(_to_i64(stable_u64(target)))
         if rows is None:
             return []
         scores: dict[int, float] = {}

@@ -140,6 +140,8 @@ def read_metadata(db_path: Path) -> dict:
 def write_metadata(db_path: Path, service: EmbeddingService, stats: IndexStats) -> None:
     p = Path(db_path) / METADATA_FILE_NAME
     existing = read_metadata(db_path)
+    from ..utils.constants import EMBEDDER_VERSION
+
     payload = {
         "model": service.model_name,
         "dimensions": service.dims,
@@ -147,6 +149,7 @@ def write_metadata(db_path: Path, service: EmbeddingService, stats: IndexStats) 
         "indexed_at": _dt.datetime.now().isoformat(),
         "primary_language": stats.primary_language,
         "version": 1,
+        "embedder_version": EMBEDDER_VERSION,
     }
     tmp = p.with_suffix(".tmp")
     tmp.write_text(json.dumps(payload, indent=2))
@@ -179,6 +182,18 @@ def index(
     model_name = meta.get("model", options.model) if not options.force else options.model
     if service is None or service.model_name != model_name:
         service = EmbeddingService(model_name)
+
+    # featurizer-version change ⇒ stored vectors are incomparable with new
+    # queries: force full invalidation (like a model change)
+    from ..utils.constants import EMBEDDER_VERSION
+
+    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION and stores is None:
+        info_print(
+            f"embedder version changed "
+            f"(v{meta.get('embedder_version', 1)} → v{EMBEDDER_VERSION}): full rebuild"
+        )
+        shutil.rmtree(db_path, ignore_errors=True)
+        meta = {}
 
     db_path.mkdir(parents=True, exist_ok=True)
     if stores is not None:

@@ -39,11 +39,11 @@ def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> j
     return table.astype(dtype)
 
 
-def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.ndarray]:
-    """Host featurization: (bucket_ids [T], weights [T]) padded by caller.
+def _featurize_py(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python featurization (byte-parity reference for the native tier).
 
-    Features: subword unigrams (w=1+log tf), whole identifiers (w×1.5),
-    adjacent-subword bigrams (w×0.7).
+    Features in first-occurrence order: subword unigrams (w = 1+ln tf, ×1.5
+    for whole identifiers), then adjacent-token bigrams (w = 0.7·(1+ln tf)).
     """
     toks = code_tokens(text)
     feats: Counter[int] = Counter()
@@ -60,8 +60,6 @@ def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.n
     ids: list[int] = []
     ws: list[float] = []
     for b, tf in feats.items():
-        if tf <= 0:
-            continue
         w = 1.0 + math.log(tf)
         if b in whole:
             w *= _WHOLE_IDENT_WEIGHT
@@ -70,14 +68,27 @@ def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.n
     for b, tf in bigrams.items():
         ids.append(b)
         ws.append(_BIGRAM_WEIGHT * (1.0 + math.log(tf)))
-    if not ids:
-        ids, ws = [0], [0.0]
-    if len(ids) > max_tokens:
-        # keep the highest-weight features
-        order = np.argsort(ws)[::-1][:max_tokens]
-        ids = [ids[i] for i in order]
-        ws = [ws[i] for i in order]
-    return np.asarray(ids, np.int32), np.asarray(ws, np.float32)
+    return np.asarray(ids, np.int64), np.asarray(ws, np.float32)
+
+
+def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket_ids [T], weights [T]); native C++ path when available."""
+    from ..native import featurize_native
+
+    result = featurize_native(text) if featurize_native is not None else None
+    if result is not None:
+        ids, ws = result
+    else:
+        ids, ws = _featurize_py(text)
+    if ids.size == 0:
+        return np.zeros(1, np.int32), np.zeros(1, np.float32)
+    if ids.size > max_tokens:
+        # keep the highest-weight features; stable on ties (C++ parity)
+        order = np.argsort(-ws, kind="stable")[:max_tokens]
+        order.sort()  # preserve original order among survivors
+        ids = ids[order]
+        ws = ws[order]
+    return ids.astype(np.int32), ws
 
 
 def batch_features(

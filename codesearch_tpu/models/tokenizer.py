@@ -31,35 +31,51 @@ class Encoded:
     # attention length (ids are NOT padded here; batching pads)
 
 
-_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+# Tokenization is defined byte-wise over UTF-8 so the native C++ tier
+# (native/cs_native.cpp) produces byte-identical output: word bytes are
+# ASCII alphanumerics, '_' and any byte >= 0x80; camel boundaries are
+# ASCII-only; lowercasing is ASCII-only.
+_WORD_RUN_RE = re.compile(rb"[A-Za-z0-9_\x80-\xff]+")
+_CAMEL_RE = re.compile(rb"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+_SEG_SPLIT_RE = re.compile(rb"[^A-Za-z0-9\x80-\xff]+")
+
+
+def _ascii_lower(b: bytes) -> bytes:
+    return bytes(c + 32 if 0x41 <= c <= 0x5A else c for c in b)
 
 
 def split_identifier(token: str) -> list[str]:
-    """Split code identifiers: snake_case, camelCase, digits boundaries."""
+    """Split code identifiers: snake_case, camelCase, digit boundaries."""
+    raw = token.encode("utf-8", errors="replace")
     parts: list[str] = []
-    for p in re.split(r"[_\W]+", token):
-        if not p:
+    for seg in _SEG_SPLIT_RE.split(raw):
+        if not seg:
             continue
-        for q in _CAMEL_RE.split(p):
+        for q in _CAMEL_RE.split(seg):
             if q:
-                parts.append(q.lower())
+                parts.append(_ascii_lower(q).decode("utf-8", errors="replace"))
     return parts
 
 
 def code_tokens(text: str) -> list[str]:
-    """Tokenize text for the hash embedder: words + identifier subparts."""
+    """Tokenize text for the hash embedder / FTS: identifier subwords plus
+    the whole lowercased identifier (exact-name signal)."""
+    raw = text.encode("utf-8", errors="replace")
     out: list[str] = []
-    for tok in _WORD_RE.findall(text):
-        if tok.isalnum() or "_" in tok:
-            subs = split_identifier(tok)
-            low = tok.lower()
-            if len(subs) > 1:
-                out.extend(subs)
-                out.append(low)  # whole identifier too (exact-name signal)
-            elif subs:
-                out.append(subs[0])
-        # bare punctuation carries no retrieval signal; skip
+    for m in _WORD_RUN_RE.finditer(raw):
+        tok = m.group(0)
+        subs: list[bytes] = []
+        for seg in _SEG_SPLIT_RE.split(tok):
+            if not seg:
+                continue
+            for q in _CAMEL_RE.split(seg):
+                if q:
+                    subs.append(_ascii_lower(q))
+        if len(subs) > 1:
+            out.extend(s.decode("utf-8", errors="replace") for s in subs)
+            out.append(_ascii_lower(tok).decode("utf-8", errors="replace"))
+        elif subs:
+            out.append(subs[0].decode("utf-8", errors="replace"))
     return out
 
 

@@ -1,0 +1,146 @@
+"""Native tier: ctypes bindings to cs_native.cpp (built on demand with g++).
+
+Python fallbacks exist for every function; the native path is a drop-in
+speedup for the host hot loops (masking, featurization) with byte-identical
+output (tests/test_native.py). Disable with CODESEARCH_NO_NATIVE=1.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.logger import get_logger
+
+log = get_logger("native")
+
+_SRC = Path(__file__).parent / "cs_native.cpp"
+_FAMILY_IDS = {"c": 0, "cpp": 0, "csharp": 0, "java": 0,
+               "rust": 1, "go": 2, "js": 3, "ts": 3, "python": 4}
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build_dir() -> Path:
+    from ..utils.constants import get_config_dir
+
+    d = get_config_dir() / "native"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("CODESEARCH_NO_NATIVE"):
+            return None
+        try:
+            so = _build_dir() / "cs_native.so"
+            if (not so.exists()
+                    or so.stat().st_mtime < _SRC.stat().st_mtime):
+                tmp = so.with_suffix(".so.tmp")
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", str(tmp), str(_SRC)],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so)
+            lib = ctypes.CDLL(str(so))
+            lib.cs_mask.restype = ctypes.c_int32
+            lib.cs_mask.argtypes = [ctypes.c_int32, ctypes.c_char_p,
+                                    ctypes.c_long, ctypes.c_char_p]
+            lib.cs_featurize.restype = ctypes.c_long
+            lib.cs_featurize.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long,
+            ]
+            lib.cs_token_hashes.restype = ctypes.c_long
+            lib.cs_token_hashes.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ]
+            _lib = lib
+            log.info("native tier loaded: %s", so)
+        except Exception as e:
+            log.info("native tier unavailable (%s); using Python paths", e)
+            _lib = None
+        return _lib
+
+
+def mask_native(family: str, src: str) -> str | None:
+    lib = _load()
+    if lib is None:
+        return None
+    fam = _FAMILY_IDS.get(family)
+    if fam is None:
+        return None
+    raw = src.encode("utf-8", errors="surrogatepass")
+    # byte-level masking requires char==byte positions only for the masked
+    # copy; multi-byte chars are never masked delimiters, so decode is safe
+    out = ctypes.create_string_buffer(len(raw))
+    rc = lib.cs_mask(fam, raw, len(raw), out)
+    if rc != 0:
+        return None
+    return out.raw.decode("utf-8", errors="surrogatepass")
+
+
+def _featurize_impl(text: str) -> tuple[np.ndarray, np.ndarray] | None:
+    lib = _load()
+    if lib is None:
+        return None
+    from ..models.hash_embedder import VOCAB_BUCKETS
+
+    raw = text.encode("utf-8", errors="replace")
+    cap = 2 * len(raw) + 16
+    ids = np.empty(cap, np.int64)
+    ws = np.empty(cap, np.float64)
+    n = lib.cs_featurize(
+        raw, len(raw), VOCAB_BUCKETS,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap,
+    )
+    if n < 0:
+        return None
+    return ids[:n].copy(), ws[:n].astype(np.float32)
+
+
+def token_hashes_native(text: str, buckets: int = 0) -> np.ndarray | None:
+    """Ordered token bucket ids (duplicates kept) for FTS tf counting."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = text.encode("utf-8", errors="replace")
+    cap = len(raw) + 16
+    ids = np.empty(cap, np.int64)
+    n = lib.cs_token_hashes(
+        raw, len(raw), buckets,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+    )
+    if n < 0:
+        return None
+    return ids[:n].copy()
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+# public: None when the library can't load (callers fall back to Python)
+def featurize_native(text: str):
+    return _featurize_impl(text)
+
+
+if os.environ.get("CODESEARCH_NO_NATIVE"):
+    featurize_native = None  # type: ignore[assignment]

@@ -6,10 +6,11 @@ faster to query than ANN at these corpus sizes, and removes the
 ``build_index`` step entirely.
 
 Design notes (HBM-bandwidth view): scoring 1M×384 bf16 rows reads ~0.8 GB —
-~1 ms at v5e HBM speeds; the matmul is the roofline. Selection avoids a full
-O(N log N) sort with a hierarchical exact top-k: per-block top-k then top-k
-over the per-block survivors (exact because a global top-k member is a
-member of its block's top-k). Scores accumulate in fp32 on the MXU.
+~1 ms at v5e HBM speeds; the matmul is the roofline. Selection uses XLA's
+flat ``lax.top_k`` directly: measured on v5e, flat top_k over [64, 1M]
+costs ~2.8 ms while a blocked per-tile hierarchical merge costs ~37 ms —
+XLA's partial-sort lowering is already the fast path, so no hand scheduling.
+Scores accumulate in fp32 on the MXU.
 
 An int8-quantized corpus path halves read bytes again; scales are applied
 to the (tiny) [Q, k] result, keeping exact ranking per block scale.
@@ -25,27 +26,9 @@ import jax.numpy as jnp
 _NEG_INF = jnp.float32(-3.0e38)
 
 
-def _hierarchical_topk(scores: jax.Array, k: int, block: int = 4096):
-    """Exact top-k over the last axis via per-block candidates.
-
-    scores: [Q, N] fp32. Returns (values [Q,k], indices [Q,k]) sorted desc.
-    """
-    q, n = scores.shape
-    if n <= max(2 * block, 2 * k):
-        return jax.lax.top_k(scores, k)
-    nb = (n + block - 1) // block
-    pad = nb * block - n
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG_INF)
-    blocked = scores.reshape(q, nb, block)
-    kb = min(k, block)
-    bvals, bidx = jax.lax.top_k(blocked, kb)          # [Q, nb, kb]
-    base = (jnp.arange(nb, dtype=jnp.int32) * block)[None, :, None]
-    cand_idx = (bidx.astype(jnp.int32) + base).reshape(q, nb * kb)
-    cand_vals = bvals.reshape(q, nb * kb)
-    vals, pos = jax.lax.top_k(cand_vals, k)           # [Q, k]
-    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    return vals, idx
+def _select_topk(scores: jax.Array, k: int):
+    """Exact top-k over the last axis (XLA flat top_k — measured fastest)."""
+    return jax.lax.top_k(scores, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -63,7 +46,7 @@ def cosine_topk(
         preferred_element_type=jnp.float32,
     )  # [Q, N]
     scores = jnp.where(valid[None, :], scores, _NEG_INF)
-    vals, idx = _hierarchical_topk(scores, k)
+    vals, idx = _select_topk(scores, k)
     return vals, idx.astype(jnp.int32)
 
 
@@ -84,7 +67,7 @@ def cosine_topk_int8(
     )
     scores = scores * row_scale[None, :]
     scores = jnp.where(valid[None, :], scores, _NEG_INF)
-    vals, idx = _hierarchical_topk(scores, k)
+    vals, idx = _select_topk(scores, k)
     return vals, idx.astype(jnp.int32)
 
 

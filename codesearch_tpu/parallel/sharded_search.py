@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import _hierarchical_topk
+from ..ops.topk import _select_topk
 
 _NEG_INF = jnp.float32(-3.0e38)
 
@@ -54,7 +54,7 @@ def sharded_cosine_topk(
         )
         scores = jnp.where(v[None, :], scores, _NEG_INF)
         kk = min(k, shard_rows)
-        vals, idx = _hierarchical_topk(scores, kk)
+        vals, idx = _select_topk(scores, kk)
         my_shard = jax.lax.axis_index("data")
         gidx = idx.astype(jnp.int32) + my_shard * shard_rows
         # gather all shards' candidates and merge (replicated result)

@@ -87,6 +87,14 @@ class SearchSession:
 
     def __init__(self, db_path: Path, model: str | None = None, readonly: bool = True):
         meta = read_metadata(db_path)
+        from ..utils.constants import EMBEDDER_VERSION
+
+        if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION:
+            raise SearchError(
+                f"index at {db_path} was built with embedder "
+                f"v{meta.get('embedder_version', 1)} (current v{EMBEDDER_VERSION}) "
+                "— run `codesearch index --force` to rebuild"
+            )
         model_name = model or meta.get("model") or "code-hash-384"
         dims = int(meta.get("dimensions", 384))
         self.db_path = db_path

@@ -148,8 +148,15 @@ def get_global_models_cache_dir() -> Path:
     return d
 
 
+# Version of the host featurization/tokenization pipeline. Embeddings from
+# different versions are NOT comparable (e.g. v2 switched token hashing from
+# blake2b to FNV-1a for native parity); a mismatch forces full re-embedding,
+# like the reference's model-change invalidation (cache/file_meta.rs:86-92).
+EMBEDDER_VERSION = 2
+
+
 def get_embedding_cache_dir(model_name: str) -> Path:
-    """Persistent embedding cache root for one model."""
-    d = get_config_dir() / "embedding_cache" / model_name
+    """Persistent embedding cache root for one model (version-scoped)."""
+    d = get_config_dir() / "embedding_cache" / f"{model_name}-v{EMBEDDER_VERSION}"
     d.mkdir(parents=True, exist_ok=True)
     return d

@@ -23,6 +23,20 @@ def sha256_file(path: Path, chunk_size: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
-def stable_u64(s: str) -> int:
-    """Deterministic 64-bit hash of a string (for postings/vocab ids)."""
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def stable_u64(s: str | bytes) -> int:
+    """Deterministic 64-bit FNV-1a hash (for postings/vocab bucket ids).
+
+    FNV-1a is implemented byte-identically in the native C++ tier
+    (native/cs_native.cpp) so host featurization can run in either.
+    """
+    if isinstance(s, str):
+        s = s.encode("utf-8", errors="replace")
+    h = _FNV_OFFSET
+    for b in s:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h

@@ -1,0 +1,159 @@
+"""Embedding-model benchmark harness.
+
+Parity with the reference's examples/benchmark_models.rs: indexes a corpus,
+runs a labeled query set per model (accuracy = expected file in top-3),
+probes a false-positive query, and writes a markdown report. Defaults to
+benchmarking the weights-free models (the only ones runnable with zero
+downloads); pass model names to test others (BERT-family models need local
+weights in ~/.codesearch/models/<short-name>/).
+
+Usage: python examples/benchmark_models.py [--corpus PATH] [--models a,b]
+       [--queries self|reference] [--out benchmark.md] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+# Labeled query set for this repository's own source (self corpus)
+SELF_QUERIES = [
+    ("SemanticChunker structural scanning", "chunker/semantic.py"),
+    ("VectorStore insert chunks", "vectordb/store.py"),
+    ("lexical masking strings comments", "chunker/lexer.py"),
+    ("extract function signature", "chunker/"),
+    ("how do we detect binary files", "fileio/binary.py"),
+    ("where is the CLI entry point", "cli/main.py"),
+    ("CLI argument parsing", "cli/main.py"),
+    ("FileWalker walk directory", "fileio/walker.py"),
+    ("reciprocal rank fusion", "rerank/fusion.py"),
+]
+
+# Labeled set against the reference Rust corpus (benchmark_models.rs:16-32)
+REFERENCE_QUERIES = [
+    ("SemanticChunker struct", "src/chunker/semantic.rs"),
+    ("VectorStore insert chunks", "src/vectordb/store.rs"),
+    ("tree-sitter grammar loading", "src/chunker/"),
+    ("extract function signature from AST", "src/chunker/extractor.rs"),
+    ("how do we detect binary files", "src/file/binary.rs"),
+    ("where is the main entry point", "src/main.rs"),
+    ("CLI argument parsing clap", "src/cli/mod.rs"),
+    ("FileWalker walk directory", "src/file/"),
+    ("RustExtractor python typescript", "src/chunker/extractor.rs"),
+]
+
+FALSE_POSITIVE_QUERY = "kubernetes deployment yaml"
+
+
+def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None):
+    import numpy as np
+
+    from codesearch_tpu.chunker import SemanticChunker
+    from codesearch_tpu.embed import EmbeddingService
+    from codesearch_tpu.fileio import FileWalker
+    from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+    import tempfile
+
+    print(f"collecting files from {corpus} ...")
+    files, _ = FileWalker(corpus).walk()
+    print(f"  {len(files)} indexable files")
+    chunker = SemanticChunker(100, 4000, 5)
+    all_chunks = []
+    for f in files:
+        try:
+            content = f.path.read_text(errors="replace")
+        except OSError:
+            continue
+        rel = f.path.relative_to(corpus)
+        all_chunks.extend(chunker.chunk_semantic(f.language, rel, content))
+    print(f"  {len(all_chunks)} chunks")
+
+    rows = []
+    for model_name in models:
+        print(f"\n=== {model_name} ===")
+        t0 = time.time()
+        svc = EmbeddingService(model_name, use_persistent_cache=False)
+        load_s = time.time() - t0
+        t0 = time.time()
+        embedded = svc.embed_chunks(all_chunks)
+        index_s = time.time() - t0
+        store = VectorStore(Path(tempfile.mkdtemp()) / "db", dims=svc.dims)
+        metas = [
+            ChunkMetadata(
+                path=e.chunk.path, content=e.chunk.content,
+                start_line=e.chunk.start_line, end_line=e.chunk.end_line,
+                kind=e.chunk.kind.value, context=e.chunk.context,
+                signature=e.chunk.signature, docstring=e.chunk.docstring,
+            )
+            for e in embedded
+        ]
+        store.insert_chunks_with_ids(
+            np.stack([e.embedding for e in embedded]), metas
+        )
+        store.build_index()
+
+        hits, scores, q_times = 0, [], []
+        for query, expect in queries:
+            qv = svc.embed_query(query)
+            t0 = time.time()
+            res = store.search(qv, 3)
+            q_times.append(time.time() - t0)
+            ok = any(expect in r.metadata.path for r in res)
+            hits += ok
+            if res:
+                scores.append(res[0].score)
+            print(f"  {'✓' if ok else '✗'} {query!r} → {res[0].metadata.path if res else '-'}")
+        fp = store.search(svc.embed_query(FALSE_POSITIVE_QUERY), 1)
+        fp_score = fp[0].score if fp else 0.0
+        acc = hits / len(queries)
+        row = {
+            "model": model_name,
+            "dims": svc.dims,
+            "chunks": len(all_chunks),
+            "load_s": round(load_s, 2),
+            "index_s": round(index_s, 2),
+            "chunks_per_s": round(len(all_chunks) / max(index_s, 1e-9)),
+            "accuracy": f"{hits}/{len(queries)} ({acc:.0%})",
+            "avg_score": round(float(np.mean(scores)), 3) if scores else 0.0,
+            "avg_query_ms": round(1000 * float(np.mean(q_times)), 2),
+            "false_positive_score": round(float(fp_score), 3),
+        }
+        rows.append(row)
+        print(f"  accuracy={row['accuracy']} avg_score={row['avg_score']} "
+              f"query={row['avg_query_ms']}ms index={index_s:.1f}s "
+              f"({row['chunks_per_s']} chunks/s)")
+
+    if out:
+        cols = list(rows[0].keys())
+        lines = ["# Model benchmark", "",
+                 f"corpus: `{corpus}` — {len(all_chunks)} chunks", "",
+                 "| " + " | ".join(cols) + " |",
+                 "|" + "---|" * len(cols)]
+        for r in rows:
+            lines.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
+        out.write_text("\n".join(lines) + "\n")
+        print(f"\nreport written to {out}")
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=Path, default=Path("codesearch_tpu"))
+    ap.add_argument("--models", default="code-hash-384,code-hash-768")
+    ap.add_argument("--queries", choices=["self", "reference"], default="self")
+    ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
+    run_benchmark(args.corpus, args.models.split(","), queries, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""Native tier parity tests: C++ output must be byte-identical to Python.
+
+Property-tested over real source corpora (this repo + the reference's Rust)
+and adversarial strings.
+"""
+
+import numpy as np
+import pytest
+
+from codesearch_tpu import native
+from codesearch_tpu.chunker.lexer import mask_c_family, mask_python
+from codesearch_tpu.models.hash_embedder import _featurize_py
+from codesearch_tpu.models.tokenizer import code_tokens
+from codesearch_tpu.utils.hashing import stable_u64
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native tier unavailable"
+)
+
+
+def _py_mask(family: str, src: str) -> str:
+    if family == "python":
+        return mask_python(src)
+    if family == "rust":
+        return mask_c_family(src, nested_block_comments=True,
+                             raw_strings_rust=True, lifetimes=True)
+    if family == "go":
+        return mask_c_family(src, backtick_strings=True)
+    if family in ("js", "ts"):
+        return mask_c_family(src, template_literals=True)
+    return mask_c_family(src)
+
+
+MASK_CASES = [
+    ("rust", 'fn f() { let s = "a { b }"; } // brace }\n'),
+    ("rust", 'let s = r#"hello "x" { } "#; fn g() {}'),
+    ("rust", "fn f<'a>(x: &'a str) { let c = 'x'; let d = '\\n'; }"),
+    ("rust", "/* outer /* inner */ still */ fn f() {}"),
+    ("rust", '"unterminated\nfn g() {}'),
+    ("rust", "/* unterminated forever"),
+    ("go", 'var s = `raw { string`\nfunc main() {}\n'),
+    ("go", "var s = `unterminated\nfunc f() {}"),
+    ("ts", "const s = `hi ${name} {`; function f() {}"),
+    ("ts", "const s = `esc \\` tick`; let x = 1;"),
+    ("c", 'char* s = "x{y"; /* c */ int f() { return 0; }'),
+    ("python", 'def f():\n    """doc { brace"""\n    s = "str"  # comment\n'),
+    ("python", "s = '''unterminated\ndef g(): pass"),
+    ("python", "x = 'a' + \"b\" + '\\'' # quotes\n"),
+]
+
+
+class TestMaskParity:
+    @pytest.mark.parametrize("family,src", MASK_CASES)
+    def test_cases(self, family, src):
+        got = native.mask_native(family, src)
+        assert got is not None
+        assert got == _py_mask(family, src)
+
+    def test_real_corpora(self):
+        from pathlib import Path
+
+        files = list(Path("/root/repo/codesearch_tpu").rglob("*.py"))[:20]
+        for f in files:
+            src = f.read_text()
+            if not src.isascii():
+                continue
+            assert native.mask_native("python", src) == _py_mask("python", src), f
+
+    def test_real_rust_corpus(self):
+        from pathlib import Path
+
+        files = list(Path("/root/reference/src").rglob("*.rs"))[:20]
+        for f in files:
+            src = f.read_text(errors="replace")
+            if not src.isascii():
+                continue
+            assert native.mask_native("rust", src) == _py_mask("rust", src), f
+
+
+FEAT_CASES = [
+    "fn parse_config(path: &str) -> Config",
+    "class HTTPServer extends BaseServer { getUserName() {} }",
+    "x" * 30 + " short togetherAgain snake_case_id a1b2C3",
+    "",
+    "   \n\t  ",
+    "日本語 mixed unicode_ident ascii",
+    "a b a b a b",  # repeated bigrams
+]
+
+
+class TestFeaturizeParity:
+    @pytest.mark.parametrize("text", FEAT_CASES)
+    def test_cases(self, text):
+        got = native.featurize_native(text)
+        assert got is not None
+        ids_n, ws_n = got
+        ids_p, ws_p = _featurize_py(text)
+        np.testing.assert_array_equal(ids_n, ids_p)
+        np.testing.assert_array_equal(ws_n, ws_p)
+
+    def test_real_corpus(self):
+        from pathlib import Path
+
+        for f in list(Path("/root/reference/src").rglob("*.rs"))[:10]:
+            text = f.read_text(errors="replace")
+            ids_n, ws_n = native.featurize_native(text)
+            ids_p, ws_p = _featurize_py(text)
+            np.testing.assert_array_equal(ids_n, ids_p, err_msg=str(f))
+            np.testing.assert_array_equal(ws_n, ws_p, err_msg=str(f))
+
+
+class TestTokenHashParity:
+    @pytest.mark.parametrize("text", FEAT_CASES)
+    def test_cases(self, text):
+        got = native.token_hashes_native(text)
+        assert got is not None
+        expect = np.asarray(
+            [np.int64(np.uint64(stable_u64(t))) for t in code_tokens(text)],
+            np.int64,
+        ) if code_tokens(text) else np.zeros(0, np.int64)
+        np.testing.assert_array_equal(got, expect)
+
+
+class TestNativeSpeedup:
+    def test_featurize_speedup(self):
+        import time
+
+        text = open("/root/reference/src/vectordb/store.rs").read()
+        native.featurize_native(text)  # warm
+        t0 = time.time()
+        for _ in range(20):
+            native.featurize_native(text)
+        t_native = time.time() - t0
+        t0 = time.time()
+        for _ in range(20):
+            _featurize_py(text)
+        t_py = time.time() - t0
+        assert t_native < t_py, f"native {t_native:.3f}s not faster than python {t_py:.3f}s"

@@ -68,26 +68,20 @@ class TestTopK:
         ])
         assert overlap >= 0.8
 
-    def test_hierarchical_selection_exact(self):
-        # the selection stage itself is exact: feed fixed scores, compare
-        # with flat lax.top_k on the same inputs
-        from codesearch_tpu.ops.topk import _hierarchical_topk
+    def test_selection_exact(self):
+        # the selection stage is exact on fixed scores (vs numpy argsort);
+        # measured on v5e: flat lax.top_k beats a blocked hierarchical
+        # merge 2.8ms vs 37ms on [64, 1M], so selection is flat
+        from codesearch_tpu.ops.topk import _select_topk
 
         rng = np.random.default_rng(2)
-        scores = jnp.asarray(rng.standard_normal((2, 20_000)).astype(np.float32))
-        vals_h, idx_h = _hierarchical_topk(scores, 25, block=1024)
-        vals_f, idx_f = jax.lax.top_k(scores, 25)
-        np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_f))
-        np.testing.assert_allclose(np.asarray(vals_h), np.asarray(vals_f))
-
-    def test_hierarchical_nondivisible_n(self):
-        from codesearch_tpu.ops.topk import _hierarchical_topk
-
-        rng = np.random.default_rng(7)
-        scores = jnp.asarray(rng.standard_normal((1, 10_003)).astype(np.float32))
-        vals_h, idx_h = _hierarchical_topk(scores, 7, block=1024)
-        vals_f, idx_f = jax.lax.top_k(scores, 7)
-        np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_f))
+        scores_np = rng.standard_normal((2, 20_000)).astype(np.float32)
+        vals, idx = _select_topk(jnp.asarray(scores_np), 25)
+        exp_idx = np.argsort(-scores_np, axis=1)[:, :25]
+        np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.take_along_axis(scores_np, exp_idx, 1)
+        )
 
     def test_respects_tombstones(self):
         rng = np.random.default_rng(3)
