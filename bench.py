@@ -18,7 +18,7 @@ import json
 import sys
 import time
 
-N_ROWS = 1_000_000
+N_ROWS = 1 << 20  # 1,048,576 — tile-aligned so the fused Pallas kernel engages
 DIMS = 384
 Q_BATCH = 64
 TOP_K = 10
@@ -73,7 +73,8 @@ def main() -> None:
     qps = Q_BATCH * iters / dt
     ms_per_batch = dt / iters * 1000
 
-    # secondary: embedding throughput (weights-free model), chunks/s
+    # secondary: embedding throughput, chunks/s
+    # (a) weights-free hash model
     from codesearch_tpu.models.hash_embedder import embed_features, make_table
 
     table = make_table(DIMS)
@@ -88,6 +89,25 @@ def main() -> None:
     out.block_until_ready()
     embed_cps = 1024 * reps / (time.time() - t0)
 
+    # (b) flagship BERT-class encoder (bge-small arch, 12L/384H), seq 128 —
+    # the reference's CPU ONNX path embeds ~51 chunks/s (demongrep_vs_osgrep)
+    from codesearch_tpu.models.encoder import encode, init_params
+    from codesearch_tpu.models.registry import MODELS
+
+    cfg = MODELS["bge-small"].arch
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    bsz, seq = 256, 128
+    bids = jax.random.randint(jax.random.PRNGKey(4), (bsz, seq), 0, cfg.vocab_size, jnp.int32)
+    bmask = jnp.ones((bsz, seq), jnp.int32)
+    out_b = encode(params, bids, bmask, cfg)
+    out_b.block_until_ready()
+    t0 = time.time()
+    reps_b = 5
+    for _ in range(reps_b):
+        out_b = encode(params, bids, bmask, cfg)
+    out_b.block_until_ready()
+    bert_cps = bsz * reps_b / (time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -101,6 +121,8 @@ def main() -> None:
                     "batch": Q_BATCH,
                     "ms_per_64q_batch": round(ms_per_batch, 2),
                     "embed_chunks_per_s_hash_model": round(embed_cps, 0),
+                    "embed_chunks_per_s_bge_small_arch": round(bert_cps, 0),
+                    "embed_vs_cpu_onnx_51cps": round(bert_cps / 51.0, 1),
                     "setup_s": round(setup_s, 1),
                 },
             }

@@ -69,7 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build the index first if none exists")
 
     i = sub.add_parser("index", help="build or refresh the index")
-    i.add_argument("path", nargs="?", default=".")
+    i.add_argument("args", nargs="*", default=[],
+                   help="[add|remove|list] [path] — registry subcommands, "
+                        "or just a path to index")
     i.add_argument("--force", "-f", action="store_true", help="full rebuild")
     i.add_argument("--register", action="store_true", help="add repo to the global registry")
 
@@ -88,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     setup = sub.add_parser("setup", help="model management")
     setup.add_argument("--list", action="store_true", dest="list_models")
+    setup.add_argument("--import", dest="import_dir", type=Path, default=None,
+                       help="copy local model assets (model.safetensors, "
+                            "tokenizer.json/vocab.txt) into the models cache")
+    setup.add_argument("--as", dest="import_as", default=None,
+                       help="registry short name to import as (with --import)")
 
     m = sub.add_parser("mcp", help="MCP stdio server")
     m.add_argument("path", nargs="?", default=".")
@@ -251,8 +258,29 @@ def _pretty_print(resp, scores: bool) -> None:
 def _cmd_index(args) -> int:
     from ..index import IndexOptions, index, register_repo
 
+    rest = list(args.args)
+    action = rest.pop(0) if rest and rest[0] in ("add", "remove", "list") else None
+    path = rest[0] if rest else "."
+
+    if action == "add":
+        register_repo(Path(path).resolve())
+        info_print(f"registered {Path(path).resolve()}")
+        return 0
+    if action == "remove":
+        from ..index import unregister_repo
+
+        unregister_repo(Path(path).resolve())
+        info_print(f"unregistered {Path(path).resolve()}")
+        return 0
+    if action == "list":
+        from ..index.db_discovery import registered_repos
+
+        for repo in registered_repos():
+            result_print(repo)
+        return 0
+
     stats = index(
-        args.path,
+        path,
         IndexOptions(
             model=args.model or "code-hash-384",
             force=args.force,
@@ -261,7 +289,7 @@ def _cmd_index(args) -> int:
         ),
     )
     if args.register:
-        register_repo(Path(args.path).resolve())
+        register_repo(Path(path).resolve())
     info_print(
         f"indexed {stats.files_indexed} files ({stats.chunks_added} chunks) "
         f"in {stats.elapsed_s:.1f}s — db: {stats.db_path}"
@@ -316,7 +344,34 @@ def _cmd_doctor(args) -> int:
 
 
 def _cmd_setup(args) -> int:
-    from ..models import all_models
+    from ..models import all_models, parse_model
+
+    if args.import_dir is not None:
+        import shutil
+
+        from ..utils.constants import get_global_models_cache_dir
+
+        if not args.import_as:
+            error_print("--import requires --as <short-name> (see setup --list)")
+            return 1
+        spec = parse_model(args.import_as)
+        if spec is None:
+            error_print(f"unknown model name: {args.import_as}")
+            return 1
+        dest = get_global_models_cache_dir() / spec.short_name
+        dest.mkdir(parents=True, exist_ok=True)
+        copied = []
+        for name in ("model.safetensors", "tokenizer.json", "vocab.txt",
+                     "config.json"):
+            src = args.import_dir / name
+            if src.exists():
+                shutil.copy2(src, dest / name)
+                copied.append(name)
+        if not copied:
+            error_print(f"no model assets found in {args.import_dir}")
+            return 1
+        info_print(f"imported {', '.join(copied)} → {dest}")
+        return 0
 
     rows = []
     for spec in all_models():

@@ -1,0 +1,87 @@
+"""Pallas fused cosine-score + partial top-k kernel.
+
+Motivation (measured on v5e, [64, 1M] bf16): the XLA path costs ~2.2 ms for
+the matmul plus ~2.8 ms for a flat ``lax.top_k`` over the materialized
+[Q, N] score matrix. This kernel streams corpus tiles through VMEM, scores
+them on the MXU, and selects each tile's top-k *in VMEM* with k unrolled
+max/mask rounds (Mosaic lowers neither ``top_k`` nor ``sort``), writing only
+[n_tiles, Q, k] candidates to HBM — the [Q, N] score matrix never exists.
+A final (tiny) flat top-k over n_tiles·k candidates is exact because every
+global top-k member is in its tile's top-k.
+
+Dispatched from ops.topk.cosine_topk on TPU for k ≤ MAX_FUSED_K; the XLA
+path remains the fallback and the correctness reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NEG_INF = -3.0e38  # python float: jnp constants may not be captured by kernels
+MAX_FUSED_K = 32
+DEFAULT_TILE = 2048
+
+
+def _fused_kernel(q_ref, c_ref, valid_ref, vals_ref, idx_ref, *, k: int, tile: int):
+    j = pl.program_id(0)
+    q = q_ref[:].astype(jnp.bfloat16)                     # [Q, D]
+    c = c_ref[:]                                          # [TILE, D] bf16
+    scores = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # [Q, TILE]
+    valid = valid_ref[:].astype(jnp.float32)              # [TILE]
+    scores = scores + (1.0 - valid)[None, :] * _NEG_INF
+    nq = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 1)
+    base = (j * tile).astype(jnp.int32)
+    for r in range(k):
+        m = jnp.max(scores, axis=-1, keepdims=True)       # [Q, 1]
+        is_max = scores >= m
+        arg = jnp.min(jnp.where(is_max, col, tile), axis=-1)  # [Q] first argmax
+        vals_ref[0, :, r] = m[:, 0]
+        idx_ref[0, :, r] = arg + base
+        scores = jnp.where(col == arg[:, None], _NEG_INF, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def fused_cosine_topk(
+    queries: jax.Array,   # [Q, d]
+    corpus: jax.Array,    # [N, d] bf16, N % tile == 0 (store pads)
+    valid: jax.Array,     # [N] bool
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    n, d = corpus.shape
+    nq = queries.shape[0]
+    assert n % tile == 0, f"corpus rows {n} must be a multiple of tile {tile}"
+    n_tiles = n // tile
+    kk = min(k, tile)
+    vals, idx = pl.pallas_call(
+        functools.partial(_fused_kernel, k=kk, tile=tile),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda j: (0, 0)),
+            pl.BlockSpec((tile, d), lambda j: (j, 0)),
+            pl.BlockSpec((tile,), lambda j: (j,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nq, kk), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, nq, kk), lambda j: (j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, nq, kk), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, nq, kk), jnp.int32),
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.bfloat16), corpus, valid)
+    # exact global merge over the tiny candidate set
+    cand_vals = jnp.transpose(vals, (1, 0, 2)).reshape(nq, n_tiles * kk)
+    cand_idx = jnp.transpose(idx, (1, 0, 2)).reshape(nq, n_tiles * kk)
+    out_vals, pos = jax.lax.top_k(cand_vals, min(k, n_tiles * kk))
+    out_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return out_vals, out_idx

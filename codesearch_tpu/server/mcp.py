@@ -369,6 +369,9 @@ def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
             return 1
         make_placeholder_db(db, service)
     init_logger(db_path=db, quiet=True)  # file-only: stdout is JSON-RPC
+    from ..utils.logger import start_cleanup_task
+
+    start_cleanup_task(db)
     stores, writer_lock = SharedStores.new_or_readonly(db, service.dims)
     manager: IndexManager | None = None
     if not stores.readonly:

@@ -143,3 +143,28 @@ def init_logger(
 
 def get_logger(name: str) -> logging.Logger:
     return logging.getLogger(f"codesearch.{name}")
+
+
+def start_cleanup_task(db_path: Path, interval_hours: float | None = None) -> threading.Thread:
+    """Periodic old-log cleanup for long-lived servers
+    (reference: logger/mod.rs:290-330; CODESEARCH_LOG_CLEANUP_INTERVAL_HOURS)."""
+    interval = interval_hours or float(
+        os.environ.get("CODESEARCH_LOG_CLEANUP_INTERVAL_HOURS", 24)
+    )
+    log_dir = Path(db_path) / LOG_DIR_NAME
+
+    def _loop() -> None:
+        import time
+
+        while True:
+            time.sleep(interval * 3600)
+            try:
+                removed = cleanup_old_logs(log_dir)
+                if removed:
+                    get_logger("logger").info("cleaned %d old log files", removed)
+            except Exception:
+                pass
+
+    t = threading.Thread(target=_loop, daemon=True, name="codesearch-log-cleanup")
+    t.start()
+    return t

@@ -102,6 +102,29 @@ class TestTopK:
         # only 3 valid rows → remaining entries carry -inf scores
         assert (np.asarray(vals)[0, 3:] < -1e30).all()
 
+    def test_fused_pallas_kernel_interpret(self):
+        # fused score+select kernel (interpret mode) vs numpy reference
+        from codesearch_tpu.ops.pallas_topk import fused_cosine_topk
+
+        rng = np.random.default_rng(11)
+        n, d, q, k = 4096, 64, 4, 8
+        c = _norm(rng.standard_normal((n, d)).astype(np.float32))
+        queries = c[:q] + 0.01 * rng.standard_normal((q, d)).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[::5] = False
+        vals, idx = fused_cosine_topk(
+            jnp.asarray(queries), jnp.asarray(c, jnp.bfloat16),
+            jnp.asarray(valid), k, tile=1024, interpret=True,
+        )
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        ref = queries @ c.T
+        ref[:, ~valid] = -1e30
+        exp_idx = np.argsort(-ref, axis=1)[:, :k]
+        overlap = np.mean([len(set(idx[i]) & set(exp_idx[i])) / k for i in range(q)])
+        assert overlap >= 0.9  # bf16 scoring may flip near-ties
+        assert all(valid[i] for row in idx for i in row)
+        assert (np.diff(vals, axis=1) <= 1e-6).all()
+
     def test_int8_close_to_fp(self):
         rng = np.random.default_rng(5)
         c = _norm(rng.standard_normal((1000, 64)).astype(np.float32))

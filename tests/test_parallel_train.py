@@ -48,6 +48,29 @@ class TestShardedSearch:
         assert (np.asarray(idx) % 2 == 1).all()
 
 
+class TestShardedSearcher:
+    def test_wraps_store(self, mesh8, tmp_path):
+        from codesearch_tpu.parallel.sharded_store import ShardedSearcher
+        from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+
+        rng = np.random.default_rng(3)
+        store = VectorStore(tmp_path / "db", dims=16)
+        embs = _norm(rng.standard_normal((40, 16)).astype(np.float32))
+        store.insert_chunks_with_ids(
+            embs, [ChunkMetadata(path=f"f{i}.rs", content=f"c{i}", start_line=0,
+                                 end_line=1, kind="Function") for i in range(40)]
+        )
+        store.delete_chunks([7])
+        searcher = ShardedSearcher(store, mesh=mesh8)
+        res = searcher.search_batch(embs[:3], 5)
+        assert res[0][0].chunk_id == 0
+        assert res[1][0].chunk_id == 1
+        assert all(r.chunk_id != 7 for batch in res for r in batch)
+        # query for the tombstoned row must surface its nearest live neighbor
+        res7 = searcher.search_batch(embs[7:8], 3)[0]
+        assert res7 and all(r.chunk_id != 7 for r in res7)
+
+
 class TestTraining:
     def test_tp_dp_train_step_runs_and_descends(self):
         if len(jax.devices()) < 4:
