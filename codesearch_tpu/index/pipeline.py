@@ -127,6 +127,23 @@ def get_db_path_smart(
     return root / DB_DIR_NAME, root
 
 
+def ensure_db_ignored(project_root: Path) -> None:
+    """Make sure `.codesearch.db/` is git-ignored at the project root
+    (reference behavior: ALWAYS_EXCLUDED entries are added to .gitignore
+    automatically, constants.rs:185-189)."""
+    if not (project_root / ".git").exists():
+        return
+    gi = project_root / ".gitignore"
+    try:
+        existing = gi.read_text() if gi.exists() else ""
+        if DB_DIR_NAME not in existing:
+            sep = "" if existing.endswith("\n") or not existing else "\n"
+            with open(gi, "a") as f:
+                f.write(f"{sep}{DB_DIR_NAME}/\n")
+    except OSError:
+        pass
+
+
 def read_metadata(db_path: Path) -> dict:
     p = Path(db_path) / METADATA_FILE_NAME
     if not p.exists():
@@ -196,6 +213,7 @@ def index(
         meta = {}
 
     db_path.mkdir(parents=True, exist_ok=True)
+    ensure_db_ignored(root)
     if stores is not None:
         store, fts = stores
     else:

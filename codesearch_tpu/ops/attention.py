@@ -50,7 +50,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scal
         acc, m_prev, l_prev = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        mask_blk = mask_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        mask_blk = mask_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Bq, Bk]
@@ -93,7 +93,9 @@ def pallas_attention(
     qf = q.reshape(b * h, s, dh)
     kf = k.reshape(b * h, s, dh)
     vf = v.reshape(b * h, s, dh)
-    maskf = jnp.repeat(mask, h, axis=0)  # [B*H, S]
+    # [B*H, 1, S]: trailing-2 dims (1, S) satisfy Mosaic's (8, 128)-divisible
+    # -or-full-dim block rule (a [B*H, S] layout with block (1, S) does not)
+    maskf = jnp.repeat(mask, h, axis=0)[:, None, :]
 
     grid = (b * h, s // block_q)
     out = pl.pallas_call(
@@ -104,7 +106,7 @@ def pallas_attention(
             pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
         interpret=interpret,
