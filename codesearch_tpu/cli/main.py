@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "or just a path to index")
     i.add_argument("--force", "-f", action="store_true", help="full rebuild")
     i.add_argument("--register", action="store_true", help="add repo to the global registry")
+    i.add_argument("--int8", action="store_true",
+                   help="int8-quantized device corpus (halves HBM; ~same ranking)")
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("path", nargs="?", default=".")
@@ -182,6 +184,13 @@ def _dispatch(args) -> int:
 def _cmd_search(args) -> int:
     from ..search import SearchOptions, search
 
+    if args.model is not None:
+        from ..models import parse_model
+
+        if parse_model(args.model) is None:
+            error_print(f"unknown model: {args.model!r} (see `codesearch setup --list`)")
+            return 1
+
     options = SearchOptions(
         limit=args.limit,
         mode="vector" if args.vector_only else "hybrid",
@@ -286,6 +295,7 @@ def _cmd_index(args) -> int:
             force=args.force,
             quiet=args.quiet,
             store_path=args.store,
+            int8=args.int8,
         ),
     )
     if args.register:

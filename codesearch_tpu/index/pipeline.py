@@ -57,6 +57,7 @@ class IndexOptions:
     force: bool = False
     quiet: bool = False
     store_path: Path | None = None  # explicit db location override
+    int8: bool = False              # quantized device corpus (halves HBM)
 
 
 @dataclass
@@ -71,6 +72,7 @@ class IndexStats:
     cancelled: bool = False
     elapsed_s: float = 0.0
     primary_language: str | None = None
+    int8: bool = False
 
 
 def find_git_root(start_path: Path) -> Path | None:
@@ -167,6 +169,7 @@ def write_metadata(db_path: Path, service: EmbeddingService, stats: IndexStats) 
         "primary_language": stats.primary_language,
         "version": 1,
         "embedder_version": EMBEDDER_VERSION,
+        "int8": bool(getattr(stats, "int8", False)),
     }
     tmp = p.with_suffix(".tmp")
     tmp.write_text(json.dumps(payload, indent=2))
@@ -188,7 +191,7 @@ def index(
     t0 = time.time()
     project = Path(path).resolve()
     db_path, root = get_db_path_smart(project, options.store_path, options.force)
-    stats = IndexStats(db_path=db_path)
+    stats = IndexStats(db_path=db_path, int8=options.int8)
 
     if options.force and db_path.exists() and stores is None:
         info_print(f"force rebuild: deleting {db_path}")
@@ -217,7 +220,9 @@ def index(
     if stores is not None:
         store, fts = stores
     else:
-        store = VectorStore(db_path, dims=service.dims)
+        int8 = options.int8 or bool(meta.get("int8", False))
+        stats.int8 = int8
+        store = VectorStore(db_path, dims=service.dims, int8=int8)
         fts = FtsStore(db_path / FTS_DIR_NAME)
     file_meta = FileMetaStore.load_or_create(db_path, service.model_name)
 

@@ -105,7 +105,10 @@ class SearchSession:
                 f"model {model_name} has {self.service.dims} dims but index "
                 f"was built with {dims}"
             )
-        self.store = VectorStore(db_path, dims=dims, readonly=readonly)
+        self.store = VectorStore(
+            db_path, dims=dims, readonly=readonly,
+            int8=bool(meta.get("int8", False)),
+        )
         self.fts = FtsStore(db_path / FTS_DIR_NAME, readonly=readonly)
         self.reranker: NeuralReranker | None = None
 

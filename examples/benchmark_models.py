@@ -47,17 +47,21 @@ REFERENCE_QUERIES = [
 FALSE_POSITIVE_QUERY = "kubernetes deployment yaml"
 
 
-def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None):
+def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
+                  hybrid: bool = False, exclude: list[str] | None = None):
     import numpy as np
 
     from codesearch_tpu.chunker import SemanticChunker
     from codesearch_tpu.embed import EmbeddingService
     from codesearch_tpu.fileio import FileWalker
+    from codesearch_tpu.fts import FtsStore
+    from codesearch_tpu.rerank import rrf_fusion_with_exact
+    from codesearch_tpu.search.analysis import adapt_rrf_k, detect_identifiers
     from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
     import tempfile
 
     print(f"collecting files from {corpus} ...")
-    files, _ = FileWalker(corpus).walk()
+    files, _ = FileWalker(corpus, extra_excludes=exclude or []).walk()
     print(f"  {len(files)} indexable files")
     chunker = SemanticChunker(100, 4000, 5)
     all_chunks = []
@@ -69,6 +73,11 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None):
         rel = f.path.relative_to(corpus)
         all_chunks.extend(chunker.chunk_semantic(f.language, rel, content))
     print(f"  {len(all_chunks)} chunks")
+
+    # pay the tunneled-TPU first-transfer init outside the timed sections
+    from codesearch_tpu.utils.device import wait_for_warmup
+
+    wait_for_warmup(timeout=600)
 
     rows = []
     for model_name in models:
@@ -89,16 +98,48 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None):
             )
             for e in embedded
         ]
-        store.insert_chunks_with_ids(
+        ids = store.insert_chunks_with_ids(
             np.stack([e.embedding for e in embedded]), metas
         )
         store.build_index()
+        fts = None
+        if hybrid:
+            fts = FtsStore(Path(tempfile.mkdtemp()) / "fts")
+            for cid, m in zip(ids, metas):
+                fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+            fts.commit()
+
+        def _search(query, limit=3):
+            qv = svc.embed_query(query)
+            vres = store.search(qv, limit * 3)
+            if fts is None:
+                return vres[:limit]
+            vk, fk = adapt_rrf_k(query)
+            fres = fts.search(query, limit * 3)
+            eres = []
+            for ident in detect_identifiers(query):
+                eres.extend(fts.search_exact(ident, limit=limit * 3))
+            fused = rrf_fusion_with_exact(
+                [(r.chunk_id, r.score) for r in vres],
+                [(r.chunk_id, r.score) for r in fres],
+                [(r.chunk_id, r.score) for r in eres],
+                vector_k=vk, fts_k=fk,
+            )
+            by_id = {r.chunk_id: r for r in vres}
+
+            class _Hit:
+                def __init__(self, cid, score):
+                    meta = by_id[cid].metadata if cid in by_id else store.get_chunk(cid)
+                    self.metadata = meta
+                    self.score = score
+
+            return [_Hit(f.chunk_id, f.rrf_score) for f in fused[:limit]
+                    if f.chunk_id in by_id or store.get_chunk(f.chunk_id)]
 
         hits, scores, q_times = 0, [], []
         for query, expect in queries:
-            qv = svc.embed_query(query)
             t0 = time.time()
-            res = store.search(qv, 3)
+            res = _search(query, 3)
             q_times.append(time.time() - t0)
             ok = any(expect in r.metadata.path for r in res)
             hits += ok
@@ -145,13 +186,19 @@ def main() -> int:
     ap.add_argument("--queries", choices=["self", "reference"], default="self")
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--hybrid", action="store_true",
+                    help="full vector+BM25+exact RRF pipeline (vs vector-only)")
     args = ap.parse_args()
     if args.platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
-    run_benchmark(args.corpus, args.models.split(","), queries, args.out)
+    # the reference labels expect src/… paths and the query strings live in
+    # examples/benchmark_models.rs — exclude self-referential directories
+    exclude = ["examples", "benchmarks"] if args.queries == "reference" else []
+    run_benchmark(args.corpus, args.models.split(","), queries, args.out,
+                  hybrid=args.hybrid, exclude=exclude)
     return 0
 
 

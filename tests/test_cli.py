@@ -1,0 +1,78 @@
+"""CLI-level smoke tests: drive codesearch_tpu.cli.main() end-to-end."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from codesearch_tpu.cli.main import main
+
+
+@pytest.fixture()
+def cli_repo(tmp_repo, monkeypatch):
+    monkeypatch.chdir(tmp_repo)
+    return tmp_repo
+
+
+class TestCliFlow:
+    def test_index_search_stats_doctor(self, cli_repo, capsys):
+        assert main(["--quiet", "index", "."]) == 0
+        assert (cli_repo / ".codesearch.db" / "metadata.json").exists()
+        # .codesearch.db auto-added to .gitignore? (no .git dir here — skip)
+
+        assert main(["search", "parse_config", ".", "--compact"]) == 0
+        out = capsys.readouterr().out
+        assert "main.py" in out
+
+        assert main(["stats", ".", "--json"]) == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["model"] == "code-hash-384"
+        assert stats["vector"]["chunks"] > 0
+
+        assert main(["doctor", ".", "--json"]) == 0
+        checks = json.loads(capsys.readouterr().out)
+        assert all(c["ok"] for c in checks), checks
+
+    def test_search_json_output(self, cli_repo, capsys):
+        main(["--quiet", "index", "."])
+        capsys.readouterr()
+        assert main(["search", "content hash", ".", "--json", "--scores"]) == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert payload["results"]
+        assert "timings_ms" in payload
+        assert payload["results"][0]["start_line"] >= 1  # 1-based for display
+
+    def test_search_no_index_errors(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        assert main(["search", "anything", "."]) == 1
+        assert "error" in capsys.readouterr().err
+
+    def test_setup_list(self, capsys):
+        assert main(["setup", "--list"]) == 0
+        out = capsys.readouterr().out
+        assert "bge-small" in out and "code-hash-384" in out
+
+    def test_clear_requires_confirmation(self, cli_repo, capsys):
+        main(["--quiet", "index", "."])
+        capsys.readouterr()
+        assert main(["clear", "."]) == 1
+        assert (cli_repo / ".codesearch.db").exists()
+        assert main(["--quiet", "clear", ".", "--yes"]) == 0
+        assert not (cli_repo / ".codesearch.db").exists()
+
+    def test_cache_stats(self, capsys):
+        assert main(["cache", "stats"]) == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert "total_bytes" in payload
+
+    def test_unknown_model_errors(self, cli_repo, capsys):
+        assert main(["--model", "bogus", "search", "x", "."]) == 1
+        assert "unknown model" in capsys.readouterr().err
+
+    def test_int8_index_and_search(self, cli_repo, capsys):
+        assert main(["--quiet", "index", ".", "--int8"]) == 0
+        meta = json.loads((cli_repo / ".codesearch.db" / "metadata.json").read_text())
+        assert meta["int8"] is True
+        capsys.readouterr()
+        assert main(["search", "parse_config", ".", "--compact"]) == 0
+        assert "main.py" in capsys.readouterr().out

@@ -118,6 +118,42 @@ class TestTraining:
         assert sh["embeddings"]["ln_scale"].spec == jax.sharding.PartitionSpec()
 
 
+class TestDpEmbed:
+    def test_hash_dp_matches_single(self, mesh8):
+        from codesearch_tpu.models.hash_embedder import (
+            batch_features,
+            embed_features,
+            make_table,
+        )
+        from codesearch_tpu.parallel.dp_embed import dp_embed_features
+
+        import jax.numpy as jnp
+
+        texts = [f"def func_{i}(): return compute_{i}()" for i in range(13)]
+        ids, ws = batch_features(texts)
+        table = make_table(64)
+        single = np.asarray(embed_features(table, jnp.asarray(ids), jnp.asarray(ws)))
+        dp = dp_embed_features(table, ids, ws, mesh8)
+        np.testing.assert_allclose(dp, single, atol=1e-5)
+
+    def test_bert_dp_matches_single(self, mesh8):
+        from codesearch_tpu.models.encoder import encode, init_params
+        from codesearch_tpu.models.registry import ArchConfig
+        from codesearch_tpu.parallel.dp_embed import dp_encode
+
+        import jax.numpy as jnp
+
+        cfg = ArchConfig(vocab_size=128, hidden=32, layers=1, heads=2,
+                         intermediate=64, max_len=16)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 128, (5, 16)).astype(np.int32)
+        mask = np.ones((5, 16), np.int32)
+        single = np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+        dp = dp_encode(params, ids, mask, cfg, mesh8)
+        np.testing.assert_allclose(dp, single, atol=5e-2)  # reduced-precision matmuls
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
