@@ -18,9 +18,14 @@ import json
 import sys
 import time
 
-N_ROWS = 1 << 20  # 1,048,576 — tile-aligned so the fused Pallas kernel engages
-DIMS = 384
-Q_BATCH = 64
+import os
+
+# Scale knobs (BASELINE.json configs): default = 1M bf16; BENCH_ROWS=10485760
+# BENCH_INT8=1 covers the 10M-chunk int8 single-chip configuration.
+N_ROWS = int(os.environ.get("BENCH_ROWS", 1 << 20))  # tile-aligned → fused kernel
+DIMS = int(os.environ.get("BENCH_DIMS", 384))
+Q_BATCH = int(os.environ.get("BENCH_Q", 64))
+INT8 = bool(int(os.environ.get("BENCH_INT8", "0")))
 TOP_K = 10
 BASELINE_QPS = 1000.0 / 75.0  # reference: ~75 ms/query hybrid, CPU
 
@@ -40,21 +45,44 @@ def main() -> None:
     # corpus generates on device
     wait_for_warmup(timeout=0)
 
-    # synthetic normalized corpus, generated on device (no host transfer)
+    # synthetic corpus, generated on device (no host transfer)
     key = jax.random.PRNGKey(0)
-    corpus = jax.random.normal(key, (N_ROWS, DIMS), jnp.bfloat16)
-    norms = jnp.maximum(
-        jnp.linalg.norm(corpus.astype(jnp.float32), axis=1, keepdims=True), 1e-6
-    )
-    corpus = (corpus.astype(jnp.float32) / norms).astype(jnp.bfloat16)
     valid = jnp.ones((N_ROWS,), bool)
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q_BATCH, DIMS), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
-    corpus.block_until_ready()
 
-    # compile + correctness probe: query 0 = corpus row 123 → top-1 must hit
-    probe = corpus[123:124].astype(jnp.float32)
-    pv, pi = cosine_topk(probe, corpus, valid, TOP_K)
+    if INT8:
+        # generate int8 directly (a bf16 intermediate at 10M rows would OOM);
+        # constant row scale — ranking characteristics are unchanged
+        from codesearch_tpu.ops.topk import cosine_topk_int8
+
+        # random.bits avoids randint's int32 intermediates (16GB at 10M rows)
+        bits = jax.random.bits(key, (N_ROWS, DIMS), jnp.uint8)
+        corpus_q = jax.lax.bitcast_convert_type(bits, jnp.int8)
+        row_scale = jnp.full((N_ROWS,), 1.0 / 127.0, jnp.float32)
+        corpus_q.block_until_ready()
+        corpus = None
+
+        def run(q, k):
+            return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
+    else:
+        corpus = jax.random.normal(key, (N_ROWS, DIMS), jnp.bfloat16)
+        norms = jnp.maximum(
+            jnp.linalg.norm(corpus.astype(jnp.float32), axis=1, keepdims=True), 1e-6
+        )
+        corpus = (corpus.astype(jnp.float32) / norms).astype(jnp.bfloat16)
+        corpus.block_until_ready()
+
+        def run(q, k):
+            return cosine_topk(q, corpus, valid, k)
+
+    # compile + correctness probe: a corpus row must retrieve itself top-1
+    if INT8:
+        probe = corpus_q[123:124].astype(jnp.float32)
+        probe = probe / jnp.linalg.norm(probe)
+    else:
+        probe = corpus[123:124].astype(jnp.float32)
+    pv, pi = run(probe, TOP_K)
     wait_for_warmup(timeout=600)
     pi_host = int(jax.device_get(pi)[0, 0])
     assert pi_host == 123, f"exactness probe failed: {pi_host}"
@@ -63,11 +91,11 @@ def main() -> None:
     # timed steady-state loop
     iters_warm, iters = 3, 15
     for _ in range(iters_warm):
-        v, i = cosine_topk(queries, corpus, valid, TOP_K)
+        v, i = run(queries, TOP_K)
     v.block_until_ready()
     t0 = time.time()
     for _ in range(iters):
-        v, i = cosine_topk(queries, corpus, valid, TOP_K)
+        v, i = run(queries, TOP_K)
     v.block_until_ready()
     dt = time.time() - t0
     qps = Q_BATCH * iters / dt
@@ -111,7 +139,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "exact_top10_qps_1M_chunks_384d_bf16",
+                "metric": (
+                    f"exact_top10_qps_{N_ROWS // 1024 // 1024}M_chunks_{DIMS}d_"
+                    + ("int8" if INT8 else "bf16")
+                ),
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / BASELINE_QPS, 1),

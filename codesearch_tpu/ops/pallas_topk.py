@@ -47,6 +47,77 @@ def _fused_kernel(q_ref, c_ref, valid_ref, vals_ref, idx_ref, *, k: int, tile: i
         scores = jnp.where(col == arg[:, None], _NEG_INF, scores)
 
 
+def _fused_kernel_int8(
+    q_ref, qs_ref, c_ref, rs_ref, valid_ref, vals_ref, idx_ref, *, k: int, tile: int
+):
+    """int8 variant: int8×int8→int32 on the MXU, fp32 rescale per tile."""
+    j = pl.program_id(0)
+    scores_i32 = jax.lax.dot_general(
+        q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                     # [Q, TILE]
+    q_scale = qs_ref[:]                                   # [Q, 1]
+    row_scale = rs_ref[:].astype(jnp.float32)             # [TILE]
+    scores = scores_i32.astype(jnp.float32) * q_scale * row_scale[None, :]
+    valid = valid_ref[:].astype(jnp.float32)
+    scores = scores + (1.0 - valid)[None, :] * _NEG_INF
+    nq = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 1)
+    base = (j * tile).astype(jnp.int32)
+    for r in range(k):
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        is_max = scores >= m
+        arg = jnp.min(jnp.where(is_max, col, tile), axis=-1)
+        vals_ref[0, :, r] = m[:, 0]
+        idx_ref[0, :, r] = arg + base
+        scores = jnp.where(col == arg[:, None], _NEG_INF, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def fused_cosine_topk_int8(
+    queries: jax.Array,    # [Q, d] f32
+    corpus_q: jax.Array,   # [N, d] int8, N % tile == 0
+    row_scale: jax.Array,  # [N] f32
+    valid: jax.Array,      # [N] bool
+    k: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    n, d = corpus_q.shape
+    nq = queries.shape[0]
+    assert n % tile == 0
+    n_tiles = n // tile
+    kk = min(k, tile)
+    qf = queries.astype(jnp.float32)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+    vals, idx = pl.pallas_call(
+        functools.partial(_fused_kernel_int8, k=kk, tile=tile),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda j: (0, 0)),
+            pl.BlockSpec((nq, 1), lambda j: (0, 0)),
+            pl.BlockSpec((tile, d), lambda j: (j, 0)),
+            pl.BlockSpec((tile,), lambda j: (j,)),
+            pl.BlockSpec((tile,), lambda j: (j,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nq, kk), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, nq, kk), lambda j: (j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, nq, kk), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, nq, kk), jnp.int32),
+        ),
+        interpret=interpret,
+    )(q_i8, q_scale, corpus_q, row_scale, valid)
+    cand_vals = jnp.transpose(vals, (1, 0, 2)).reshape(nq, n_tiles * kk)
+    cand_idx = jnp.transpose(idx, (1, 0, 2)).reshape(nq, n_tiles * kk)
+    out_vals, pos = jax.lax.top_k(cand_vals, min(k, n_tiles * kk))
+    out_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return out_vals, out_idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def fused_cosine_topk(
     queries: jax.Array,   # [Q, d]

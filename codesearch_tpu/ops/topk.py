@@ -79,7 +79,6 @@ def _cosine_topk_xla(queries, corpus, valid, k):
     return vals, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk_int8(
     queries: jax.Array,     # [Q, d] f32/bf16 (L2-normalized)
     corpus_q: jax.Array,    # [N, d] int8 (row-quantized)
@@ -87,14 +86,36 @@ def cosine_topk_int8(
     valid: jax.Array,       # [N] bool
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """int8-corpus variant: int8 matmul on the MXU, fp32 rescale of scores."""
-    scores = jax.lax.dot_general(
-        queries.astype(jnp.bfloat16),
-        corpus_q.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    """int8 exact top-k. Fused kernel when shapes allow (mandatory at 10M
+    rows: the XLA composition materializes [Q, N] intermediates that blow
+    past HBM); XLA fallback otherwise."""
+    from .pallas_topk import MAX_FUSED_K, fused_cosine_topk_int8
+
+    n = corpus_q.shape[0]
+    if (
+        _on_tpu()
+        and k <= MAX_FUSED_K
+        and queries.shape[0] >= 1
+        and n % _FUSED_TILE == 0
+    ):
+        return fused_cosine_topk_int8(queries, corpus_q, row_scale, valid, k)
+    return _cosine_topk_int8_xla(queries, corpus_q, row_scale, valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cosine_topk_int8_xla(queries, corpus_q, row_scale, valid, k):
+    """XLA path: queries quantize symmetric per-row, the matmul runs
+    int8×int8→int32 on the MXU, scores rescale in fp32."""
+    qf = queries.astype(jnp.float32)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qf / q_scale[:, None]), -127, 127).astype(jnp.int8)
+    scores_i32 = jax.lax.dot_general(
+        q_i8, corpus_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
     )
-    scores = scores * row_scale[None, :]
+    scores = scores_i32.astype(jnp.float32) * (
+        q_scale[:, None] * row_scale[None, :]
+    )
     scores = jnp.where(valid[None, :], scores, _NEG_INF)
     vals, idx = _select_topk(scores, k)
     return vals, idx.astype(jnp.int32)

@@ -124,15 +124,28 @@ class SearchSession:
         vector_k, fts_k = adapt_rrf_k(query)
         variants = [query] if options.no_expand else expand_query(query)
 
-        # ---- embed all variants in one device call ----------------------
-        t = time.time()
-        qvecs = np.stack(self.service.embed_queries_batch(variants))
-        timings["embed"] = (time.time() - t) * 1000
-
-        # ---- batched multi-variant vector search ------------------------
-        t = time.time()
+        # ---- embed + search all variants -------------------------------
         fetch = max(options.limit * OVERSAMPLE, options.limit)
-        per_variant = self.store.search_batch(qvecs, fetch)
+        hash_backend = getattr(self.service.backend, "model", None)
+        t = time.time()
+        if hash_backend is not None and hasattr(hash_backend, "table"):
+            # single-dispatch fast path: featurize on host, embed+top-k in
+            # one device call (saves a tunnel roundtrip per query)
+            from ..models.hash_embedder import batch_features
+
+            ids, ws = batch_features(
+                [self.service.spec.query_prefix + v for v in variants]
+            )
+            timings["embed"] = (time.time() - t) * 1000
+            t = time.time()
+            per_variant = self.store.search_featurized(
+                hash_backend.table, ids, ws, fetch
+            )
+        else:
+            qvecs = np.stack(self.service.embed_queries_batch(variants))
+            timings["embed"] = (time.time() - t) * 1000
+            t = time.time()
+            per_variant = self.store.search_batch(qvecs, fetch)
         # best score per chunk across variants (search/mod.rs:513-590)
         best: dict[int, float] = {}
         meta_of = {}

@@ -344,8 +344,14 @@ class VectorStore:
             )
         else:
             vals, idx = cosine_topk(jnp.asarray(query_vecs), dev[1], dev[3], k)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        return self._materialize(vals, idx)
+
+    def _materialize(self, vals, idx) -> list[list[SearchResult]]:
+        # one device→host transfer for both results (tunnel roundtrips are
+        # the latency floor on remote-attached TPUs)
+        import jax
+
+        vals, idx = jax.device_get((vals, idx))
         out: list[list[SearchResult]] = []
         with self._lock:
             for qi in range(vals.shape[0]):
@@ -362,6 +368,31 @@ class VectorStore:
                     results.append(SearchResult(chunk_id=cid, score=float(score), metadata=meta))
                 out.append(results)
         return out
+
+    def search_featurized(
+        self, table, ids: np.ndarray, weights: np.ndarray, limit: int
+    ) -> list[list[SearchResult]]:
+        """Single-dispatch path for hash-model queries: featurized inputs →
+        embed+top-k in ONE device call (halves tunnel roundtrips)."""
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import hash_embed_search, hash_embed_search_int8
+
+        with self._lock:
+            n_valid = int(self._valid_np.sum()) if self._valid_np is not None else 0
+        if n_valid == 0:
+            return [[] for _ in range(ids.shape[0])]
+        dev = self._ensure_device()
+        k = min(limit, max(1, n_valid))
+        if dev[0] == "int8":
+            vals, idx = hash_embed_search_int8(
+                table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[2], dev[3], k
+            )
+        else:
+            vals, idx = hash_embed_search(
+                table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[3], k
+            )
+        return self._materialize(vals, idx)
 
     def search(self, query_vec: np.ndarray, limit: int) -> list[SearchResult]:
         return self.search_batch(query_vec, limit)[0]
