@@ -56,9 +56,17 @@ def main() -> None:
         # constant row scale — ranking characteristics are unchanged
         from codesearch_tpu.ops.topk import cosine_topk_int8
 
-        # random.bits avoids randint's int32 intermediates (16GB at 10M rows)
-        bits = jax.random.bits(key, (N_ROWS, DIMS), jnp.uint8)
-        corpus_q = jax.lax.bitcast_convert_type(bits, jnp.int8)
+        # generate per-block: the PRNG's uint32 intermediates OOM at 10M rows
+        block = min(N_ROWS, 1 << 20)
+        corpus_q = jnp.zeros((N_ROWS, DIMS), jnp.int8)
+        for b in range(N_ROWS // block):
+            bits = jax.random.bits(
+                jax.random.fold_in(key, b), (block, DIMS), jnp.uint8
+            )
+            corpus_q = jax.lax.dynamic_update_slice(
+                corpus_q, jax.lax.bitcast_convert_type(bits, jnp.int8),
+                (b * block, 0),
+            )
         row_scale = jnp.full((N_ROWS,), 1.0 / 127.0, jnp.float32)
         corpus_q.block_until_ready()
         corpus = None

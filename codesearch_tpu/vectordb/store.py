@@ -298,8 +298,6 @@ class VectorStore:
     def _ensure_device(self):
         import jax.numpy as jnp
 
-        from ..ops.topk import quantize_rows_int8
-
         with self._lock:
             if not self._device_dirty and self._device is not None:
                 return self._device
@@ -313,8 +311,17 @@ class VectorStore:
             valid = np.zeros((cap,), bool)
             valid[:n] = self._valid_np
             if self.int8:
-                q, scale = quantize_rows_int8(jnp.asarray(padded))
-                self._device = ("int8", q, scale, jnp.asarray(valid))
+                # quantize on host: a device f32 staging copy at 10M rows
+                # (15 GB) would not fit HBM; only int8 + scales transfer
+                absmax = np.abs(padded).max(axis=1)
+                scale = np.maximum(absmax, 1e-12) / 127.0
+                q = np.clip(
+                    np.round(padded / scale[:, None]), -127, 127
+                ).astype(np.int8)
+                self._device = (
+                    "int8", jnp.asarray(q), jnp.asarray(scale, jnp.float32),
+                    jnp.asarray(valid),
+                )
             else:
                 self._device = ("bf16", jnp.asarray(padded, jnp.bfloat16), None, jnp.asarray(valid))
             self._device_dirty = False
