@@ -80,6 +80,7 @@ class FtsStore:
         self._postings: dict[str, list[tuple[int, int, int]]] = {}
         self._docs: dict[int, tuple[int, str, str]] = {}  # doc → (len, kind, path)
         self._dirty = False
+        self._deletes_pending = 0
         # committed numpy view for scoring
         self._np_postings: dict[str, np.ndarray] | None = None
         self._avg_len = 1.0
@@ -119,8 +120,9 @@ class FtsStore:
             if chunk_id not in self._docs:
                 return
             del self._docs[chunk_id]
-            # lazy: postings rows for dead docs are filtered at scoring/commit
+            # lazy: postings rows for dead docs are filtered at scoring/vacuum
             self._dirty = True
+            self._deletes_pending += 1
             self._np_postings = None
 
     def clear(self) -> None:
@@ -150,7 +152,10 @@ class FtsStore:
             self._dirty = False
 
     def _vacuum(self) -> None:
-        """Drop postings rows for deleted docs."""
+        """Drop postings rows for deleted docs (skipped when none pending —
+        periodic mid-index commits must stay O(new docs), not O(corpus))."""
+        if not self._deletes_pending:
+            return
         live = self._docs.keys()
         new_postings = {}
         for term, rows in self._postings.items():
@@ -158,6 +163,7 @@ class FtsStore:
             if kept:
                 new_postings[term] = kept
         self._postings = new_postings
+        self._deletes_pending = 0
 
     def _load(self) -> None:
         p = self.dir / self.INDEX_FILE

@@ -33,8 +33,8 @@ class ShardedSearcher:
         import jax.numpy as jnp
 
         with store._lock:
-            rows = store._host_rows
-            valid = store._valid_np.copy()
+            rows = store._used()
+            valid = store._used_valid().copy()
         n = rows.shape[0]
         pad = (-n) % max(n_shards, 1)
         if pad:

@@ -6,7 +6,6 @@ the full hybrid pipeline. Runs its own watcher loop via IndexManager."""
 from __future__ import annotations
 
 import json
-import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -17,7 +16,7 @@ from ..embed import EmbeddingService
 from ..index.db_discovery import find_best_database
 from ..index.file_meta import FileMetaStore
 from ..index.manager import IndexManager, SharedStores
-from ..index.pipeline import IndexOptions, get_db_path_smart, index, read_metadata
+from ..index.pipeline import IndexOptions, index, read_metadata
 from ..utils.logger import get_logger, init_logger
 from ..utils.output import info_print
 

@@ -10,10 +10,8 @@ source-scanning test enforces no stray prints in this module).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import sys
-import threading
 from pathlib import Path
 
 from ..index.db_discovery import find_best_database, find_databases
@@ -21,8 +19,8 @@ from ..index.file_meta import FileMetaStore
 from ..index.manager import IndexManager, SharedStores
 from ..index.pipeline import get_db_path_smart, read_metadata, write_metadata
 from ..search.analysis import adapt_rrf_k, detect_identifiers, detect_structural_intent
-from ..rerank import rrf_fusion_with_exact, vector_only
-from ..utils.constants import DB_DIR_NAME, FTS_DIR_NAME, METADATA_FILE_NAME
+from ..rerank import rrf_fusion_with_exact
+from ..utils.constants import FTS_DIR_NAME, METADATA_FILE_NAME
 from ..utils.logger import get_logger, init_logger
 from ..embed import EmbeddingService
 

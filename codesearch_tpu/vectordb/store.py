@@ -109,9 +109,11 @@ class VectorStore:
         self._id_of: list[int] = []          # row → chunk id
         self._next_id = 0
 
-        # host-side staging (rows appended here, flushed to device lazily)
-        self._host_rows: np.ndarray | None = None   # [rows, dims] f32
-        self._valid_np: np.ndarray | None = None    # [rows] bool
+        # host-side staging: capacity buffers + used-row count (geometric
+        # growth — per-batch np.concatenate would be O(n^2) over an index run)
+        self._host_rows: np.ndarray | None = None   # [capacity, dims] f32
+        self._valid_np: np.ndarray | None = None    # [capacity] bool
+        self._rows = 0                               # used rows
         self._device = None                          # lazily built device state
         self._device_dirty = True
 
@@ -123,6 +125,13 @@ class VectorStore:
             self.db_path.mkdir(parents=True, exist_ok=True)
             self._host_rows = np.zeros((0, dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
+            self._rows = 0
+
+    def _used(self) -> np.ndarray:
+        return self._host_rows[: self._rows]
+
+    def _used_valid(self) -> np.ndarray:
+        return self._valid_np[: self._rows]
 
     # ------------------------------------------------------------------
     # persistence
@@ -144,6 +153,7 @@ class VectorStore:
         if not self._manifest_path.exists():
             self._host_rows = np.zeros((0, self.dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
+            self._rows = 0
             return
         try:
             manifest = json.loads(self._manifest_path.read_text())
@@ -164,6 +174,7 @@ class VectorStore:
         else:
             rows = 0
             self._host_rows = np.zeros((0, self.dims), np.float32)
+        self._rows = rows
         self._id_of = [int(i) for i in manifest.get("row_ids", [])][:rows]
         self._valid_np = np.zeros((rows,), bool)
         if self._meta_path.exists():
@@ -182,7 +193,7 @@ class VectorStore:
             return
         with self._lock:
             self._compact()
-            rows = self._host_rows
+            rows = self._used()
             tmp = self._embed_path.with_suffix(".tmp")
             rows.astype(np.float16).tofile(tmp)
             os.replace(tmp, self._embed_path)
@@ -204,12 +215,13 @@ class VectorStore:
 
     def _compact(self) -> None:
         """Drop tombstoned rows from host state (device rebuilt on demand)."""
-        if self._valid_np is None or bool(self._valid_np.all()):
+        if self._valid_np is None or bool(self._used_valid().all()):
             return
-        keep = np.nonzero(self._valid_np)[0]
-        self._host_rows = self._host_rows[keep]
+        keep = np.nonzero(self._used_valid())[0]
+        self._host_rows = self._used()[keep]
         self._id_of = [self._id_of[i] for i in keep]
         self._valid_np = np.ones(len(keep), bool)
+        self._rows = len(keep)
         self._row_of = {cid: i for i, cid in enumerate(self._id_of)}
         self._device_dirty = True
 
@@ -246,13 +258,20 @@ class VectorStore:
                 row = self._row_of.pop(cid, None)
                 if row is not None:
                     self._valid_np[row] = False
-            base = self._host_rows.shape[0]
+            base = self._rows
             if base + n > VEC_MAX_CAPACITY:
                 raise DatabaseError("vector store at max capacity")
-            self._host_rows = np.concatenate(
-                [self._host_rows, embeddings.astype(np.float32)], axis=0
-            )
-            self._valid_np = np.concatenate([self._valid_np, np.ones(n, bool)])
+            if base + n > self._host_rows.shape[0]:
+                new_cap = max(base + n, max(2 * self._host_rows.shape[0], 1024))
+                grown = np.zeros((new_cap, self.dims), np.float32)
+                grown[:base] = self._host_rows[:base]
+                self._host_rows = grown
+                grown_v = np.zeros((new_cap,), bool)
+                grown_v[:base] = self._valid_np[:base]
+                self._valid_np = grown_v
+            self._host_rows[base : base + n] = embeddings.astype(np.float32)
+            self._valid_np[base : base + n] = True
+            self._rows = base + n
             for i, (cid, meta) in enumerate(zip(ids, metadatas)):
                 self._meta[cid] = meta
                 self._row_of[cid] = base + i
@@ -282,6 +301,7 @@ class VectorStore:
             self._id_of = []
             self._host_rows = np.zeros((0, self.dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
+            self._rows = 0
             self._next_id = 0
             self._device_dirty = True
             self.save()
@@ -301,15 +321,15 @@ class VectorStore:
         with self._lock:
             if not self._device_dirty and self._device is not None:
                 return self._device
-            rows = self._host_rows
-            n = rows.shape[0]
+            rows = self._used()
+            n = self._rows
             # pad to a power-of-two row count so insert batches don't force
             # a recompile per search (few distinct shapes)
             cap = max(VEC_INITIAL_CAPACITY, 1 << max(0, (n - 1).bit_length()))
             padded = np.zeros((cap, self.dims), np.float32)
             padded[:n] = rows
             valid = np.zeros((cap,), bool)
-            valid[:n] = self._valid_np
+            valid[:n] = self._used_valid()
             if self.int8:
                 # quantize on host: a device f32 staging copy at 10M rows
                 # (15 GB) would not fit HBM; only int8 + scales transfer
@@ -340,7 +360,7 @@ class VectorStore:
         if query_vecs.ndim == 1:
             query_vecs = query_vecs[None, :]
         with self._lock:
-            n_valid = int(self._valid_np.sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
         if n_valid == 0:
             return [[] for _ in range(query_vecs.shape[0])]
         dev = self._ensure_device()
@@ -386,7 +406,7 @@ class VectorStore:
         from ..ops.query_pipeline import hash_embed_search, hash_embed_search_int8
 
         with self._lock:
-            n_valid = int(self._valid_np.sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
         if n_valid == 0:
             return [[] for _ in range(ids.shape[0])]
         dev = self._ensure_device()
@@ -424,8 +444,8 @@ class VectorStore:
     def stats(self) -> StoreStats:
         with self._lock:
             n = len(self._meta)
-            rows = 0 if self._host_rows is None else self._host_rows.shape[0]
-            tomb = rows - (int(self._valid_np.sum()) if self._valid_np is not None else 0)
+            rows = self._rows
+            tomb = rows - (int(self._used_valid().sum()) if self._valid_np is not None else 0)
             disk = self._embed_path.stat().st_size if self._embed_path.exists() else 0
             disk += self._meta_path.stat().st_size if self._meta_path.exists() else 0
             bytes_per = 1 if self.int8 else 2
