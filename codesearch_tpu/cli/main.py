@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=7878)
 
+    t = sub.add_parser("train", help="fine-tune the embedding model on this repo")
+    t.add_argument("path", nargs="?", default=".")
+    t.add_argument("--epochs", type=int, default=15)
+    t.add_argument("--lr", type=float, default=0.3)
+
     cache = sub.add_parser("cache", help="embedding cache management")
     cache_sub = cache.add_subparsers(dest="cache_command")
     cache_sub.add_parser("stats")
@@ -167,6 +172,8 @@ def _dispatch(args) -> int:
         return _cmd_setup(args)
     if cmd == "cache":
         return _cmd_cache(args)
+    if cmd == "train":
+        return _cmd_train(args)
     if cmd == "list":
         return _cmd_list(args)
     if cmd == "mcp":
@@ -388,6 +395,57 @@ def _cmd_setup(args) -> int:
         tag = " (no download needed)" if spec.kind == "hash" else ""
         rows.append(f"{spec.short_name:20s} {spec.dims:5d}d  {spec.full_name}{tag}")
     result_print("\n".join(rows))
+    return 0
+
+
+def _cmd_train(args) -> int:
+    """Fine-tune the hash-embedder table on pairs mined from the index,
+    then re-embed the corpus with the trained table."""
+    from ..embed import EmbeddingService
+    from ..index import IndexOptions, index, resolve_database_with_message
+    from ..index.pipeline import read_metadata
+    from ..models.hash_embedder import save_table
+    from ..models.registry import parse_model
+    from ..train.data import mine_pairs
+    from ..train.hash_finetune import finetune_table
+    from ..utils.constants import FILE_META_DB_NAME
+    from ..vectordb import VectorStore
+
+    db, msg = resolve_database_with_message(Path(args.path))
+    if db is None:
+        error_print(msg)
+        return 1
+    meta = read_metadata(db)
+    spec = parse_model(meta.get("model", "code-hash-384"))
+    if spec is None or spec.kind != "hash":
+        error_print(
+            f"train currently supports the hash models; index uses {meta.get('model')!r} "
+            "(BERT-family fine-tuning: use codesearch_tpu.train.contrastive)"
+        )
+        return 1
+    store = VectorStore(db, dims=spec.dims, readonly=True)
+    pairs = mine_pairs(list(store._meta.values()))
+    if len(pairs) < 16:
+        error_print(f"only {len(pairs)} training pairs mined — index more code first")
+        return 1
+    info_print(f"fine-tuning on {len(pairs)} mined pairs ({args.epochs} epochs)")
+    service = EmbeddingService(spec)  # default (untrained) table
+    trained, losses = finetune_table(
+        service.backend.model.table, pairs,
+        epochs=args.epochs, learning_rate=args.lr,
+    )
+    if not losses:
+        error_print("training produced no steps")
+        return 1
+    save_table(trained, db / "hash_table.npz")
+    info_print(f"loss {losses[0]:.4f} → {losses[-1]:.4f}; re-embedding corpus")
+    # invalidate the manifest so every file re-embeds with the trained table
+    (db / FILE_META_DB_NAME).unlink(missing_ok=True)
+    stats = index(args.path, IndexOptions(model=spec.short_name, quiet=args.quiet))
+    info_print(
+        f"re-indexed {stats.files_indexed} files ({stats.chunks_added} chunks) "
+        f"with the trained table"
+    )
     return 0
 
 

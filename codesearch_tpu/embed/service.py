@@ -157,11 +157,11 @@ class _BertBackend:
 
 
 class _HashBackend:
-    def __init__(self, spec: ModelSpec):
+    def __init__(self, spec: ModelSpec, table_path: Path | None = None):
         from ..models.hash_embedder import HashEmbedder
 
         self.spec = spec
-        self.model = HashEmbedder(spec.dims)
+        self.model = HashEmbedder(spec.dims, table_path=table_path)
         self.pretrained = True  # deterministic; nothing to download
 
     def embed(self, texts: list[str]) -> np.ndarray:
@@ -176,7 +176,10 @@ class EmbeddingService:
         model: str | ModelSpec = DEFAULT_MODEL,
         cache_dir: Path | None = None,
         use_persistent_cache: bool = True,
+        db_path: Path | None = None,
     ):
+        """``db_path`` enables per-database fine-tuned assets (a trained
+        hash table at <db>/hash_table.npz from `codesearch train`)."""
         spec = model if isinstance(model, ModelSpec) else parse_model(model)
         if spec is None:
             raise ValueError(f"unknown model: {model!r}")
@@ -187,14 +190,25 @@ class EmbeddingService:
         start_transfer_warmup()
         models_dir = get_global_models_cache_dir()
         if spec.kind == "hash":
-            self.backend = _HashBackend(spec)
+            table_path = None
+            if db_path is not None and (Path(db_path) / "hash_table.npz").exists():
+                table_path = Path(db_path) / "hash_table.npz"
+            self.backend = _HashBackend(spec, table_path=table_path)
+            self.trained_table = table_path is not None
         else:
             self.backend = _BertBackend(spec, models_dir)
+            self.trained_table = False
         self.mem_cache: LruBytesCache = default_memory_cache()
         self.query_cache: LruBytesCache = default_query_cache()
         self.persistent: PersistentEmbeddingCache | None = None
         if use_persistent_cache:
-            pdir = cache_dir or get_embedding_cache_dir(spec.short_name)
+            cache_name = spec.short_name
+            if self.trained_table:
+                # trained tables produce different vectors — scope the cache
+                from ..utils.hashing import sha256_file
+
+                cache_name += "-t" + sha256_file(Path(db_path) / "hash_table.npz")[:12]
+            pdir = cache_dir or get_embedding_cache_dir(cache_name)
             self.persistent = PersistentEmbeddingCache(pdir, spec.dims)
 
     @property

@@ -201,7 +201,7 @@ def index(
     meta = read_metadata(db_path)
     model_name = meta.get("model", options.model) if not options.force else options.model
     if service is None or service.model_name != model_name:
-        service = EmbeddingService(model_name)
+        service = EmbeddingService(model_name, db_path=db_path)
 
     # featurizer-version change ⇒ stored vectors are incomparable with new
     # queries: force full invalidation (like a model change)

@@ -31,6 +31,26 @@ _WHOLE_IDENT_WEIGHT = 1.5
 MAX_TOKENS = 512
 
 
+def save_table(table, path) -> None:
+    """Persist a (fine-tuned) table atomically as .npz."""
+    import os
+
+    tmp = str(path) + ".tmp.npz"  # savez appends .npz only when missing
+    np.savez(tmp, table=np.asarray(table, np.float32))
+    os.replace(tmp, str(path))
+
+
+def load_table(path, dims: int, dtype=jnp.bfloat16) -> jax.Array:
+    """Load a fine-tuned table; falls back to the deterministic default."""
+    try:
+        data = np.load(str(path))["table"]
+        if data.shape[1] != dims:
+            raise ValueError(f"table dims {data.shape[1]} != model dims {dims}")
+        return jnp.asarray(data, dtype)
+    except Exception:
+        return make_table(dims, dtype=dtype)
+
+
 def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> jax.Array:
     """Deterministic random table; rows ~N(0, 1/sqrt(d)) (JL projection)."""
     rng = jax.random.PRNGKey(TABLE_SEED)
@@ -121,9 +141,12 @@ def embed_features(table: jax.Array, ids: jax.Array, weights: jax.Array) -> jax.
 class HashEmbedder:
     """Stateful convenience wrapper holding the device table."""
 
-    def __init__(self, dims: int):
+    def __init__(self, dims: int, table_path=None):
         self.dims = dims
-        self.table = make_table(dims)
+        if table_path is not None:
+            self.table = load_table(table_path, dims)
+        else:
+            self.table = make_table(dims)
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:
         if not texts:

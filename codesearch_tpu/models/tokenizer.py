@@ -111,12 +111,14 @@ class WordPieceTokenizer:
         self.sep = self.vocab.get("[SEP]", SEP_ID)
         self.pad = self.vocab.get("[PAD]", PAD_ID)
 
+    _BASIC_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
     def _basic_tokens(self, text: str) -> list[str]:
         if self.lowercase:
             text = text.lower()
         text = unicodedata.normalize("NFD", text)
         text = "".join(c for c in text if unicodedata.category(c) != "Mn")
-        return _WORD_RE.findall(text)
+        return self._BASIC_RE.findall(text)
 
     def _wordpiece(self, token: str) -> list[int]:
         if len(token) > 100:

@@ -99,7 +99,7 @@ class SearchSession:
         dims = int(meta.get("dimensions", 384))
         self.db_path = db_path
         self.metadata = meta
-        self.service = EmbeddingService(model_name)
+        self.service = EmbeddingService(model_name, db_path=db_path)
         if self.service.dims != dims:
             raise SearchError(
                 f"model {model_name} has {self.service.dims} dims but index "

@@ -69,6 +69,18 @@ class TestCliFlow:
         assert main(["--model", "bogus", "search", "x", "."]) == 1
         assert "unknown model" in capsys.readouterr().err
 
+    def test_train_and_search(self, cli_repo, capsys):
+        assert main(["--quiet", "index", "."]) == 0
+        rc = main(["--quiet", "train", ".", "--epochs", "3"])
+        # tiny fixture may mine <16 pairs → clean error; otherwise success
+        if rc == 0:
+            assert (cli_repo / ".codesearch.db" / "hash_table.npz").exists()
+            capsys.readouterr()
+            assert main(["search", "parse_config", ".", "--compact"]) == 0
+            assert "main.py" in capsys.readouterr().out
+        else:
+            assert "pairs" in capsys.readouterr().err
+
     def test_int8_index_and_search(self, cli_repo, capsys):
         assert main(["--quiet", "index", ".", "--int8"]) == 0
         meta = json.loads((cli_repo / ".codesearch.db" / "metadata.json").read_text())

@@ -48,6 +48,47 @@ class TestPairMining:
         assert b["doc_mask"].sum() > 0
 
 
+class TestHashFinetune:
+    def test_aligns_disjoint_vocabulary(self):
+        """Queries and docs share NO tokens — random projection gives ~0
+        cosine; fine-tuning must align them."""
+        import numpy as np
+
+        from codesearch_tpu.models.hash_embedder import HashEmbedder
+        from codesearch_tpu.train.data import Pair
+        from codesearch_tpu.train.hash_finetune import finetune_table
+
+        concepts = [
+            ("upload retry logic", "fn resend_failed_transfer(att: u32)"),
+            ("parse configuration", "fn load_settings_toml(path: &str)"),
+            ("draw graphics", "fn render_canvas_frame(buf: &mut Pixels)"),
+            ("database connection", "fn open_sql_pool(dsn: &str)"),
+        ]
+        pairs = [Pair(query=q, doc=d) for q, d in concepts] * 16
+
+        e = HashEmbedder(64)
+        trained, losses = finetune_table(
+            e.table, pairs, epochs=30, batch_size=16, learning_rate=0.3
+        )
+        assert losses[-1] < losses[0], f"no descent: {losses[0]} → {losses[-1]}"
+
+        e.table = trained
+        docs = e.embed_texts([d for _, d in concepts])
+        correct = 0
+        for i, (q, _) in enumerate(concepts):
+            sims = docs @ e.embed_texts([q])[0]
+            correct += int(np.argmax(sims) == i)
+        assert correct >= 3, f"only {correct}/4 aligned after finetune"
+
+    def test_too_few_pairs_noop(self):
+        from codesearch_tpu.models.hash_embedder import make_table
+        from codesearch_tpu.train.hash_finetune import finetune_table
+
+        t = make_table(32)
+        out, losses = finetune_table(t, [], epochs=2)
+        assert losses == []
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
