@@ -113,6 +113,19 @@ class SearchSession:
         self.reranker: NeuralReranker | None = None
 
     def search(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
+        # optional xprof trace (SURVEY §5 tracing parity): set
+        # CODESEARCH_PROFILE_DIR to capture a JAX profiler trace per query
+        import os
+
+        profile_dir = os.environ.get("CODESEARCH_PROFILE_DIR")
+        if profile_dir:
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                return self._search_impl(query, options)
+        return self._search_impl(query, options)
+
+    def _search_impl(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
         options = options or SearchOptions()
         if not query or not query.strip():
             raise SearchError("empty query")

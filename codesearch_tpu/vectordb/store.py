@@ -118,6 +118,7 @@ class VectorStore:
         self._device_dirty = True
 
         if self.db_path.exists():
+            self._cleanup_stale_tmp()
             self._load()
         else:
             if readonly:
@@ -126,6 +127,17 @@ class VectorStore:
             self._host_rows = np.zeros((0, dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
             self._rows = 0
+
+    def _cleanup_stale_tmp(self) -> None:
+        """Remove leftover atomic-write temp files from crashed runs
+        (analog of the reference's stale .del cleanup, store.rs:799-824)."""
+        if self.readonly:
+            return
+        for p in self.db_path.glob("*.tmp*"):
+            try:
+                p.unlink()
+            except OSError:
+                pass
 
     def _used(self) -> np.ndarray:
         return self._host_rows[: self._rows]
