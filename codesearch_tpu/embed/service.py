@@ -151,8 +151,9 @@ class _BertBackend:
             vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
             out[batch_idx] = np.asarray(vecs, np.float32)
             i = j
-            if is_shutdown_requested():
-                break
+            # NOTE: no mid-embed shutdown break — returning partial zero
+            # vectors would poison the caches and the store; cancellation is
+            # honored between file batches in the index pipeline instead
         return out
 
 

@@ -286,6 +286,15 @@ def index(
                 # store the display language for boosts
                 c._language = f.language.display_name  # type: ignore[attr-defined]
             per_file.append((f.path, chunks))
+        # delete prior chunks for every file in this batch — including files
+        # whose new content yields zero chunks (e.g. emptied files)
+        for fpath, _ in per_file:
+            old_ids = file_meta.chunk_ids_for(fpath)
+            if old_ids:
+                stats.chunks_deleted += store.delete_chunks(old_ids)
+                for cid in old_ids:
+                    fts.delete_chunk(cid)
+
         flat = [c for _, cs in per_file for c in cs]
         if flat:
             embedded = service.embed_chunks(flat)
@@ -305,13 +314,6 @@ def index(
                 )
                 for e in embedded
             ]
-            # replace any prior chunks for these files
-            for fpath, _ in per_file:
-                old_ids = file_meta.chunk_ids_for(fpath)
-                if old_ids:
-                    stats.chunks_deleted += store.delete_chunks(old_ids)
-                    for cid in old_ids:
-                        fts.delete_chunk(cid)
             ids = store.insert_chunks_with_ids(embs, metas)
             try:
                 for cid, m in zip(ids, metas):
@@ -322,14 +324,16 @@ def index(
                     since_commit = 0
             except Exception as e:  # FTS failures are non-fatal (mod.rs:728-759)
                 warn_print(f"FTS indexing failed (vector search unaffected): {e}")
-            # update the per-file manifest
-            cursor = 0
-            for fpath, cs in per_file:
-                file_ids = ids[cursor : cursor + len(cs)]
-                cursor += len(cs)
-                file_meta.update_file(fpath, file_ids, hashes.get(normalize_path(fpath)))
             stats.chunks_added += len(flat)
-            stats.files_indexed += len(per_file)
+        else:
+            ids = []
+        # update the per-file manifest (zero-chunk files included)
+        cursor = 0
+        for fpath, cs in per_file:
+            file_ids = ids[cursor : cursor + len(cs)]
+            cursor += len(cs)
+            file_meta.update_file(fpath, file_ids, hashes.get(normalize_path(fpath)))
+        stats.files_indexed += len(per_file)
 
     # ---- finalize -------------------------------------------------------
     store.build_index()

@@ -165,6 +165,22 @@ class TestIndexPipeline:
         assert stats2.files_indexed == 1
         assert stats2.chunks_deleted > 0
 
+    def test_file_emptied_to_zero_chunks(self, indexed_repo):
+        """A changed file whose new content yields no chunks must still have
+        its old chunks removed."""
+        import time as _t
+
+        repo, _ = indexed_repo
+        _t.sleep(0.01)
+        (repo / "src" / "lib.rs").write_text("\n\n\n")
+        stats = index(repo, IndexOptions(quiet=True))
+        assert stats.files_indexed == 1
+        session = SearchSession(repo / ".codesearch.db")
+        assert all(
+            "lib.rs" not in h.path
+            for h in session.search("content hash walker", SearchOptions(limit=10)).hits
+        )
+
     def test_incremental_delete(self, indexed_repo):
         repo, _ = indexed_repo
         (repo / "src" / "lib.rs").unlink()
