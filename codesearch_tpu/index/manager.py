@@ -112,6 +112,11 @@ class IndexManager:
         self.status_message = ""
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        # set once the filesystem watcher is registered: writes BEFORE this
+        # point are only caught by the initial refresh (the reference starts
+        # the watcher before refreshing for exactly this boot-time gap,
+        # manager.rs:618)
+        self.watcher_ready = threading.Event()
         self._chunker = SemanticChunker(
             FSW_MAX_CHUNK_LINES, FSW_MAX_CHUNK_CHARS, FSW_OVERLAP_LINES
         )
@@ -137,6 +142,7 @@ class IndexManager:
     def _run(self, initial_refresh: bool) -> None:
         watcher = FileWatcher(self.project_root)
         head = GitHeadWatcher(self.project_root)
+        self.watcher_ready.set()
         try:
             if initial_refresh:
                 self.status = "building"
