@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--register", action="store_true", help="add repo to the global registry")
     i.add_argument("--int8", action="store_true",
                    help="int8-quantized device corpus (halves HBM; ~same ranking)")
+    i.add_argument("--global", dest="global_db", action="store_true",
+                   help="place the database under ~/.codesearch/dbs "
+                        "(for read-only project trees)")
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("path", nargs="?", default=".")
@@ -303,6 +306,7 @@ def _cmd_index(args) -> int:
             quiet=args.quiet,
             store_path=args.store,
             int8=args.int8,
+            global_db=args.global_db,
         ),
     )
     if args.register:

@@ -111,6 +111,9 @@ def find_best_database(start: Path | None = None) -> Path | None:
         if is_valid_database(p):
             return p
         cur = parent
+    g = lookup_global_db(start)
+    if g is not None:
+        return g
     for repo in registered_repos():
         p = Path(repo) / DB_DIR_NAME
         if is_valid_database(p):
@@ -136,29 +139,71 @@ def _registry_path() -> Path:
     return get_config_dir() / REPOS_CONFIG_FILE
 
 
-def registered_repos() -> list[str]:
+def _read_registry() -> dict:
     p = _registry_path()
     if not p.exists():
-        return []
+        return {}
     try:
-        return list(json.loads(p.read_text()).get("repos", []))
+        return json.loads(p.read_text())
     except (json.JSONDecodeError, OSError):
-        return []
+        return {}
+
+
+def _write_registry(data: dict) -> None:
+    p = _registry_path()
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps(data))
+    os.replace(tmp, p)
+
+
+def registered_repos() -> list[str]:
+    return list(_read_registry().get("repos", []))
+
+
+# -- global databases (reference: --global places the db under the config
+#    dir for read-only project trees; index/mod.rs:76-108) -------------------
+
+def global_db_path(project_root: Path) -> Path:
+    """Deterministic per-project db location under the config dir."""
+    import hashlib
+
+    key = hashlib.sha256(str(Path(project_root).resolve()).encode()).hexdigest()[:16]
+    name = Path(project_root).resolve().name or "root"
+    return get_config_dir() / "dbs" / f"{name}-{key}" / DB_DIR_NAME
+
+
+def register_global_db(project_root: Path, db_path: Path) -> None:
+    data = _read_registry()
+    dbs = data.setdefault("global_dbs", {})
+    dbs[str(Path(project_root).resolve())] = str(db_path)
+    _write_registry(data)
+
+
+def lookup_global_db(start: Path) -> Path | None:
+    """Global db for start or any of its parents."""
+    dbs = _read_registry().get("global_dbs", {})
+    cur = Path(start).resolve()
+    while True:
+        hit = dbs.get(str(cur))
+        if hit and is_valid_database(Path(hit)):
+            return Path(hit)
+        if cur.parent == cur:
+            return None
+        cur = cur.parent
 
 
 def register_repo(repo_root: Path) -> None:
-    repos = set(registered_repos())
+    data = _read_registry()
+    repos = set(data.get("repos", []))
     repos.add(str(Path(repo_root).resolve()))
-    p = _registry_path()
-    tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"repos": sorted(repos)}))
-    os.replace(tmp, p)
+    data["repos"] = sorted(repos)
+    _write_registry(data)
 
 
 def unregister_repo(repo_root: Path) -> None:
-    repos = set(registered_repos())
+    data = _read_registry()
+    repos = set(data.get("repos", []))
     repos.discard(str(Path(repo_root).resolve()))
-    p = _registry_path()
-    tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"repos": sorted(repos)}))
-    os.replace(tmp, p)
+    data["repos"] = sorted(repos)
+    data.get("global_dbs", {}).pop(str(Path(repo_root).resolve()), None)
+    _write_registry(data)

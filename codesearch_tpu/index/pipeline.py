@@ -58,6 +58,7 @@ class IndexOptions:
     quiet: bool = False
     store_path: Path | None = None  # explicit db location override
     int8: bool = False              # quantized device corpus (halves HBM)
+    global_db: bool = False         # place db under ~/.codesearch/dbs/
 
 
 @dataclass
@@ -104,12 +105,25 @@ def multiple_child_repos(path: Path) -> list[Path]:
 
 
 def get_db_path_smart(
-    project_path: Path, store_path: Path | None = None, force: bool = False
+    project_path: Path,
+    store_path: Path | None = None,
+    force: bool = False,
+    global_db: bool = False,
 ) -> tuple[Path, Path]:
-    """Returns (db_path, project_root)."""
+    """Returns (db_path, project_root). ``global_db`` places the database
+    under the config dir (for read-only project trees) and registers the
+    mapping (reference: --global, index/mod.rs:76-108)."""
     project_path = Path(project_path).resolve()
     if store_path is not None:
         return Path(store_path), project_path
+    if global_db:
+        from .db_discovery import global_db_path, register_global_db
+
+        root = find_git_root(project_path) or project_path
+        db = global_db_path(root)
+        db.parent.mkdir(parents=True, exist_ok=True)
+        register_global_db(root, db)
+        return db, root
     if not force:
         existing = find_best_database(project_path)
         if existing is not None:
@@ -190,7 +204,9 @@ def index(
     options = options or IndexOptions()
     t0 = time.time()
     project = Path(path).resolve()
-    db_path, root = get_db_path_smart(project, options.store_path, options.force)
+    db_path, root = get_db_path_smart(
+        project, options.store_path, options.force, options.global_db
+    )
     stats = IndexStats(db_path=db_path, int8=options.int8)
 
     if options.force and db_path.exists() and stores is None:

@@ -125,6 +125,22 @@ class TestDiscovery:
         (tmp_path / ".git").write_text("gitdir: /elsewhere/.git/worktrees/x\n")
         assert find_git_root(tmp_path) == tmp_path
 
+    def test_global_db_placement_and_lookup(self, tmp_path, monkeypatch):
+        import os
+
+        monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path / "home"))
+        repo = tmp_path / "project"
+        (repo / "src").mkdir(parents=True)
+        (repo / "src" / "a.py").write_text("def alpha():\n    return 1\n")
+        stats = index(repo, IndexOptions(quiet=True, global_db=True))
+        # db lives under the config dir, not the project
+        assert str(tmp_path / "home") in str(stats.db_path)
+        assert not (repo / ".codesearch.db").exists()
+        # discovery from inside the project finds the global db
+        assert find_best_database(repo / "src") == stats.db_path
+        resp = search("alpha", repo, SearchOptions(limit=3))
+        assert resp.hits
+
     def test_db_path_smart_uses_git_root(self, tmp_path):
         (tmp_path / ".git").mkdir()
         sub = tmp_path / "src"
