@@ -1,19 +1,21 @@
 """BM25 full-text store.
 
-Replaces tantivy (src/fts/tantivy_store.rs): code-aware tokenization feeds an
-in-memory postings index (term → [(doc, tf_content, tf_signature)]) that is
-vectorized to numpy arrays at commit for fast scoring, and persisted as one
-msgpack blob with atomic replace (the NoMergePolicy/`writer was killed`
-machinery disappears — there is no background merge thread to crash).
+Replaces tantivy (src/fts/tantivy_store.rs) with a columnar postings engine
+built for large corpora: postings accumulate as parallel numpy buffers
+(term hash, doc id, tf_content, tf_signature) with geometric growth, and
+``commit`` sorts them into CSR form (unique terms + offsets) persisted as
+one .npz with atomic replace. Scoring walks each query term's CSR range and
+accumulates BM25 into a dense score vector — no Python loops over postings.
+There is no background merge thread to crash (the NoMergePolicy /
+"writer was killed" machinery of the reference disappears).
 
 Query semantics parity:
 - ``search``: BM25 with signature terms boosted ×2 and a ×3 score boost for
   chunks matching a structural-intent kind (tantivy_store.rs:394-458).
 - ``search_exact``: identifier term matched in signature (boost ×3) ∪
-  content, AND-ed with kind when both identifier and kind are present
-  (tantivy_store.rs:460-524).
+  content, AND-ed with kind when provided (tantivy_store.rs:460-524).
 
-Fusion only consumes ranks (RRF), so absolute score scale differences from
+Fusion consumes ranks (RRF), so absolute score scale differences from
 tantivy are immaterial.
 """
 
@@ -22,7 +24,6 @@ from __future__ import annotations
 import math
 import os
 import threading
-from collections import Counter
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -34,6 +35,12 @@ from ..utils.hashing import stable_u64
 from ..utils.logger import get_logger
 
 log = get_logger("fts")
+
+_K1 = 1.2
+_B = 0.75
+_SIG_BOOST = 2.0
+_KIND_BOOST = 3.0
+_EXACT_SIG_BOOST = 3.0
 
 
 def _to_i64(h: int) -> int:
@@ -54,12 +61,6 @@ def term_keys(text: str) -> np.ndarray:
         return np.zeros(0, np.int64)
     return np.asarray([_to_i64(stable_u64(t)) for t in toks], np.int64)
 
-_K1 = 1.2
-_B = 0.75
-_SIG_BOOST = 2.0
-_KIND_BOOST = 3.0
-_EXACT_SIG_BOOST = 3.0
-
 
 @dataclass
 class FtsResult:
@@ -69,20 +70,50 @@ class FtsResult:
     kind: str
 
 
+class _GrowBuf:
+    """Geometric-growth 1D numpy buffer."""
+
+    def __init__(self, dtype):
+        self.a = np.zeros(1024, dtype)
+        self.n = 0
+
+    def extend(self, values: np.ndarray) -> None:
+        need = self.n + len(values)
+        if need > len(self.a):
+            cap = max(need, 2 * len(self.a))
+            grown = np.zeros(cap, self.a.dtype)
+            grown[: self.n] = self.a[: self.n]
+            self.a = grown
+        self.a[self.n : need] = values
+        self.n = need
+
+    def view(self) -> np.ndarray:
+        return self.a[: self.n]
+
+
 class FtsStore:
-    INDEX_FILE = "index.msgpack"
+    INDEX_FILE = "index.msgpack"      # doc store (id → len, kind, path)
+    POSTINGS_FILE = "postings.npz"    # CSR postings
 
     def __init__(self, directory: str | Path, readonly: bool = False):
         self.dir = Path(directory)
         self.readonly = readonly
         self._lock = threading.RLock()
-        # live (uncommitted) state
-        self._postings: dict[str, list[tuple[int, int, int]]] = {}
+        # doc store
         self._docs: dict[int, tuple[int, str, str]] = {}  # doc → (len, kind, path)
+        # committed CSR postings
+        self._uniq_terms = np.zeros(0, np.int64)
+        self._offsets = np.zeros(1, np.int64)
+        self._p_docs = np.zeros(0, np.int64)
+        self._p_tfc = np.zeros(0, np.int32)
+        self._p_tfs = np.zeros(0, np.int32)
+        # uncommitted postings (appended since last commit)
+        self._new_terms = _GrowBuf(np.int64)
+        self._new_docs = _GrowBuf(np.int64)
+        self._new_tfc = _GrowBuf(np.int32)
+        self._new_tfs = _GrowBuf(np.int32)
+        self._deleted: set[int] = set()
         self._dirty = False
-        self._deletes_pending = 0
-        # committed numpy view for scoring
-        self._np_postings: dict[str, np.ndarray] | None = None
         self._avg_len = 1.0
         if self.dir.exists():
             self._load()
@@ -104,100 +135,149 @@ class FtsStore:
         with self._lock:
             if chunk_id in self._docs:
                 self.delete_chunk(chunk_id)
-            c_tf = Counter(term_keys(content).tolist())
-            s_tf = Counter(term_keys(signature or "").tolist())
-            doc_len = sum(c_tf.values()) + sum(s_tf.values())
+            c_keys = term_keys(content)
+            s_keys = term_keys(signature or "")
+            doc_len = len(c_keys) + len(s_keys)
             self._docs[chunk_id] = (max(doc_len, 1), kind, path)
-            for term in set(c_tf) | set(s_tf):
-                self._postings.setdefault(term, []).append(
-                    (chunk_id, c_tf.get(term, 0), s_tf.get(term, 0))
-                )
+            # per-term tf for this doc
+            all_keys = np.concatenate([c_keys, s_keys]) if len(s_keys) else c_keys
+            if len(all_keys) == 0:
+                self._dirty = True
+                return
+            uniq, inv = np.unique(all_keys, return_inverse=True)
+            tfc = np.zeros(len(uniq), np.int32)
+            tfs = np.zeros(len(uniq), np.int32)
+            np.add.at(tfc, inv[: len(c_keys)], 1)
+            if len(s_keys):
+                np.add.at(tfs, inv[len(c_keys):], 1)
+            self._new_terms.extend(uniq)
+            self._new_docs.extend(np.full(len(uniq), chunk_id, np.int64))
+            self._new_tfc.extend(tfc)
+            self._new_tfs.extend(tfs)
             self._dirty = True
-            self._np_postings = None
 
     def delete_chunk(self, chunk_id: int) -> None:
         with self._lock:
             if chunk_id not in self._docs:
                 return
             del self._docs[chunk_id]
-            # lazy: postings rows for dead docs are filtered at scoring/vacuum
+            # committed postings die at merge via the tombstone set;
+            # uncommitted postings purge immediately (so a subsequent re-add
+            # of the same id — the replace path — survives the tombstone)
+            self._deleted.add(chunk_id)
+            if self._new_docs.n:
+                keep = self._new_docs.view() != chunk_id
+                if not keep.all():
+                    for buf in (self._new_terms, self._new_docs,
+                                self._new_tfc, self._new_tfs):
+                        kept = buf.view()[keep]
+                        buf.n = 0
+                        buf.extend(kept)
             self._dirty = True
-            self._deletes_pending += 1
-            self._np_postings = None
 
     def clear(self) -> None:
         with self._lock:
-            self._postings = {}
             self._docs = {}
-            self._np_postings = None
-            self._dirty = True
+            self._uniq_terms = np.zeros(0, np.int64)
+            self._offsets = np.zeros(1, np.int64)
+            self._p_docs = np.zeros(0, np.int64)
+            self._p_tfc = np.zeros(0, np.int32)
+            self._p_tfs = np.zeros(0, np.int32)
+            self._new_terms = _GrowBuf(np.int64)
+            self._new_docs = _GrowBuf(np.int64)
+            self._new_tfc = _GrowBuf(np.int32)
+            self._new_tfs = _GrowBuf(np.int32)
+            self._deleted = set()
+            self._avg_len = 1.0
             self.commit()
 
     def commit(self) -> None:
-        """Vectorize + persist atomically (analog of tantivy commit)."""
+        """Merge new postings into CSR form + persist atomically."""
         if self.readonly:
             return
         with self._lock:
-            self._vacuum()
-            self._build_np()
-            tmp = self.dir / (self.INDEX_FILE + ".tmp")
-            payload = {
-                "docs": {d: list(v) for d, v in self._docs.items()},
-                "postings": self._postings,
-                "version": 1,
-            }
-            with open(tmp, "wb") as f:
-                msgpack.pack(payload, f)
-            os.replace(tmp, self.dir / self.INDEX_FILE)
+            self._merge()
+            tmp = self.dir / (self.POSTINGS_FILE + ".tmp.npz")
+            np.savez(
+                tmp,
+                uniq_terms=self._uniq_terms,
+                offsets=self._offsets,
+                p_docs=self._p_docs,
+                p_tfc=self._p_tfc,
+                p_tfs=self._p_tfs,
+            )
+            os.replace(tmp, self.dir / self.POSTINGS_FILE)
+            tmp2 = self.dir / (self.INDEX_FILE + ".tmp")
+            with open(tmp2, "wb") as f:
+                msgpack.pack(
+                    {"docs": {d: list(v) for d, v in self._docs.items()}, "version": 2},
+                    f,
+                )
+            os.replace(tmp2, self.dir / self.INDEX_FILE)
             self._dirty = False
 
-    def _vacuum(self) -> None:
-        """Drop postings rows for deleted docs (skipped when none pending —
-        periodic mid-index commits must stay O(new docs), not O(corpus))."""
-        if not self._deletes_pending:
+    def _merge(self) -> None:
+        """Fold uncommitted postings + deletions into the CSR arrays."""
+        has_new = self._new_terms.n > 0
+        if not has_new and not self._deleted:
+            self._recompute_avg_len()
             return
-        live = self._docs.keys()
-        new_postings = {}
-        for term, rows in self._postings.items():
-            kept = [r for r in rows if r[0] in live]
-            if kept:
-                new_postings[term] = kept
-        self._postings = new_postings
-        self._deletes_pending = 0
+        # flatten CSR back to triples, drop tombstoned docs from the
+        # COMMITTED part only (uncommitted buffers were purged at delete
+        # time), append new, re-sort
+        old_terms = np.repeat(self._uniq_terms, np.diff(self._offsets))
+        old_docs, old_tfc, old_tfs = self._p_docs, self._p_tfc, self._p_tfs
+        if self._deleted:
+            dead = np.asarray(sorted(self._deleted), np.int64)
+            keep = ~np.isin(old_docs, dead)
+            old_terms = old_terms[keep]
+            old_docs, old_tfc, old_tfs = old_docs[keep], old_tfc[keep], old_tfs[keep]
+            self._deleted.clear()
+        terms = np.concatenate([old_terms, self._new_terms.view()])
+        docs = np.concatenate([old_docs, self._new_docs.view()])
+        tfc = np.concatenate([old_tfc, self._new_tfc.view()])
+        tfs = np.concatenate([old_tfs, self._new_tfs.view()])
+        order = np.argsort(terms, kind="stable")
+        terms, docs, tfc, tfs = terms[order], docs[order], tfc[order], tfs[order]
+        self._uniq_terms, counts = np.unique(terms, return_counts=True)
+        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self._p_docs, self._p_tfc, self._p_tfs = docs, tfc, tfs
+        self._new_terms = _GrowBuf(np.int64)
+        self._new_docs = _GrowBuf(np.int64)
+        self._new_tfc = _GrowBuf(np.int32)
+        self._new_tfs = _GrowBuf(np.int32)
+        self._recompute_avg_len()
 
-    def _load(self) -> None:
-        p = self.dir / self.INDEX_FILE
-        if not p.exists():
-            return
-        try:
-            with open(p, "rb") as f:
-                raw = msgpack.unpack(f, raw=False, strict_map_key=False)
-            self._docs = {int(d): tuple(v) for d, v in raw["docs"].items()}
-            self._postings = {
-                t: [tuple(r) for r in rows] for t, rows in raw["postings"].items()
-            }
-        except Exception as e:
-            log.warning("corrupt fts index, rebuilding empty: %s", e)
-            self._docs, self._postings = {}, {}
-        self._np_postings = None
-
-    def _build_np(self) -> None:
-        self._np_postings = {
-            term: np.asarray(rows, np.int64).reshape(-1, 3)
-            for term, rows in self._postings.items()
-        }
+    def _recompute_avg_len(self) -> None:
         if self._docs:
             self._avg_len = sum(l for l, _, _ in self._docs.values()) / len(self._docs)
         else:
             self._avg_len = 1.0
-        self._doc_len = {d: v[0] for d, v in self._docs.items()}
 
-    def _np(self) -> dict[str, np.ndarray]:
-        with self._lock:
-            if self._np_postings is None:
-                self._vacuum()
-                self._build_np()
-            return self._np_postings
+    def _load(self) -> None:
+        p = self.dir / self.INDEX_FILE
+        if p.exists():
+            try:
+                with open(p, "rb") as f:
+                    raw = msgpack.unpack(f, raw=False, strict_map_key=False)
+                if raw.get("version") == 2:
+                    self._docs = {int(d): tuple(v) for d, v in raw["docs"].items()}
+                else:
+                    log.info("fts index format v1 found — rebuild with `codesearch index --force`")
+            except Exception as e:
+                log.warning("corrupt fts doc store, starting empty: %s", e)
+        pz = self.dir / self.POSTINGS_FILE
+        if pz.exists():
+            try:
+                data = np.load(pz)
+                self._uniq_terms = data["uniq_terms"]
+                self._offsets = data["offsets"]
+                self._p_docs = data["p_docs"]
+                self._p_tfc = data["p_tfc"]
+                self._p_tfs = data["p_tfs"]
+            except Exception as e:
+                log.warning("corrupt fts postings, starting empty: %s", e)
+        self._recompute_avg_len()
 
     # ------------------------------------------------------------------
     # queries
@@ -206,42 +286,53 @@ class FtsStore:
     def __len__(self) -> int:
         return len(self._docs)
 
+    def _ensure_merged(self) -> None:
+        with self._lock:
+            if self._new_terms.n > 0 or self._deleted:
+                self._merge()
+
+    def _term_range(self, key: int) -> tuple[int, int]:
+        i = int(np.searchsorted(self._uniq_terms, key))
+        if i >= len(self._uniq_terms) or self._uniq_terms[i] != key:
+            return 0, 0
+        return int(self._offsets[i]), int(self._offsets[i + 1])
+
     def search(
         self,
         query: str,
         limit: int = 20,
         boost_kind: str | None = None,
     ) -> list[FtsResult]:
-        postings = self._np()
+        self._ensure_merged()
         n = max(len(self._docs), 1)
-        terms = set(term_keys(query).tolist())
-        if not terms:
+        keys = np.unique(term_keys(query))
+        if keys.size == 0:
             return []
         scores: dict[int, float] = {}
-        for term in terms:
-            rows = postings.get(term)
-            if rows is None:
-                continue
-            df = rows.shape[0]
-            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            for doc, tf_c, tf_s in rows:
-                doc = int(doc)
-                meta = self._docs.get(doc)
-                if meta is None:
+        with self._lock:
+            for key in keys:
+                lo, hi = self._term_range(int(key))
+                if lo == hi:
                     continue
-                dl = meta[0]
-                tf = tf_c + _SIG_BOOST * tf_s
-                denom = tf + _K1 * (1.0 - _B + _B * dl / self._avg_len)
-                scores[doc] = scores.get(doc, 0.0) + idf * tf * (_K1 + 1.0) / denom
-        if boost_kind:
-            for doc in list(scores):
-                if self._docs[doc][1] == boost_kind:
-                    scores[doc] *= _KIND_BOOST
-        ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
-        return [
-            FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
-            for d, s in ranked
-        ]
+                df = hi - lo
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                docs = self._p_docs[lo:hi]
+                tf = self._p_tfc[lo:hi] + _SIG_BOOST * self._p_tfs[lo:hi]
+                for doc, tfv in zip(docs.tolist(), tf.tolist()):
+                    meta = self._docs.get(doc)
+                    if meta is None:
+                        continue
+                    denom = tfv + _K1 * (1.0 - _B + _B * meta[0] / self._avg_len)
+                    scores[doc] = scores.get(doc, 0.0) + idf * tfv * (_K1 + 1.0) / denom
+            if boost_kind:
+                for doc in list(scores):
+                    if self._docs[doc][1] == boost_kind:
+                        scores[doc] *= _KIND_BOOST
+            ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
+            return [
+                FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
+                for d, s in ranked
+            ]
 
     def search_exact(
         self,
@@ -251,47 +342,48 @@ class FtsStore:
     ) -> list[FtsResult]:
         """Exact identifier lookup: signature hits boosted ×3 over content
         hits; AND-ed with kind when provided."""
-        postings = self._np()
-        terms = code_tokens(identifier)
-        # the whole-identifier token carries the exact-match signal
+        self._ensure_merged()
+        toks = code_tokens(identifier)
         target = None
-        for t in terms:
+        for t in toks:
             if t.replace("_", "").isalnum() and ("_" in t or len(t) >= 3):
                 if target is None or len(t) > len(target):
                     target = t
         if target is None:
             return []
-        rows = postings.get(_to_i64(stable_u64(target)))
-        if rows is None:
-            return []
-        scores: dict[int, float] = {}
-        for doc, tf_c, tf_s in rows:
-            doc = int(doc)
-            meta = self._docs.get(doc)
-            if meta is None:
-                continue
-            if kind is not None and meta[1] != kind:
-                continue
-            score = 0.0
-            if tf_s > 0:
-                score += _EXACT_SIG_BOOST * float(tf_s)
-            if tf_c > 0:
-                score += float(tf_c)
-            if score > 0:
-                scores[doc] = score
-        ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
-        return [
-            FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
-            for d, s in ranked
-        ]
+        with self._lock:
+            lo, hi = self._term_range(_to_i64(stable_u64(target)))
+            if lo == hi:
+                return []
+            out: list[tuple[int, float]] = []
+            docs = self._p_docs[lo:hi]
+            tfc = self._p_tfc[lo:hi]
+            tfs = self._p_tfs[lo:hi]
+            for doc, c, s in zip(docs.tolist(), tfc.tolist(), tfs.tolist()):
+                meta = self._docs.get(doc)
+                if meta is None:
+                    continue
+                if kind is not None and meta[1] != kind:
+                    continue
+                score = _EXACT_SIG_BOOST * float(s) + float(c)
+                if score > 0:
+                    out.append((doc, score))
+            out.sort(key=lambda kv: -kv[1])
+            return [
+                FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
+                for d, s in out[:limit]
+            ]
 
     def stats(self) -> dict:
-        return {
-            "docs": len(self._docs),
-            "terms": len(self._postings),
-            "disk_bytes": (
-                (self.dir / self.INDEX_FILE).stat().st_size
-                if (self.dir / self.INDEX_FILE).exists()
-                else 0
-            ),
-        }
+        with self._lock:
+            disk = 0
+            for f in (self.INDEX_FILE, self.POSTINGS_FILE):
+                p = self.dir / f
+                if p.exists():
+                    disk += p.stat().st_size
+            return {
+                "docs": len(self._docs),
+                "terms": int(len(self._uniq_terms)),
+                "postings": int(len(self._p_docs)) + self._new_terms.n,
+                "disk_bytes": disk,
+            }

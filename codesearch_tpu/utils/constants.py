@@ -148,11 +148,12 @@ def get_global_models_cache_dir() -> Path:
     return d
 
 
-# Version of the host featurization/tokenization pipeline. Embeddings from
-# different versions are NOT comparable (e.g. v2 switched token hashing from
-# blake2b to FNV-1a for native parity); a mismatch forces full re-embedding,
-# like the reference's model-change invalidation (cache/file_meta.rs:86-92).
-EMBEDDER_VERSION = 2
+# Version of the host featurization/tokenization/index-format pipeline.
+# Indexes from different versions are NOT comparable/loadable (v2: token
+# hashing blake2b → FNV-1a; v3: FTS postings → columnar CSR npz); a mismatch
+# forces full re-embedding, like the reference's model-change invalidation
+# (cache/file_meta.rs:86-92).
+EMBEDDER_VERSION = 3
 
 
 def get_embedding_cache_dir(model_name: str) -> Path:
