@@ -115,6 +115,10 @@ class FtsStore:
         self._deleted: set[int] = set()
         self._dirty = False
         self._avg_len = 1.0
+        # dense scoring view (rebuilt at merge): sorted live doc ids +
+        # aligned lengths, so scoring is pure vectorized numpy
+        self._doc_ids_sorted = np.zeros(0, np.int64)
+        self._doc_len_arr = np.zeros(0, np.float32)
         if self.dir.exists():
             self._load()
         elif not readonly:
@@ -251,8 +255,18 @@ class FtsStore:
     def _recompute_avg_len(self) -> None:
         if self._docs:
             self._avg_len = sum(l for l, _, _ in self._docs.values()) / len(self._docs)
+            ids = np.fromiter(self._docs.keys(), np.int64, len(self._docs))
+            order = np.argsort(ids)
+            self._doc_ids_sorted = ids[order]
+            lens = np.fromiter(
+                (self._docs[int(d)][0] for d in self._doc_ids_sorted),
+                np.float32, len(self._doc_ids_sorted),
+            )
+            self._doc_len_arr = lens
         else:
             self._avg_len = 1.0
+            self._doc_ids_sorted = np.zeros(0, np.int64)
+            self._doc_len_arr = np.zeros(0, np.float32)
 
     def _load(self) -> None:
         p = self.dir / self.INDEX_FILE
@@ -306,10 +320,12 @@ class FtsStore:
         self._ensure_merged()
         n = max(len(self._docs), 1)
         keys = np.unique(term_keys(query))
-        if keys.size == 0:
+        if keys.size == 0 or self._doc_ids_sorted.size == 0:
             return []
-        scores: dict[int, float] = {}
         with self._lock:
+            # dense vectorized accumulation over the sorted-live-doc view
+            scores = np.zeros(len(self._doc_ids_sorted), np.float64)
+            len_norm = _K1 * (1.0 - _B + _B * self._doc_len_arr / self._avg_len)
             for key in keys:
                 lo, hi = self._term_range(int(key))
                 if lo == hi:
@@ -317,22 +333,28 @@ class FtsStore:
                 df = hi - lo
                 idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
                 docs = self._p_docs[lo:hi]
-                tf = self._p_tfc[lo:hi] + _SIG_BOOST * self._p_tfs[lo:hi]
-                for doc, tfv in zip(docs.tolist(), tf.tolist()):
-                    meta = self._docs.get(doc)
-                    if meta is None:
-                        continue
-                    denom = tfv + _K1 * (1.0 - _B + _B * meta[0] / self._avg_len)
-                    scores[doc] = scores.get(doc, 0.0) + idf * tfv * (_K1 + 1.0) / denom
+                tf = (self._p_tfc[lo:hi] + _SIG_BOOST * self._p_tfs[lo:hi]).astype(np.float64)
+                pos = np.searchsorted(self._doc_ids_sorted, docs)
+                contrib = idf * tf * (_K1 + 1.0) / (tf + len_norm[pos])
+                np.add.at(scores, pos, contrib)
             if boost_kind:
-                for doc in list(scores):
-                    if self._docs[doc][1] == boost_kind:
-                        scores[doc] *= _KIND_BOOST
-            ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
-            return [
-                FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
-                for d, s in ranked
-            ]
+                kinds = np.fromiter(
+                    (self._docs[int(d)][1] == boost_kind for d in self._doc_ids_sorted),
+                    bool, len(self._doc_ids_sorted),
+                )
+                scores = np.where(kinds, scores * _KIND_BOOST, scores)
+            k = min(limit, int((scores > 0).sum()))
+            if k == 0:
+                return []
+            top = np.argpartition(-scores, k - 1)[:k]
+            top = top[np.argsort(-scores[top])]
+            out = []
+            for i in top:
+                d = int(self._doc_ids_sorted[i])
+                meta = self._docs[d]
+                out.append(FtsResult(chunk_id=d, score=float(scores[i]),
+                                     path=meta[2], kind=meta[1]))
+            return out
 
     def search_exact(
         self,
