@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="codesearch",
         description="TPU-native local semantic code search",
     )
+    from .. import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"codesearch-tpu {__version__}")
     p.add_argument("--loglevel", default="warn",
                    choices=["trace", "debug", "info", "warn", "error"])
     p.add_argument(
