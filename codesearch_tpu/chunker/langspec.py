@@ -387,6 +387,128 @@ _JAVA = LangSpec(
     ),
 )
 
+# --- beyond the reference's 9 grammars: Kotlin, Swift, PHP are brace
+# languages the structural scanner extends to for free -----------------------
+
+_KOTLIN = LangSpec(
+    family="c",
+    attribute_prefixes=("@",),
+    doc_block=True,
+    rules=[
+        DefRule(
+            ChunkKind.FUNCTION,
+            r"[ \t]*(?:(?:public|private|protected|internal|open|override|suspend|inline|"
+            r"operator|infix|tailrec|external|abstract|final)[ \t]+)*"
+            r"fun[ \t]+(?:<[^>\n]*>[ \t]+)?(?:[\w.]+\.)?(?P<name>\w+)",
+            BRACE_OR_SEMI,  # expression bodies end without braces
+            method_kind=ChunkKind.METHOD,
+        ),
+        DefRule(
+            ChunkKind.CLASS,
+            r"[ \t]*(?:(?:public|private|protected|internal|open|abstract|final|sealed|"
+            r"data|inner|enum|annotation)[ \t]+)*class[ \t]+(?P<name>\w+)",
+            BRACE_OR_SEMI,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.INTERFACE,
+            r"[ \t]*(?:(?:public|private|internal|sealed|fun)[ \t]+)*interface[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.MOD,
+            r"[ \t]*(?:(?:public|private|internal)[ \t]+)*object[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+    ],
+)
+
+_SWIFT = LangSpec(
+    family="c",
+    attribute_prefixes=("@",),
+    doc_line_prefixes=("///",),
+    doc_block=True,
+    rules=[
+        DefRule(
+            ChunkKind.FUNCTION,
+            r"[ \t]*(?:(?:public|private|internal|open|fileprivate|static|final|override|"
+            r"mutating|class)[ \t]+)*func[ \t]+(?P<name>\w+)",
+            BRACE,
+            method_kind=ChunkKind.METHOD,
+        ),
+        DefRule(
+            ChunkKind.CLASS,
+            r"[ \t]*(?:(?:public|private|internal|open|final)[ \t]+)*class[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.STRUCT,
+            r"[ \t]*(?:(?:public|private|internal)[ \t]+)*struct[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.ENUM,
+            r"[ \t]*(?:(?:public|private|internal|indirect)[ \t]+)*enum[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.INTERFACE,
+            r"[ \t]*(?:(?:public|private|internal)[ \t]+)*protocol[ \t]+(?P<name>\w+)",
+            BRACE,
+        ),
+        DefRule(
+            ChunkKind.IMPL,
+            r"[ \t]*(?:(?:public|private|internal)[ \t]+)*extension[ \t]+(?P<name>[\w.]+)",
+            BRACE,
+            recurse=True,
+        ),
+    ],
+)
+
+_PHP = LangSpec(
+    family="c",
+    attribute_prefixes=("#[",),
+    doc_block=True,
+    rules=[
+        DefRule(
+            ChunkKind.FUNCTION,
+            r"[ \t]*(?:(?:public|private|protected|static|abstract|final)[ \t]+)*"
+            r"function[ \t]+&?(?P<name>\w+)",
+            BRACE_OR_SEMI,  # abstract/interface methods end with ';'
+            method_kind=ChunkKind.METHOD,
+        ),
+        DefRule(
+            ChunkKind.CLASS,
+            r"[ \t]*(?:(?:abstract|final|readonly)[ \t]+)*class[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.INTERFACE,
+            r"[ \t]*interface[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.TRAIT,
+            r"[ \t]*trait[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+        DefRule(
+            ChunkKind.ENUM,
+            r"[ \t]*enum[ \t]+(?P<name>\w+)",
+            BRACE,
+            recurse=True,
+        ),
+    ],
+)
+
 _SPECS: dict[Language, LangSpec] = {
     Language.RUST: _RUST,
     Language.PYTHON: _PYTHON,
@@ -397,6 +519,9 @@ _SPECS: dict[Language, LangSpec] = {
     Language.CPP: _CPP,
     Language.CSHARP: _CSHARP,
     Language.JAVA: _JAVA,
+    Language.KOTLIN: _KOTLIN,
+    Language.SWIFT: _SWIFT,
+    Language.PHP: _PHP,
 }
 
 

@@ -53,6 +53,8 @@ class Language(enum.Enum):
 _STRUCTURAL = {
     Language.RUST, Language.PYTHON, Language.JAVASCRIPT, Language.TYPESCRIPT,
     Language.C, Language.CPP, Language.CSHARP, Language.GO, Language.JAVA,
+    # beyond the reference's 9 grammars (brace languages come cheap here)
+    Language.KOTLIN, Language.SWIFT, Language.PHP,
 }
 
 _BY_EXTENSION: dict[str, Language] = {

@@ -314,6 +314,10 @@ def _handle(service: CodesearchService, method: str, params: dict) -> dict:
         return {}
     if method == "tools/list":
         return {"tools": TOOLS}
+    if method == "prompts/list":
+        return {"prompts": []}
+    if method == "resources/list":
+        return {"resources": []}
     if method == "tools/call":
         name = params.get("name", "")
         args = params.get("arguments") or {}

@@ -385,6 +385,109 @@ namespace App.Core
         assert ChunkKind.METHOD in kinds
 
 
+class TestBeyondReferenceLanguages:
+    def test_kotlin(self):
+        code = '''
+data class User(val name: String)
+
+class Repository {
+    fun findUser(id: Int): User? {
+        return cache[id]
+    }
+
+    suspend fun loadAll(): List<User> {
+        return api.fetch()
+    }
+}
+
+object Singleton {
+    fun instance() = Singleton
+}
+
+interface Store {
+    fun get(key: String): String
+}
+'''
+        chunks = chunks_of(Language.KOTLIN, "a.kt", code)
+        kinds = {c.kind for c in chunks}
+        assert ChunkKind.CLASS in kinds
+        assert ChunkKind.METHOD in kinds
+        assert ChunkKind.MOD in kinds       # object
+        assert ChunkKind.INTERFACE in kinds
+        find = next(c for c in chunks if "findUser" in (c.signature or ""))
+        assert find.kind is ChunkKind.METHOD
+
+    def test_swift(self):
+        code = '''
+struct Point {
+    var x: Double
+}
+
+class Renderer {
+    func draw(point: Point) {
+        canvas.plot(point)
+    }
+}
+
+enum Direction {
+    case north
+}
+
+protocol Drawable {
+    func draw()
+}
+
+extension Point {
+    func flipped() -> Point {
+        return Point(x: -x)
+    }
+}
+
+func globalHelper() -> Int {
+    return 42
+}
+'''
+        chunks = chunks_of(Language.SWIFT, "a.swift", code)
+        kinds = {c.kind for c in chunks}
+        assert {ChunkKind.STRUCT, ChunkKind.CLASS, ChunkKind.ENUM,
+                ChunkKind.INTERFACE, ChunkKind.IMPL,
+                ChunkKind.FUNCTION, ChunkKind.METHOD} <= kinds
+
+    def test_php(self):
+        code = '''<?php
+
+class OrderService {
+    public function placeOrder(array $items): Order {
+        return new Order($items);
+    }
+
+    private function validate($items) {
+        return count($items) > 0;
+    }
+}
+
+interface PaymentGateway {
+    public function charge(int $amount);
+}
+
+trait Loggable {
+    public function log(string $msg) {
+        error_log($msg);
+    }
+}
+
+function helper_function($x) {
+    return $x * 2;
+}
+'''
+        chunks = chunks_of(Language.PHP, "a.php", code)
+        kinds = {c.kind for c in chunks}
+        assert {ChunkKind.CLASS, ChunkKind.INTERFACE, ChunkKind.TRAIT,
+                ChunkKind.FUNCTION, ChunkKind.METHOD} <= kinds
+        place = next(c for c in chunks if "placeOrder" in (c.signature or ""))
+        assert place.kind is ChunkKind.METHOD
+
+
 class TestGapsAndSplitting:
     def test_unsupported_language_fallback(self):
         content = "Some random text file\nWith multiple lines\nThat should be chunked\nAs fallback"
