@@ -76,6 +76,11 @@ FSW_POLL_INTERVAL_MS = 100
 VEC_INITIAL_CAPACITY = int(os.environ.get("CODESEARCH_VEC_INITIAL_CAPACITY", 8192))
 VEC_MAX_CAPACITY = int(os.environ.get("CODESEARCH_VEC_MAX_CAPACITY", 16_777_216))
 
+# Tombstone ratio above which save() compacts into a fresh generation
+# (matches the doctor's bloat threshold; below it, saves are O(change)
+# appends — the analog of LMDB's incremental commit txns).
+VEC_COMPACT_RATIO = float(os.environ.get("CODESEARCH_VEC_COMPACT_RATIO", 0.25))
+
 # ---------------------------------------------------------------------------
 # Skip lists (reference: constants.rs:131-218)
 # ---------------------------------------------------------------------------

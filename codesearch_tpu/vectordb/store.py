@@ -4,18 +4,24 @@ The reference keeps vectors in arroy ANN trees inside LMDB and must
 ``build_index`` before searching (vectordb/store.rs:94-750). The TPU design
 keeps the corpus as a pre-allocated ``[capacity, dims]`` matrix in device
 HBM (bf16, optional int8), searched by one exact fused matmul+top-k — so
-``build_index`` is O(1), insert is a staged ``dynamic_update_slice``, and
-delete is a tombstone mask (compaction on save). Score = cosine similarity
-(reference's ``1 - distance``, store.rs:478).
+``build_index`` is O(1), insert is a staged ``dynamic_update_slice`` into
+donated device buffers, and delete is a tombstone scatter into the validity
+mask. Score = cosine similarity (reference's ``1 - distance``, store.rs:478).
 
-Host persistence replaces LMDB: raw row-major matrix file + msgpack chunk
-metadata + a JSON manifest, all written with atomic tmp+rename (the ACID
-analog of LMDB commits). Capacity auto-doubles when full (the analog of
-MDB_MAP_FULL resize, store.rs:252-328).
+Host persistence replaces LMDB with the same O(change) cost as its
+incremental write txns (store.rs:618-651): per generation, an append-only
+fp16 row file plus an append-only msgpack op log (add/delete records), with
+a tiny JSON manifest recording the valid byte prefix of both. ``save()``
+appends only what changed and then atomically renames the manifest — one
+rename flips the whole snapshot (a crash mid-append leaves extra bytes past
+the manifest's prefix, which the loader ignores). Compaction (rewriting a
+new generation without tombstones) runs only when the tombstone ratio
+crosses ``VEC_COMPACT_RATIO``.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import threading
@@ -26,6 +32,7 @@ import msgpack
 import numpy as np
 
 from ..utils.constants import (
+    VEC_COMPACT_RATIO,
     VEC_EMBED_FILE,
     VEC_INITIAL_CAPACITY,
     VEC_MANIFEST_FILE,
@@ -87,6 +94,22 @@ class StoreStats:
     disk_bytes: int
 
 
+def _fsync_file(fh) -> None:
+    fh.flush()
+    os.fsync(fh.fileno())
+
+
+def _fsync_dir(path: Path) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 class VectorStore:
     """Single-device store. The sharded multi-chip variant lives in
     ``parallel/sharded_store.py`` and reuses this class per shard."""
@@ -114,30 +137,30 @@ class VectorStore:
         self._host_rows: np.ndarray | None = None   # [capacity, dims] f32
         self._valid_np: np.ndarray | None = None    # [capacity] bool
         self._rows = 0                               # used rows
-        self._device = None                          # lazily built device state
-        self._device_dirty = True
+
+        # persistence cursors: what the current generation files already hold
+        self._generation = 0
+        self._persisted_rows = 0
+        self._persisted_log_bytes = 0
+        self._pending_log: list[bytes] = []          # packed add/del records
+        self._needs_rewrite = False                  # force full-generation write
+
+        # device state: matrix + validity mask kept in sync incrementally
+        self._device = None                          # (kind, mat, scale, valid)
+        self._dev_rows = 0                           # host rows mirrored on device
+        self._dev_pending_del: list[int] = []        # rows tombstoned since sync
+        self.full_uploads = 0                        # diagnostics (tests assert
+        self.incremental_updates = 0                 # no full re-upload per edit)
 
         if self.db_path.exists():
-            self._cleanup_stale_tmp()
             self._load()
+            self._cleanup_stale_files()
         else:
             if readonly:
                 raise DatabaseError(f"database not found: {self.db_path}")
             self.db_path.mkdir(parents=True, exist_ok=True)
             self._host_rows = np.zeros((0, dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
-            self._rows = 0
-
-    def _cleanup_stale_tmp(self) -> None:
-        """Remove leftover atomic-write temp files from crashed runs
-        (analog of the reference's stale .del cleanup, store.rs:799-824)."""
-        if self.readonly:
-            return
-        for p in self.db_path.glob("*.tmp*"):
-            try:
-                p.unlink()
-            except OSError:
-                pass
 
     def _used(self) -> np.ndarray:
         return self._host_rows[: self._rows]
@@ -153,19 +176,42 @@ class VectorStore:
     def _manifest_path(self) -> Path:
         return self.db_path / VEC_MANIFEST_FILE
 
-    @property
-    def _embed_path(self) -> Path:
-        return self.db_path / VEC_EMBED_FILE
+    def _embed_path(self, gen: int) -> Path:
+        return self.db_path / f"embeddings.{gen}.bin"
 
-    @property
-    def _meta_path(self) -> Path:
-        return self.db_path / VEC_META_FILE
+    def _log_path(self, gen: int) -> Path:
+        return self.db_path / f"chunkmeta.{gen}.log"
+
+    def _cleanup_stale_files(self) -> None:
+        """Remove atomic-write temp files and data files from generations no
+        longer referenced by the manifest (crashed saves/compactions — the
+        analog of the reference's stale .del cleanup, store.rs:799-824)."""
+        if self.readonly:
+            return
+        keep = {self._embed_path(self._generation).name,
+                self._log_path(self._generation).name}
+        for p in list(self.db_path.glob("*.tmp*")) + \
+                list(self.db_path.glob("embeddings.*.bin")) + \
+                list(self.db_path.glob("chunkmeta.*.log")):
+            if p.name in keep:
+                continue
+            try:
+                p.unlink()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _pack_add(cid: int, meta: ChunkMetadata) -> bytes:
+        return msgpack.packb(("a", cid, meta.to_msgpack()), use_bin_type=True)
+
+    @staticmethod
+    def _pack_del(cid: int) -> bytes:
+        return msgpack.packb(("d", cid), use_bin_type=True)
 
     def _load(self) -> None:
         if not self._manifest_path.exists():
             self._host_rows = np.zeros((0, self.dims), np.float32)
             self._valid_np = np.zeros((0,), bool)
-            self._rows = 0
             return
         try:
             manifest = json.loads(self._manifest_path.read_text())
@@ -176,57 +222,188 @@ class VectorStore:
                 f"dimension mismatch: store has {manifest.get('dims')}, "
                 f"requested {self.dims}"
             )
-        rows = int(manifest.get("rows", 0))
+        if manifest.get("version", 1) < 2:
+            self._load_v1(manifest)
+            return
         self._next_id = int(manifest.get("next_id", 0))
-        if rows and self._embed_path.exists():
-            flat = np.fromfile(self._embed_path, dtype=np.float16)
+        self._generation = int(manifest.get("generation", 0))
+        rows = int(manifest.get("rows", 0))
+        log_bytes = int(manifest.get("log_bytes", 0))
+
+        ep = self._embed_path(self._generation)
+        if rows and ep.exists():
+            flat = np.fromfile(ep, dtype=np.float16, count=rows * self.dims)
             have = flat.size // self.dims
             rows = min(rows, have)
-            self._host_rows = flat[: rows * self.dims].reshape(rows, self.dims).astype(np.float32)
+            self._host_rows = (
+                flat[: rows * self.dims].reshape(rows, self.dims).astype(np.float32)
+            )
+        else:
+            rows = 0
+            self._host_rows = np.zeros((0, self.dims), np.float32)
+        self._rows = rows
+        self._valid_np = np.zeros((rows,), bool)
+        self._id_of = [0] * rows
+
+        lp = self._log_path(self._generation)
+        if log_bytes and lp.exists():
+            with open(lp, "rb") as f:
+                raw = f.read(log_bytes)
+            self._replay_log(raw, rows)
+        self._persisted_rows = rows
+        self._persisted_log_bytes = min(log_bytes, lp.stat().st_size if lp.exists() else 0)
+
+    def _replay_log(self, raw: bytes, max_rows: int) -> None:
+        """Rebuild metadata/validity from the op log prefix. Add records map
+        1:1 (in order) onto rows of the embedding file."""
+        unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False, strict_map_key=False)
+        row = 0
+        for rec in unpacker:
+            op = rec[0]
+            if op == "a":
+                if row >= max_rows:
+                    break  # add records past the usable matrix prefix
+                cid = int(rec[1])
+                old = self._row_of.get(cid)
+                if old is not None:
+                    self._valid_np[old] = False
+                self._meta[cid] = ChunkMetadata.from_msgpack(rec[2])
+                self._row_of[cid] = row
+                self._id_of[row] = cid
+                self._valid_np[row] = True
+                row += 1
+            elif op == "d":
+                cid = int(rec[1])
+                old = self._row_of.pop(cid, None)
+                if old is not None:
+                    self._valid_np[old] = False
+                self._meta.pop(cid, None)
+
+    def _load_v1(self, manifest: dict) -> None:
+        """Legacy round-1 layout (monolithic rewrite-on-save files); migrated
+        to the generational layout on the next save."""
+        rows = int(manifest.get("rows", 0))
+        self._next_id = int(manifest.get("next_id", 0))
+        ep = self.db_path / VEC_EMBED_FILE
+        if rows and ep.exists():
+            flat = np.fromfile(ep, dtype=np.float16)
+            have = flat.size // self.dims
+            rows = min(rows, have)
+            self._host_rows = (
+                flat[: rows * self.dims].reshape(rows, self.dims).astype(np.float32)
+            )
         else:
             rows = 0
             self._host_rows = np.zeros((0, self.dims), np.float32)
         self._rows = rows
         self._id_of = [int(i) for i in manifest.get("row_ids", [])][:rows]
         self._valid_np = np.zeros((rows,), bool)
-        if self._meta_path.exists():
-            with open(self._meta_path, "rb") as f:
+        mp = self.db_path / VEC_META_FILE
+        if mp.exists():
+            with open(mp, "rb") as f:
                 raw = msgpack.unpack(f, raw=False, strict_map_key=False)
             self._meta = {int(k): ChunkMetadata.from_msgpack(v) for k, v in raw.items()}
         for row, cid in enumerate(self._id_of):
             if cid in self._meta:
                 self._row_of[cid] = row
                 self._valid_np[row] = True
-        self._device_dirty = True
+        self._needs_rewrite = True
 
     def save(self) -> None:
-        """Atomic snapshot: compacts tombstones, writes matrix+meta+manifest."""
+        """Persist. O(change) append + manifest flip normally; a full
+        compacting generation rewrite only when the tombstone ratio crosses
+        ``VEC_COMPACT_RATIO`` (or after clear/migration)."""
         if self.readonly:
             return
         with self._lock:
-            self._compact()
-            rows = self._used()
-            tmp = self._embed_path.with_suffix(".tmp")
-            rows.astype(np.float16).tofile(tmp)
-            os.replace(tmp, self._embed_path)
-            tmpm = self._meta_path.with_suffix(".tmp")
-            with open(tmpm, "wb") as f:
-                msgpack.pack({k: v.to_msgpack() for k, v in self._meta.items()}, f)
-            os.replace(tmpm, self._meta_path)
-            manifest = {
-                "dims": self.dims,
-                "rows": int(rows.shape[0]),
-                "next_id": self._next_id,
-                "row_ids": self._id_of,
-                "dtype": "float16",
-                "version": 1,
-            }
-            tmpj = self._manifest_path.with_suffix(".tmpj")
-            tmpj.write_text(json.dumps(manifest))
-            os.replace(tmpj, self._manifest_path)
+            tomb = self._rows - int(self._used_valid().sum()) if self._rows else 0
+            if (
+                self._needs_rewrite
+                or (self._rows and tomb / self._rows > VEC_COMPACT_RATIO)
+                or not self._embed_path(self._generation).exists()
+                and self._persisted_rows > 0
+            ):
+                self._save_rewrite()
+            else:
+                self._save_append()
+
+    def _write_manifest(self, rows: int, log_bytes: int) -> None:
+        manifest = {
+            "version": 2,
+            "dims": self.dims,
+            "dtype": "float16",
+            "generation": self._generation,
+            "rows": rows,
+            "log_bytes": log_bytes,
+            "next_id": self._next_id,
+        }
+        tmpj = self._manifest_path.with_suffix(".tmpj")
+        with open(tmpj, "w") as f:
+            f.write(json.dumps(manifest))
+            _fsync_file(f)
+        os.replace(tmpj, self._manifest_path)
+        _fsync_dir(self.db_path)
+
+    def _save_append(self) -> None:
+        new_rows = self._rows - self._persisted_rows
+        if new_rows == 0 and not self._pending_log:
+            # still refresh next_id (it can advance without inserts)
+            self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
+            return
+        ep = self._embed_path(self._generation)
+        mode = "r+b" if ep.exists() else "wb"
+        with open(ep, mode) as f:
+            f.seek(self._persisted_rows * self.dims * 2)
+            self._host_rows[self._persisted_rows : self._rows].astype(
+                np.float16
+            ).tofile(f)
+            _fsync_file(f)
+        lp = self._log_path(self._generation)
+        mode = "r+b" if lp.exists() else "wb"
+        with open(lp, mode) as f:
+            f.seek(self._persisted_log_bytes)
+            blob = b"".join(self._pending_log)
+            f.write(blob)
+            _fsync_file(f)
+        self._persisted_rows = self._rows
+        self._persisted_log_bytes += len(blob)
+        self._pending_log = []
+        self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
+
+    def _save_rewrite(self) -> None:
+        """Compact into a fresh generation; the manifest rename is the single
+        atomic commit point, after which stale generations are deleted."""
+        old_gen = self._generation
+        self._compact()
+        gen = old_gen + 1
+        with open(self._embed_path(gen), "wb") as f:
+            self._used().astype(np.float16).tofile(f)
+            _fsync_file(f)
+        log_bytes = 0
+        with open(self._log_path(gen), "wb") as f:
+            for cid in self._id_of:
+                rec = self._pack_add(cid, self._meta[cid])
+                f.write(rec)
+                log_bytes += len(rec)
+            _fsync_file(f)
+        self._generation = gen
+        self._persisted_rows = self._rows
+        self._persisted_log_bytes = log_bytes
+        self._pending_log = []
+        self._needs_rewrite = False
+        self._write_manifest(self._rows, log_bytes)
+        for p in (
+            self._embed_path(old_gen), self._log_path(old_gen),
+            self.db_path / VEC_EMBED_FILE, self.db_path / VEC_META_FILE,
+        ):
+            try:
+                p.unlink()
+            except OSError:
+                pass
 
     def _compact(self) -> None:
-        """Drop tombstoned rows from host state (device rebuilt on demand)."""
+        """Drop tombstoned rows from host state; row indices change, so the
+        device matrix re-uploads in full on next use."""
         if self._valid_np is None or bool(self._used_valid().all()):
             return
         keep = np.nonzero(self._used_valid())[0]
@@ -235,7 +412,9 @@ class VectorStore:
         self._valid_np = np.ones(len(keep), bool)
         self._rows = len(keep)
         self._row_of = {cid: i for i, cid in enumerate(self._id_of)}
-        self._device_dirty = True
+        self._device = None
+        self._dev_rows = 0
+        self._dev_pending_del = []
 
     # ------------------------------------------------------------------
     # writes
@@ -270,6 +449,7 @@ class VectorStore:
                 row = self._row_of.pop(cid, None)
                 if row is not None:
                     self._valid_np[row] = False
+                    self._dev_pending_del.append(row)
             base = self._rows
             if base + n > VEC_MAX_CAPACITY:
                 raise DatabaseError("vector store at max capacity")
@@ -288,7 +468,7 @@ class VectorStore:
                 self._meta[cid] = meta
                 self._row_of[cid] = base + i
                 self._id_of.append(cid)
-            self._device_dirty = True
+                self._pending_log.append(self._pack_add(cid, meta))
             return ids
 
     def delete_chunks(self, ids: list[int]) -> int:
@@ -300,10 +480,10 @@ class VectorStore:
                 row = self._row_of.pop(cid, None)
                 if row is not None:
                     self._valid_np[row] = False
+                    self._dev_pending_del.append(row)
                     removed += 1
-                self._meta.pop(cid, None)
-            if removed:
-                self._device_dirty = True
+                if self._meta.pop(cid, None) is not None or row is not None:
+                    self._pending_log.append(self._pack_del(cid))
         return removed
 
     def clear(self) -> None:
@@ -315,48 +495,89 @@ class VectorStore:
             self._valid_np = np.zeros((0,), bool)
             self._rows = 0
             self._next_id = 0
-            self._device_dirty = True
+            self._pending_log = []
+            self._needs_rewrite = True
+            self._device = None
+            self._dev_rows = 0
+            self._dev_pending_del = []
             self.save()
 
     def build_index(self) -> None:
         """O(1): flush staged rows to device. (Parity shim for the
         reference's arroy tree build, which brute-force search obviates.)"""
-        self._ensure_device()
+        with self._lock:
+            self._ensure_device()
 
     # ------------------------------------------------------------------
     # device state + search
     # ------------------------------------------------------------------
 
-    def _ensure_device(self):
+    def _upload_full(self):
+        """Full host→device upload at power-of-two padded capacity."""
         import jax.numpy as jnp
 
+        rows = self._used()
+        n = self._rows
+        # pad to a power-of-two row count so insert batches don't force
+        # a recompile per search (few distinct shapes)
+        cap = max(VEC_INITIAL_CAPACITY, 1 << max(0, (n - 1).bit_length()))
+        padded = np.zeros((cap, self.dims), np.float32)
+        padded[:n] = rows
+        valid = np.zeros((cap,), bool)
+        valid[:n] = self._used_valid()
+        if self.int8:
+            # quantize on host: a device f32 staging copy at 10M rows
+            # (15 GB) would not fit HBM; only int8 + scales transfer
+            absmax = np.abs(padded).max(axis=1)
+            scale = np.maximum(absmax, 1e-12) / 127.0
+            q = np.clip(
+                np.round(padded / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self._device = (
+                "int8", jnp.asarray(q), jnp.asarray(scale, jnp.float32),
+                jnp.asarray(valid),
+            )
+        else:
+            self._device = ("bf16", jnp.asarray(padded, jnp.bfloat16), None, jnp.asarray(valid))
+        self._dev_rows = n
+        self._dev_pending_del = []
+        self.full_uploads += 1
+        return self._device
+
+    def _ensure_device(self):
+        """Sync device state with host: incremental dynamic_update_slice for
+        appended rows + tombstone scatter for deletes; full re-upload only
+        when capacity overflows or after compaction."""
+        from . import device_ops
+
         with self._lock:
-            if not self._device_dirty and self._device is not None:
-                return self._device
-            rows = self._used()
-            n = self._rows
-            # pad to a power-of-two row count so insert batches don't force
-            # a recompile per search (few distinct shapes)
-            cap = max(VEC_INITIAL_CAPACITY, 1 << max(0, (n - 1).bit_length()))
-            padded = np.zeros((cap, self.dims), np.float32)
-            padded[:n] = rows
-            valid = np.zeros((cap,), bool)
-            valid[:n] = self._used_valid()
-            if self.int8:
-                # quantize on host: a device f32 staging copy at 10M rows
-                # (15 GB) would not fit HBM; only int8 + scales transfer
-                absmax = np.abs(padded).max(axis=1)
-                scale = np.maximum(absmax, 1e-12) / 127.0
-                q = np.clip(
-                    np.round(padded / scale[:, None]), -127, 127
-                ).astype(np.int8)
-                self._device = (
-                    "int8", jnp.asarray(q), jnp.asarray(scale, jnp.float32),
-                    jnp.asarray(valid),
-                )
-            else:
-                self._device = ("bf16", jnp.asarray(padded, jnp.bfloat16), None, jnp.asarray(valid))
-            self._device_dirty = False
+            if self._device is None:
+                return self._upload_full()
+            kind, mat, scale, valid = self._device
+            cap = mat.shape[0]
+            new = self._rows - self._dev_rows
+            if new and self._dev_rows + device_ops.pow2(new) > cap:
+                return self._upload_full()
+            if new:
+                rows = self._host_rows[self._dev_rows : self._rows]
+                vr = self._valid_np[self._dev_rows : self._rows]
+                if kind == "int8":
+                    mat, scale, valid = device_ops.insert_rows_int8(
+                        mat, scale, valid, rows, vr, self._dev_rows
+                    )
+                else:
+                    mat, valid = device_ops.insert_rows(
+                        mat, valid, rows, vr, self._dev_rows
+                    )
+                self._dev_rows = self._rows
+                self.incremental_updates += 1
+            if self._dev_pending_del:
+                dels = [r for r in self._dev_pending_del if r < cap]
+                if dels:
+                    valid = device_ops.invalidate_rows(valid, dels, cap)
+                    self.incremental_updates += 1
+                self._dev_pending_del = []
+            self._device = (kind, mat, scale, valid)
             return self._device
 
     def search_batch(
@@ -371,18 +592,20 @@ class VectorStore:
 
         if query_vecs.ndim == 1:
             query_vecs = query_vecs[None, :]
+        # hold the lock through dispatch: a concurrent insert donates the
+        # device buffers, which must not race the kernel's argument capture
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
-        if n_valid == 0:
-            return [[] for _ in range(query_vecs.shape[0])]
-        dev = self._ensure_device()
-        k = min(limit, max(1, n_valid))
-        if dev[0] == "int8":
-            vals, idx = cosine_topk_int8(
-                jnp.asarray(query_vecs), dev[1], dev[2], dev[3], k
-            )
-        else:
-            vals, idx = cosine_topk(jnp.asarray(query_vecs), dev[1], dev[3], k)
+            if n_valid == 0:
+                return [[] for _ in range(query_vecs.shape[0])]
+            dev = self._ensure_device()
+            k = min(limit, max(1, n_valid))
+            if dev[0] == "int8":
+                vals, idx = cosine_topk_int8(
+                    jnp.asarray(query_vecs), dev[1], dev[2], dev[3], k
+                )
+            else:
+                vals, idx = cosine_topk(jnp.asarray(query_vecs), dev[1], dev[3], k)
         return self._materialize(vals, idx)
 
     def _materialize(self, vals, idx) -> list[list[SearchResult]]:
@@ -419,18 +642,18 @@ class VectorStore:
 
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
-        if n_valid == 0:
-            return [[] for _ in range(ids.shape[0])]
-        dev = self._ensure_device()
-        k = min(limit, max(1, n_valid))
-        if dev[0] == "int8":
-            vals, idx = hash_embed_search_int8(
-                table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[2], dev[3], k
-            )
-        else:
-            vals, idx = hash_embed_search(
-                table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[3], k
-            )
+            if n_valid == 0:
+                return [[] for _ in range(ids.shape[0])]
+            dev = self._ensure_device()
+            k = min(limit, max(1, n_valid))
+            if dev[0] == "int8":
+                vals, idx = hash_embed_search_int8(
+                    table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[2], dev[3], k
+                )
+            else:
+                vals, idx = hash_embed_search(
+                    table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[3], k
+                )
         return self._materialize(vals, idx)
 
     def search(self, query_vec: np.ndarray, limit: int) -> list[SearchResult]:
@@ -458,8 +681,10 @@ class VectorStore:
             n = len(self._meta)
             rows = self._rows
             tomb = rows - (int(self._used_valid().sum()) if self._valid_np is not None else 0)
-            disk = self._embed_path.stat().st_size if self._embed_path.exists() else 0
-            disk += self._meta_path.stat().st_size if self._meta_path.exists() else 0
+            disk = 0
+            for p in (self._embed_path(self._generation), self._log_path(self._generation)):
+                if p.exists():
+                    disk += p.stat().st_size
             bytes_per = 1 if self.int8 else 2
             return StoreStats(
                 chunk_count=n,

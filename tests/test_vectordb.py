@@ -158,3 +158,120 @@ class TestBatchAndStats:
         )
         res = s.search(_norm(np.asarray([1, 0, 0, 0], np.float32)), 2)
         assert res[0].metadata.content == "c0"
+
+
+class TestIncrementalPersistence:
+    """VERDICT round-1 item 1: editing one file in a large index must move
+    O(file) bytes on disk and device — no full-matrix rewrite/re-upload."""
+
+    def test_save_appends_not_rewrites(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _norm(np.random.default_rng(0).normal(size=(100, 4)).astype(np.float32)),
+            [_meta(content=f"c{i}") for i in range(100)],
+        )
+        s.save()
+        ep = s._embed_path(s._generation)
+        lp = s._log_path(s._generation)
+        size0, log0, gen0 = ep.stat().st_size, lp.stat().st_size, s._generation
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0, 1, 0, 0]), [_meta(content="x"), _meta(content="y")]
+        )
+        s.save()
+        assert s._generation == gen0, "no compaction should have run"
+        assert ep.stat().st_size == size0 + 2 * 4 * 2, "exactly 2 fp16 rows appended"
+        assert lp.stat().st_size > log0
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 102
+
+    def test_delete_is_o_change_until_ratio(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _norm(np.random.default_rng(0).normal(size=(100, 4)).astype(np.float32)),
+            [_meta(content=f"c{i}") for i in range(100)],
+        )
+        s.save()
+        gen0 = s._generation
+        ep_size0 = s._embed_path(gen0).stat().st_size
+        s.delete_chunks([0, 1])  # 2% tombstones — below compact ratio
+        s.save()
+        assert s._generation == gen0
+        assert s._embed_path(gen0).stat().st_size == ep_size0  # rows stay; log records the dels
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 98
+        assert s2.get_chunk(0) is None
+        # crossing the ratio compacts into a new generation
+        s.delete_chunks(list(range(2, 40)))
+        s.save()
+        assert s._generation == gen0 + 1
+        assert s.stats().tombstones == 0
+        assert not s._embed_path(gen0).exists(), "stale generation removed"
+
+    def test_device_update_is_incremental(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _norm(np.random.default_rng(1).normal(size=(64, 4)).astype(np.float32)),
+            [_meta(content=f"c{i}") for i in range(64)],
+        )
+        q = _norm(np.asarray([1.0, 0, 0, 0], np.float32))
+        s.search(q, 5)
+        assert s.full_uploads == 1
+        # the "watcher edits one file" path: delete + insert + search
+        s.delete_chunks([3])
+        s.insert_chunks_with_ids(_embs([1, 0, 0, 0]), [_meta(content="edited")], ids=[3])
+        res = s.search(q, 5)
+        assert s.full_uploads == 1, "no full HBM re-upload on an incremental edit"
+        assert s.incremental_updates >= 1
+        assert res[0].chunk_id == 3
+        assert res[0].metadata.content == "edited"
+
+    def test_device_update_is_incremental_int8(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4, int8=True)
+        s.insert_chunks_with_ids(
+            _norm(np.random.default_rng(2).normal(size=(32, 4)).astype(np.float32)),
+            [_meta(content=f"c{i}") for i in range(32)],
+        )
+        q = _norm(np.asarray([0, 0, 1.0, 0], np.float32))
+        s.search(q, 3)
+        assert s.full_uploads == 1
+        s.insert_chunks_with_ids(_embs([0, 0, 1, 0]), [_meta(content="new")])
+        res = s.search(q, 3)
+        assert s.full_uploads == 1
+        assert res[0].metadata.content == "new"
+
+    def test_crash_mid_append_recovers_to_manifest(self, tmp_path):
+        s = VectorStore(tmp_path / "db", dims=4)
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0], [0, 1, 0, 0]), [_meta(content="a"), _meta(content="b")]
+        )
+        s.save()
+        # simulate a crash: data appended but manifest never flipped
+        with open(s._embed_path(s._generation), "ab") as f:
+            f.write(np.zeros(4, np.float16).tobytes())
+        with open(s._log_path(s._generation), "ab") as f:
+            f.write(b"\x93\xa1a\x01\x80")  # ("a", 1, {}) fragmentish garbage
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 2
+        assert {m.content for m in (s2.get_chunk(0), s2.get_chunk(1))} == {"a", "b"}
+
+    def test_v1_layout_migrates(self, tmp_path):
+        import json, msgpack
+        db = tmp_path / "db"
+        db.mkdir()
+        rows = _embs([1, 0, 0, 0], [0, 1, 0, 0])
+        rows.astype(np.float16).tofile(db / "embeddings.bin")
+        with open(db / "chunkmeta.msgpack", "wb") as f:
+            msgpack.pack(
+                {0: _meta(content="old-a").to_msgpack(), 1: _meta(content="old-b").to_msgpack()}, f
+            )
+        (db / "vectors.json").write_text(json.dumps(
+            {"version": 1, "dims": 4, "rows": 2, "next_id": 2,
+             "row_ids": [0, 1], "dtype": "float16"}
+        ))
+        s = VectorStore(db, dims=4)
+        assert len(s) == 2
+        assert s.get_chunk(0).content == "old-a"
+        s.save()  # migrates to generational layout
+        assert not (db / "embeddings.bin").exists()
+        s2 = VectorStore(db, dims=4)
+        assert len(s2) == 2 and s2.next_id() == 2
