@@ -1,13 +1,27 @@
-"""BM25 full-text store.
+"""BM25 full-text store — segmented, with device scoring.
 
-Replaces tantivy (src/fts/tantivy_store.rs) with a columnar postings engine
-built for large corpora: postings accumulate as parallel numpy buffers
-(term hash, doc id, tf_content, tf_signature) with geometric growth, and
-``commit`` sorts them into CSR form (unique terms + offsets) persisted as
-one .npz with atomic replace. Scoring walks each query term's CSR range and
-accumulates BM25 into a dense score vector — no Python loops over postings.
-There is no background merge thread to crash (the NoMergePolicy /
-"writer was killed" machinery of the reference disappears).
+Replaces tantivy (src/fts/tantivy_store.rs) with an LSM-style columnar
+postings engine built for large corpora:
+
+- Writes accumulate in growable buffers; ``commit`` sorts ONLY the new
+  postings into an immutable CSR *segment* (O(new log new)) and merges
+  segments geometrically (tantivy-style), so a full index run costs
+  O(n log n) total instead of re-sorting everything per commit.
+- Documents get monotonically increasing internal numbers (``dnum``);
+  re-adding a chunk id mints a fresh dnum, so stale postings in old
+  segments reference dead dnums and are filtered by liveness — no
+  tombstone rescans; exactly Lucene/tantivy's doc-id discipline.
+- The doc store is columnar (parallel numpy buffers + a path list), so
+  the dense scoring view rebuilds as O(n) vectorized copies, not a
+  Python loop.
+- Persistence is O(change): immutable ``seg-<n>.npz`` files + an
+  append-only msgpack doc log, committed by atomically renaming a tiny
+  JSON manifest that records the segment list and the log's valid byte
+  prefix (one rename flips the snapshot; crash leftovers are pruned).
+- Scoring: the host gathers the query terms' CSR ranges (contiguous
+  numpy slices) and computes per-posting contributions vectorized; the
+  O(N)-dense accumulation + kind boost + top-k run as ONE device dispatch
+  (``ops/bm25.py``) on large corpora, or np.bincount on small ones.
 
 Query semantics parity:
 - ``search``: BM25 with signature terms boosted ×2 and a ×3 score boost for
@@ -21,7 +35,9 @@ tantivy are immaterial.
 
 from __future__ import annotations
 
-import math
+import contextlib
+import io
+import json
 import os
 import threading
 from dataclasses import dataclass
@@ -42,6 +58,10 @@ _SIG_BOOST = 2.0
 _KIND_BOOST = 3.0
 _EXACT_SIG_BOOST = 3.0
 
+MAX_SEGMENTS = 12          # hard cap — beyond it the two smallest merge
+MERGE_RATIO = 2.0          # similar-size segments merge eagerly
+DEVICE_MIN_DOCS = 50_000   # below this, host bincount beats a dispatch
+
 
 def _to_i64(h: int) -> int:
     """Unsigned 64-bit hash → signed-int64 key (matches the native tier)."""
@@ -60,6 +80,10 @@ def term_keys(text: str) -> np.ndarray:
     if not toks:
         return np.zeros(0, np.int64)
     return np.asarray([_to_i64(stable_u64(t)) for t in toks], np.int64)
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
 
 
 @dataclass
@@ -87,42 +111,153 @@ class _GrowBuf:
         self.a[self.n : need] = values
         self.n = need
 
+    def append(self, v) -> int:
+        if self.n + 1 > len(self.a):
+            grown = np.zeros(2 * len(self.a), self.a.dtype)
+            grown[: self.n] = self.a[: self.n]
+            self.a = grown
+        self.a[self.n] = v
+        self.n += 1
+        return self.n - 1
+
     def view(self) -> np.ndarray:
         return self.a[: self.n]
 
 
+class Segment:
+    """Immutable CSR postings block: unique sorted terms + offsets into
+    parallel (dnum, tf_content, tf_signature) arrays."""
+
+    __slots__ = ("name", "terms", "offsets", "dnums", "tfc", "tfs")
+
+    def __init__(self, terms, offsets, dnums, tfc, tfs, name: str | None = None):
+        self.name = name           # npz filename once persisted; None = memory-only
+        self.terms = terms
+        self.offsets = offsets
+        self.dnums = dnums
+        self.tfc = tfc
+        self.tfs = tfs
+
+    def __len__(self) -> int:
+        return int(len(self.dnums))
+
+    def term_range(self, key: int) -> tuple[int, int]:
+        i = int(np.searchsorted(self.terms, key))
+        if i >= len(self.terms) or self.terms[i] != key:
+            return 0, 0
+        return int(self.offsets[i]), int(self.offsets[i + 1])
+
+    @classmethod
+    def from_triples(cls, terms, dnums, tfc, tfs) -> "Segment":
+        order = np.argsort(terms, kind="stable")
+        terms, dnums = terms[order], dnums[order]
+        tfc, tfs = tfc[order], tfs[order]
+        uniq, counts = np.unique(terms, return_counts=True)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return cls(uniq, offsets, dnums, tfc, tfs)
+
+    def flat_terms(self) -> np.ndarray:
+        return np.repeat(self.terms, np.diff(self.offsets))
+
+
 class FtsStore:
-    INDEX_FILE = "index.msgpack"      # doc store (id → len, kind, path)
-    POSTINGS_FILE = "postings.npz"    # CSR postings
+    MANIFEST_FILE = "fts.json"
+    DOCLOG_FILE = "docs.log"
+    # legacy (round-1) layout, auto-migrated on first commit
+    LEGACY_INDEX_FILE = "index.msgpack"
+    LEGACY_POSTINGS_FILE = "postings.npz"
 
     def __init__(self, directory: str | Path, readonly: bool = False):
         self.dir = Path(directory)
         self.readonly = readonly
         self._lock = threading.RLock()
-        # doc store
-        self._docs: dict[int, tuple[int, str, str]] = {}  # doc → (len, kind, path)
-        # committed CSR postings
-        self._uniq_terms = np.zeros(0, np.int64)
-        self._offsets = np.zeros(1, np.int64)
-        self._p_docs = np.zeros(0, np.int64)
-        self._p_tfc = np.zeros(0, np.int32)
-        self._p_tfs = np.zeros(0, np.int32)
-        # uncommitted postings (appended since last commit)
+        # columnar doc store, indexed by slot (append-only; len -1 = dead)
+        self._doc_dnum = _GrowBuf(np.int64)
+        self._doc_len = _GrowBuf(np.int32)
+        self._doc_kid = _GrowBuf(np.int32)
+        self._doc_cid = _GrowBuf(np.int64)
+        self._doc_path: list[str] = []
+        self._slot_of: dict[int, int] = {}     # live dnum → slot
+        self._c2d: dict[int, int] = {}         # chunk id → live dnum
+        self._n_live = 0
+        self._kind_vocab: dict[str, int] = {}
+        self._kind_names: list[str] = []
+        self._next_dnum = 0
+        self._next_seg = 0
+        self._segments: list[Segment] = []
+        # uncommitted postings (appended since last flush)
         self._new_terms = _GrowBuf(np.int64)
-        self._new_docs = _GrowBuf(np.int64)
+        self._new_dnums = _GrowBuf(np.int64)
         self._new_tfc = _GrowBuf(np.int32)
         self._new_tfs = _GrowBuf(np.int32)
-        self._deleted: set[int] = set()
-        self._dirty = False
+        self._dead_since_flush: set[int] = set()
+        # persistence cursors
+        self._pending_doclog: list[bytes] = []
+        self._persisted_log_bytes = 0
+        self._log_dead = 0             # "d" records in the persisted log
+        self._needs_rewrite = False
+        # dense scoring view over live docs (rebuilt lazily, vectorized)
+        self._dense_dirty = True
+        self._dnums_sorted = np.zeros(0, np.int64)
+        self._len_arr = np.zeros(0, np.float32)
+        self._kind_arr = np.zeros(0, np.int32)
+        self._cid_arr = np.zeros(0, np.int64)
+        self._path_idx = np.zeros(0, np.int64)   # dense pos → slot
         self._avg_len = 1.0
-        # dense scoring view (rebuilt at merge): sorted live doc ids +
-        # aligned lengths, so scoring is pure vectorized numpy
-        self._doc_ids_sorted = np.zeros(0, np.int64)
-        self._doc_len_arr = np.zeros(0, np.float32)
+        # device view of the dense arrays
+        self._dev = None
+        self._dev_dirty = True
+        self.device_min_docs = DEVICE_MIN_DOCS
         if self.dir.exists():
             self._load()
         elif not readonly:
             self.dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # doc store helpers
+    # ------------------------------------------------------------------
+
+    def _kind_id(self, kind: str) -> int:
+        kid = self._kind_vocab.get(kind)
+        if kid is None:
+            kid = len(self._kind_names)
+            self._kind_vocab[kind] = kid
+            self._kind_names.append(kind)
+        return kid
+
+    def _add_doc(self, dnum: int, cid: int, length: int, kind: str, path: str) -> None:
+        old = self._c2d.pop(cid, None)
+        if old is not None:
+            self._kill_dnum(old)
+        slot = self._doc_dnum.append(dnum)
+        self._doc_len.append(length)
+        self._doc_kid.append(self._kind_id(kind))
+        self._doc_cid.append(cid)
+        self._doc_path.append(path)
+        self._slot_of[dnum] = slot
+        self._c2d[cid] = dnum
+        self._n_live += 1
+        self._dense_dirty = True
+
+    def _kill_dnum(self, dnum: int) -> None:
+        slot = self._slot_of.pop(dnum, None)
+        if slot is not None:
+            self._doc_len.a[slot] = -1
+            self._n_live -= 1
+            self._dead_since_flush.add(dnum)
+            self._dense_dirty = True
+
+    def _doc(self, dnum: int):
+        """(len, kind, path, chunk_id) for a live dnum, else None."""
+        slot = self._slot_of.get(dnum)
+        if slot is None:
+            return None
+        return (
+            int(self._doc_len.a[slot]),
+            self._kind_names[int(self._doc_kid.a[slot])],
+            self._doc_path[slot],
+            int(self._doc_cid.a[slot]),
+        )
 
     # ------------------------------------------------------------------
     # writes
@@ -137,179 +272,383 @@ class FtsStore:
         kind: str = "",
     ) -> None:
         with self._lock:
-            if chunk_id in self._docs:
-                self.delete_chunk(chunk_id)
+            dnum = self._next_dnum
+            self._next_dnum += 1
             c_keys = term_keys(content)
             s_keys = term_keys(signature or "")
-            doc_len = len(c_keys) + len(s_keys)
-            self._docs[chunk_id] = (max(doc_len, 1), kind, path)
-            # per-term tf for this doc
+            doc_len = max(len(c_keys) + len(s_keys), 1)
+            self._add_doc(dnum, chunk_id, doc_len, kind, path)
+            self._pending_doclog.append(
+                msgpack.packb(("a", dnum, chunk_id, doc_len, kind, path),
+                              use_bin_type=True)
+            )
             all_keys = np.concatenate([c_keys, s_keys]) if len(s_keys) else c_keys
-            if len(all_keys) == 0:
-                self._dirty = True
-                return
-            uniq, inv = np.unique(all_keys, return_inverse=True)
-            tfc = np.zeros(len(uniq), np.int32)
-            tfs = np.zeros(len(uniq), np.int32)
-            np.add.at(tfc, inv[: len(c_keys)], 1)
-            if len(s_keys):
-                np.add.at(tfs, inv[len(c_keys):], 1)
-            self._new_terms.extend(uniq)
-            self._new_docs.extend(np.full(len(uniq), chunk_id, np.int64))
-            self._new_tfc.extend(tfc)
-            self._new_tfs.extend(tfs)
-            self._dirty = True
+            if len(all_keys):
+                uniq, inv = np.unique(all_keys, return_inverse=True)
+                tfc = np.zeros(len(uniq), np.int32)
+                tfs = np.zeros(len(uniq), np.int32)
+                np.add.at(tfc, inv[: len(c_keys)], 1)
+                if len(s_keys):
+                    np.add.at(tfs, inv[len(c_keys):], 1)
+                self._new_terms.extend(uniq)
+                self._new_dnums.extend(np.full(len(uniq), dnum, np.int64))
+                self._new_tfc.extend(tfc)
+                self._new_tfs.extend(tfs)
 
     def delete_chunk(self, chunk_id: int) -> None:
         with self._lock:
-            if chunk_id not in self._docs:
+            dnum = self._c2d.pop(chunk_id, None)
+            if dnum is None:
                 return
-            del self._docs[chunk_id]
-            # committed postings die at merge via the tombstone set;
-            # uncommitted postings purge immediately (so a subsequent re-add
-            # of the same id — the replace path — survives the tombstone)
-            self._deleted.add(chunk_id)
-            if self._new_docs.n:
-                keep = self._new_docs.view() != chunk_id
-                if not keep.all():
-                    for buf in (self._new_terms, self._new_docs,
-                                self._new_tfc, self._new_tfs):
-                        kept = buf.view()[keep]
-                        buf.n = 0
-                        buf.extend(kept)
-            self._dirty = True
+            self._kill_dnum(dnum)
+            self._pending_doclog.append(
+                msgpack.packb(("d", dnum), use_bin_type=True)
+            )
 
     def clear(self) -> None:
         with self._lock:
-            self._docs = {}
-            self._uniq_terms = np.zeros(0, np.int64)
-            self._offsets = np.zeros(1, np.int64)
-            self._p_docs = np.zeros(0, np.int64)
-            self._p_tfc = np.zeros(0, np.int32)
-            self._p_tfs = np.zeros(0, np.int32)
-            self._new_terms = _GrowBuf(np.int64)
-            self._new_docs = _GrowBuf(np.int64)
-            self._new_tfc = _GrowBuf(np.int32)
-            self._new_tfs = _GrowBuf(np.int32)
-            self._deleted = set()
-            self._avg_len = 1.0
+            self.__init_empty()
+            self._needs_rewrite = True
             self.commit()
 
+    def __init_empty(self) -> None:
+        self._doc_dnum = _GrowBuf(np.int64)
+        self._doc_len = _GrowBuf(np.int32)
+        self._doc_kid = _GrowBuf(np.int32)
+        self._doc_cid = _GrowBuf(np.int64)
+        self._doc_path = []
+        self._slot_of = {}
+        self._c2d = {}
+        self._n_live = 0
+        self._segments = []
+        self._new_terms = _GrowBuf(np.int64)
+        self._new_dnums = _GrowBuf(np.int64)
+        self._new_tfc = _GrowBuf(np.int32)
+        self._new_tfs = _GrowBuf(np.int32)
+        self._dead_since_flush = set()
+        self._pending_doclog = []
+        self._dense_dirty = True
+        self._dev_dirty = True
+
+    # ------------------------------------------------------------------
+    # segment lifecycle
+    # ------------------------------------------------------------------
+
+    def _flush_mem(self) -> None:
+        """Sort uncommitted postings into a memory-only segment, dropping
+        postings whose dnum died since they were buffered. O(new log new) —
+        never touches committed segments or the dense view."""
+        if self._new_terms.n == 0:
+            self._dead_since_flush.clear()
+            return
+        terms = self._new_terms.view().copy()
+        dnums = self._new_dnums.view().copy()
+        tfc = self._new_tfc.view().copy()
+        tfs = self._new_tfs.view().copy()
+        self._new_terms = _GrowBuf(np.int64)
+        self._new_dnums = _GrowBuf(np.int64)
+        self._new_tfc = _GrowBuf(np.int32)
+        self._new_tfs = _GrowBuf(np.int32)
+        if self._dead_since_flush:
+            dead = np.fromiter(self._dead_since_flush, np.int64,
+                               len(self._dead_since_flush))
+            live = ~np.isin(dnums, dead)
+            terms, dnums = terms[live], dnums[live]
+            tfc, tfs = tfc[live], tfs[live]
+        self._dead_since_flush.clear()
+        if len(terms):
+            self._segments.append(Segment.from_triples(terms, dnums, tfc, tfs))
+
+    def _liveness(self, dnums: np.ndarray) -> np.ndarray:
+        """Vectorized live-dnum mask against the dense view (exact)."""
+        self._ensure_dense()
+        if self._dnums_sorted.size == 0:
+            return np.zeros(len(dnums), bool)
+        pos = np.searchsorted(self._dnums_sorted, dnums).clip(
+            0, self._dnums_sorted.size - 1
+        )
+        return self._dnums_sorted[pos] == dnums
+
+    def _merge_segments(self, victims: list[Segment]) -> Segment:
+        """k-way merge (concatenate + stable resort), dropping dead postings."""
+        terms = np.concatenate([s.flat_terms() for s in victims])
+        dnums = np.concatenate([s.dnums for s in victims])
+        tfc = np.concatenate([s.tfc for s in victims])
+        tfs = np.concatenate([s.tfs for s in victims])
+        live = self._liveness(dnums)
+        if not live.all():
+            terms, dnums, tfc, tfs = terms[live], dnums[live], tfc[live], tfs[live]
+        return Segment.from_triples(terms, dnums, tfc, tfs)
+
+    def _maybe_merge(self) -> None:
+        """Geometric merge policy: similar-sized segments merge (ratio 2),
+        and the two smallest always merge past the hard cap — amortized
+        O(n log n) over any insert sequence (replaces tantivy's background
+        merge machinery, tantivy_store.rs:154-189, minus the crashy thread)."""
+        while len(self._segments) > 1:
+            self._segments.sort(key=len, reverse=True)
+            s1, s2 = self._segments[-1], self._segments[-2]
+            if len(self._segments) > MAX_SEGMENTS or len(s1) * MERGE_RATIO >= len(s2):
+                merged = self._merge_segments([s2, s1])
+                self._segments = self._segments[:-2] + [merged]
+            else:
+                break
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> Path:
+        return self.dir / self.MANIFEST_FILE
+
+    @property
+    def _doclog_path(self) -> Path:
+        return self.dir / self.DOCLOG_FILE
+
     def commit(self) -> None:
-        """Merge new postings into CSR form + persist atomically."""
+        """Flush new postings to a segment, run the merge policy, persist
+        changed segments + doc-log delta, flip the manifest atomically."""
         if self.readonly:
             return
         with self._lock:
-            self._merge()
-            tmp = self.dir / (self.POSTINGS_FILE + ".tmp.npz")
-            np.savez(
-                tmp,
-                uniq_terms=self._uniq_terms,
-                offsets=self._offsets,
-                p_docs=self._p_docs,
-                p_tfc=self._p_tfc,
-                p_tfs=self._p_tfs,
-            )
-            os.replace(tmp, self.dir / self.POSTINGS_FILE)
-            tmp2 = self.dir / (self.INDEX_FILE + ".tmp")
-            with open(tmp2, "wb") as f:
-                msgpack.pack(
-                    {"docs": {d: list(v) for d, v in self._docs.items()}, "version": 2},
-                    f,
+            self._flush_mem()
+            self._maybe_merge()
+            self.dir.mkdir(parents=True, exist_ok=True)
+            # 1. write any memory-only segments
+            for seg in self._segments:
+                if seg.name is None:
+                    seg.name = f"seg-{self._next_seg}.npz"
+                    self._next_seg += 1
+                    tmp = self.dir / (seg.name + ".tmp.npz")
+                    np.savez(tmp, terms=seg.terms, offsets=seg.offsets,
+                             dnums=seg.dnums, tfc=seg.tfc, tfs=seg.tfs)
+                    os.replace(tmp, self.dir / seg.name)
+            # 2. doc log: append, or rewrite when dead records dominate
+            if self._needs_rewrite or (
+                self._log_dead > 0.25 * max(self._n_live, 64)
+            ):
+                self._ensure_dense()
+                parts = []
+                for i in range(self._dnums_sorted.size):
+                    slot = int(self._path_idx[i])
+                    parts.append(msgpack.packb(
+                        ("a", int(self._dnums_sorted[i]), int(self._cid_arr[i]),
+                         int(self._len_arr[i]),
+                         self._kind_names[int(self._kind_arr[i])],
+                         self._doc_path[slot]),
+                        use_bin_type=True,
+                    ))
+                blob = b"".join(parts)
+                tmp = self._doclog_path.with_suffix(".tmp")
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._doclog_path)
+                self._persisted_log_bytes = len(blob)
+                self._log_dead = 0
+                self._pending_doclog = []
+                self._needs_rewrite = False
+            elif self._pending_doclog:
+                blob = b"".join(self._pending_doclog)
+                mode = "r+b" if self._doclog_path.exists() else "wb"
+                with open(self._doclog_path, mode) as f:
+                    f.seek(self._persisted_log_bytes)
+                    f.write(blob)
+                    f.flush()
+                    os.fsync(f.fileno())
+                self._log_dead += sum(
+                    1 for r in self._pending_doclog if r.startswith(b"\x92\xa1d")
                 )
-            os.replace(tmp2, self.dir / self.INDEX_FILE)
-            self._dirty = False
-
-    def _merge(self) -> None:
-        """Fold uncommitted postings + deletions into the CSR arrays."""
-        has_new = self._new_terms.n > 0
-        if not has_new and not self._deleted:
-            self._recompute_avg_len()
-            return
-        # flatten CSR back to triples, drop tombstoned docs from the
-        # COMMITTED part only (uncommitted buffers were purged at delete
-        # time), append new, re-sort
-        old_terms = np.repeat(self._uniq_terms, np.diff(self._offsets))
-        old_docs, old_tfc, old_tfs = self._p_docs, self._p_tfc, self._p_tfs
-        if self._deleted:
-            dead = np.asarray(sorted(self._deleted), np.int64)
-            keep = ~np.isin(old_docs, dead)
-            old_terms = old_terms[keep]
-            old_docs, old_tfc, old_tfs = old_docs[keep], old_tfc[keep], old_tfs[keep]
-            self._deleted.clear()
-        terms = np.concatenate([old_terms, self._new_terms.view()])
-        docs = np.concatenate([old_docs, self._new_docs.view()])
-        tfc = np.concatenate([old_tfc, self._new_tfc.view()])
-        tfs = np.concatenate([old_tfs, self._new_tfs.view()])
-        order = np.argsort(terms, kind="stable")
-        terms, docs, tfc, tfs = terms[order], docs[order], tfc[order], tfs[order]
-        self._uniq_terms, counts = np.unique(terms, return_counts=True)
-        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        self._p_docs, self._p_tfc, self._p_tfs = docs, tfc, tfs
-        self._new_terms = _GrowBuf(np.int64)
-        self._new_docs = _GrowBuf(np.int64)
-        self._new_tfc = _GrowBuf(np.int32)
-        self._new_tfs = _GrowBuf(np.int32)
-        self._recompute_avg_len()
-
-    def _recompute_avg_len(self) -> None:
-        if self._docs:
-            self._avg_len = sum(l for l, _, _ in self._docs.values()) / len(self._docs)
-            ids = np.fromiter(self._docs.keys(), np.int64, len(self._docs))
-            order = np.argsort(ids)
-            self._doc_ids_sorted = ids[order]
-            lens = np.fromiter(
-                (self._docs[int(d)][0] for d in self._doc_ids_sorted),
-                np.float32, len(self._doc_ids_sorted),
-            )
-            self._doc_len_arr = lens
-        else:
-            self._avg_len = 1.0
-            self._doc_ids_sorted = np.zeros(0, np.int64)
-            self._doc_len_arr = np.zeros(0, np.float32)
+                self._persisted_log_bytes += len(blob)
+                self._pending_doclog = []
+            # 3. manifest rename = the commit point
+            manifest = {
+                "version": 3,
+                "segments": [s.name for s in self._segments],
+                "log_bytes": self._persisted_log_bytes,
+                "next_dnum": self._next_dnum,
+                "next_seg": self._next_seg,
+            }
+            tmpj = self._manifest_path.with_suffix(".tmpj")
+            with open(tmpj, "w") as f:
+                f.write(json.dumps(manifest))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmpj, self._manifest_path)
+            # 4. prune files no longer referenced (merged-away segments,
+            # legacy layout, crashed tmp files)
+            keep = {s.name for s in self._segments}
+            for p in self.dir.glob("seg-*.npz"):
+                if p.name not in keep:
+                    with contextlib.suppress(OSError):
+                        p.unlink()
+            for name in (self.LEGACY_INDEX_FILE, self.LEGACY_POSTINGS_FILE):
+                with contextlib.suppress(OSError):
+                    (self.dir / name).unlink()
+            for p in self.dir.glob("*.tmp*"):
+                with contextlib.suppress(OSError):
+                    p.unlink()
 
     def _load(self) -> None:
-        p = self.dir / self.INDEX_FILE
-        if p.exists():
+        mp = self._manifest_path
+        if mp.exists():
             try:
-                with open(p, "rb") as f:
+                manifest = json.loads(mp.read_text())
+            except (OSError, json.JSONDecodeError) as e:
+                log.warning("corrupt fts manifest, starting empty: %s", e)
+                return
+            self._next_dnum = int(manifest.get("next_dnum", 0))
+            self._next_seg = int(manifest.get("next_seg", 0))
+            for name in manifest.get("segments", []):
+                p = self.dir / name
+                if not p.exists():
+                    log.warning("missing fts segment %s — skipped", name)
+                    continue
+                try:
+                    data = np.load(p)
+                    self._segments.append(Segment(
+                        data["terms"], data["offsets"], data["dnums"],
+                        data["tfc"], data["tfs"], name=name,
+                    ))
+                except Exception as e:
+                    log.warning("corrupt fts segment %s — skipped: %s", name, e)
+            log_bytes = int(manifest.get("log_bytes", 0))
+            lp = self._doclog_path
+            if log_bytes and lp.exists():
+                with open(lp, "rb") as f:
+                    raw = f.read(log_bytes)
+                unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False,
+                                            strict_map_key=False)
+                for rec in unpacker:
+                    if rec[0] == "a":
+                        _, dnum, cid, ln, kind, path = rec
+                        self._add_doc(int(dnum), int(cid), int(ln), kind, path)
+                    else:
+                        dnum = int(rec[1])
+                        entry = self._doc(dnum)
+                        if entry is not None:
+                            self._c2d.pop(entry[3], None)
+                        self._kill_dnum(dnum)
+                        self._log_dead += 1
+                self._persisted_log_bytes = min(
+                    log_bytes, lp.stat().st_size if lp.exists() else 0
+                )
+            self._dead_since_flush.clear()
+            return
+        # ---- legacy round-1 layout (single CSR npz + msgpack doc dict) ----
+        lp = self.dir / self.LEGACY_INDEX_FILE
+        if lp.exists():
+            try:
+                with open(lp, "rb") as f:
                     raw = msgpack.unpack(f, raw=False, strict_map_key=False)
                 if raw.get("version") == 2:
-                    self._docs = {int(d): tuple(v) for d, v in raw["docs"].items()}
-                else:
-                    log.info("fts index format v1 found — rebuild with `codesearch index --force`")
+                    # dnum == chunk id for migrated docs (appended in dnum order)
+                    for cid in sorted(int(c) for c in raw["docs"]):
+                        v = raw["docs"][cid] if cid in raw["docs"] else raw["docs"][str(cid)]
+                        self._add_doc(cid, cid, int(v[0]), v[1], v[2])
+                    self._next_dnum = (max(self._c2d.values()) + 1) if self._c2d else 0
             except Exception as e:
-                log.warning("corrupt fts doc store, starting empty: %s", e)
-        pz = self.dir / self.POSTINGS_FILE
+                log.warning("corrupt legacy fts doc store, starting empty: %s", e)
+        pz = self.dir / self.LEGACY_POSTINGS_FILE
         if pz.exists():
             try:
                 data = np.load(pz)
-                self._uniq_terms = data["uniq_terms"]
-                self._offsets = data["offsets"]
-                self._p_docs = data["p_docs"]
-                self._p_tfc = data["p_tfc"]
-                self._p_tfs = data["p_tfs"]
+                self._segments.append(Segment(
+                    data["uniq_terms"], data["offsets"], data["p_docs"],
+                    data["p_tfc"], data["p_tfs"],
+                ))
             except Exception as e:
-                log.warning("corrupt fts postings, starting empty: %s", e)
-        self._recompute_avg_len()
+                log.warning("corrupt legacy fts postings, starting empty: %s", e)
+        self._dead_since_flush.clear()
+        self._needs_rewrite = True
+
+    # ------------------------------------------------------------------
+    # dense view + device state
+    # ------------------------------------------------------------------
+
+    def _ensure_dense(self) -> None:
+        """Rebuild the dense scoring view: O(n) vectorized (dnums are
+        assigned monotonically and appended in order, so the live slice is
+        already sorted — no argsort)."""
+        if not self._dense_dirty:
+            return
+        lens = self._doc_len.view()
+        live = lens >= 0
+        self._dnums_sorted = self._doc_dnum.view()[live]
+        self._len_arr = lens[live].astype(np.float32)
+        self._kind_arr = self._doc_kid.view()[live]
+        self._cid_arr = self._doc_cid.view()[live]
+        self._path_idx = np.nonzero(live)[0]
+        self._avg_len = float(self._len_arr.mean()) if self._len_arr.size else 1.0
+        self._dense_dirty = False
+        self._dev_dirty = True
+
+    def _ensure_device(self):
+        """Upload the per-doc kind-id array (pow2-padded) for the device
+        scoring path."""
+        if not self._dev_dirty and self._dev is not None:
+            return self._dev
+        import jax.numpy as jnp
+
+        n = self._dnums_sorted.size
+        cap = max(_pow2(n), 1024)
+        kinds = np.full(cap, -2, np.int32)   # pad never matches a boost kid
+        kinds[:n] = self._kind_arr
+        self._dev = jnp.asarray(kinds)
+        self._dev_dirty = False
+        return self._dev
 
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self._docs)
+        return self._n_live
 
-    def _ensure_merged(self) -> None:
-        with self._lock:
-            if self._new_terms.n > 0 or self._deleted:
-                self._merge()
+    def _gather_query(self, keys: np.ndarray):
+        """Gather CSR ranges for the query terms across all segments.
 
-    def _term_range(self, key: int) -> tuple[int, int]:
-        i = int(np.searchsorted(self._uniq_terms, key))
-        if i >= len(self._uniq_terms) or self._uniq_terms[i] != key:
-            return 0, 0
-        return int(self._offsets[i]), int(self._offsets[i + 1])
+        Returns (pos [P] i32 into the dense view, contrib [P] f32 — the
+        complete BM25 per-posting contribution) with dead postings zeroed.
+        All O(P) and fully vectorized."""
+        n_docs = max(self._n_live, 1)
+        parts_d, parts_c, parts_s, term_lens = [], [], [], []
+        for key in keys:
+            tl = 0
+            for seg in self._segments:
+                lo, hi = seg.term_range(int(key))
+                if lo == hi:
+                    continue
+                parts_d.append(seg.dnums[lo:hi])
+                parts_c.append(seg.tfc[lo:hi])
+                parts_s.append(seg.tfs[lo:hi])
+                tl += hi - lo
+            if tl:
+                term_lens.append(tl)
+        if not parts_d:
+            return None
+        dnums = np.concatenate(parts_d)
+        tfb = (
+            np.concatenate(parts_c).astype(np.float32)
+            + _SIG_BOOST * np.concatenate(parts_s).astype(np.float32)
+        )
+        pos = np.searchsorted(self._dnums_sorted, dnums).clip(
+            0, self._dnums_sorted.size - 1
+        )
+        live = self._dnums_sorted[pos] == dnums
+        # exact per-term df over live postings → idf, expanded per posting
+        lens = np.asarray(term_lens, np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        df = np.add.reduceat(live.astype(np.int64), starts)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        idf_rep = np.repeat(idf, lens).astype(np.float32)
+        len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
+        contrib = np.where(
+            live, idf_rep * tfb * (_K1 + 1.0) / (tfb + len_norm), 0.0
+        ).astype(np.float32)
+        return pos.astype(np.int32), contrib
 
     def search(
         self,
@@ -317,44 +656,70 @@ class FtsStore:
         limit: int = 20,
         boost_kind: str | None = None,
     ) -> list[FtsResult]:
-        self._ensure_merged()
-        n = max(len(self._docs), 1)
-        keys = np.unique(term_keys(query))
-        if keys.size == 0 or self._doc_ids_sorted.size == 0:
-            return []
         with self._lock:
-            # dense vectorized accumulation over the sorted-live-doc view
-            scores = np.zeros(len(self._doc_ids_sorted), np.float64)
-            len_norm = _K1 * (1.0 - _B + _B * self._doc_len_arr / self._avg_len)
-            for key in keys:
-                lo, hi = self._term_range(int(key))
-                if lo == hi:
-                    continue
-                df = hi - lo
-                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-                docs = self._p_docs[lo:hi]
-                tf = (self._p_tfc[lo:hi] + _SIG_BOOST * self._p_tfs[lo:hi]).astype(np.float64)
-                pos = np.searchsorted(self._doc_ids_sorted, docs)
-                contrib = idf * tf * (_K1 + 1.0) / (tf + len_norm[pos])
-                np.add.at(scores, pos, contrib)
-            if boost_kind:
-                kinds = np.fromiter(
-                    (self._docs[int(d)][1] == boost_kind for d in self._doc_ids_sorted),
-                    bool, len(self._doc_ids_sorted),
-                )
-                scores = np.where(kinds, scores * _KIND_BOOST, scores)
-            k = min(limit, int((scores > 0).sum()))
-            if k == 0:
+            self._flush_mem()
+            self._ensure_dense()
+            keys = np.unique(term_keys(query))
+            if keys.size == 0 or self._dnums_sorted.size == 0:
                 return []
-            top = np.argpartition(-scores, k - 1)[:k]
-            top = top[np.argsort(-scores[top])]
+            gathered = self._gather_query(keys)
+            if gathered is None:
+                return []
+            pos, contrib = gathered
+            n = self._dnums_sorted.size
+            if n >= self.device_min_docs:
+                top_scores, top_pos = self._score_device(pos, contrib, boost_kind, limit)
+            else:
+                top_scores, top_pos = self._score_host(pos, contrib, boost_kind, limit)
             out = []
-            for i in top:
-                d = int(self._doc_ids_sorted[i])
-                meta = self._docs[d]
-                out.append(FtsResult(chunk_id=d, score=float(scores[i]),
-                                     path=meta[2], kind=meta[1]))
+            for s, p in zip(top_scores, top_pos):
+                if s <= 0 or p >= n:
+                    continue
+                out.append(FtsResult(
+                    chunk_id=int(self._cid_arr[p]),
+                    score=float(s),
+                    path=self._doc_path[int(self._path_idx[p])],
+                    kind=self._kind_names[int(self._kind_arr[p])],
+                ))
             return out
+
+    def _score_host(self, pos, contrib, boost_kind, limit):
+        n = self._dnums_sorted.size
+        scores = np.bincount(pos, weights=contrib, minlength=n)
+        if boost_kind is not None and boost_kind in self._kind_vocab:
+            scores = np.where(
+                self._kind_arr == self._kind_vocab[boost_kind],
+                scores * _KIND_BOOST, scores,
+            )
+        k = min(limit, n)
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top])]
+        return scores[top], top
+
+    def _score_device(self, pos, contrib, boost_kind, limit):
+        """One device dispatch: scatter-add + kind boost + top-k
+        (ops/bm25.py). Selection arrays pad to pow2 so XLA compiles few
+        program shapes."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.bm25 import bm25_scatter_topk
+
+        kind_dev = self._ensure_device()
+        cap = kind_dev.shape[0]
+        p = len(pos)
+        ppad = _pow2(max(p, 1))
+        pos_p = np.full(ppad, cap, np.int32)     # out-of-range → dropped
+        pos_p[:p] = pos
+        w_p = np.zeros(ppad, np.float32)
+        w_p[:p] = contrib
+        kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
+        k = min(_pow2(max(limit, 1)), cap)
+        vals, idx = bm25_scatter_topk(
+            jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev, jnp.int32(kid), k
+        )
+        vals, idx = jax.device_get((vals, idx))
+        return vals[:limit], idx[:limit]
 
     def search_exact(
         self,
@@ -364,48 +729,51 @@ class FtsStore:
     ) -> list[FtsResult]:
         """Exact identifier lookup: signature hits boosted ×3 over content
         hits; AND-ed with kind when provided."""
-        self._ensure_merged()
-        toks = code_tokens(identifier)
-        target = None
-        for t in toks:
-            if t.replace("_", "").isalnum() and ("_" in t or len(t) >= 3):
-                if target is None or len(t) > len(target):
-                    target = t
-        if target is None:
-            return []
         with self._lock:
-            lo, hi = self._term_range(_to_i64(stable_u64(target)))
-            if lo == hi:
+            self._flush_mem()
+            toks = code_tokens(identifier)
+            target = None
+            for t in toks:
+                if t.replace("_", "").isalnum() and ("_" in t or len(t) >= 3):
+                    if target is None or len(t) > len(target):
+                        target = t
+            if target is None:
                 return []
-            out: list[tuple[int, float]] = []
-            docs = self._p_docs[lo:hi]
-            tfc = self._p_tfc[lo:hi]
-            tfs = self._p_tfs[lo:hi]
-            for doc, c, s in zip(docs.tolist(), tfc.tolist(), tfs.tolist()):
-                meta = self._docs.get(doc)
-                if meta is None:
-                    continue
-                if kind is not None and meta[1] != kind:
-                    continue
-                score = _EXACT_SIG_BOOST * float(s) + float(c)
-                if score > 0:
-                    out.append((doc, score))
+            key = _to_i64(stable_u64(target))
+            out: list[tuple[int, float, str, str]] = []
+            for seg in self._segments:
+                lo, hi = seg.term_range(key)
+                for dnum, c, s in zip(
+                    seg.dnums[lo:hi].tolist(),
+                    seg.tfc[lo:hi].tolist(),
+                    seg.tfs[lo:hi].tolist(),
+                ):
+                    meta = self._doc(dnum)
+                    if meta is None:
+                        continue
+                    if kind is not None and meta[1] != kind:
+                        continue
+                    score = _EXACT_SIG_BOOST * float(s) + float(c)
+                    if score > 0:
+                        out.append((meta[3], score, meta[2], meta[1]))
             out.sort(key=lambda kv: -kv[1])
             return [
-                FtsResult(chunk_id=d, score=s, path=self._docs[d][2], kind=self._docs[d][1])
-                for d, s in out[:limit]
+                FtsResult(chunk_id=cid, score=s, path=path, kind=kd)
+                for cid, s, path, kd in out[:limit]
             ]
 
     def stats(self) -> dict:
         with self._lock:
             disk = 0
-            for f in (self.INDEX_FILE, self.POSTINGS_FILE):
-                p = self.dir / f
-                if p.exists():
-                    disk += p.stat().st_size
+            for f in list(self.dir.glob("seg-*.npz")) + [self._doclog_path]:
+                if f.exists():
+                    disk += f.stat().st_size
+            terms = int(sum(len(s.terms) for s in self._segments))
+            postings = int(sum(len(s) for s in self._segments)) + self._new_terms.n
             return {
-                "docs": len(self._docs),
-                "terms": int(len(self._uniq_terms)),
-                "postings": int(len(self._p_docs)) + self._new_terms.n,
+                "docs": self._n_live,
+                "terms": terms,
+                "postings": postings,
+                "segments": len(self._segments),
                 "disk_bytes": disk,
             }
