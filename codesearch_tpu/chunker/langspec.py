@@ -391,7 +391,7 @@ _JAVA = LangSpec(
 # languages the structural scanner extends to for free -----------------------
 
 _KOTLIN = LangSpec(
-    family="c",
+    family="kotlin",
     attribute_prefixes=("@",),
     doc_block=True,
     rules=[
@@ -426,7 +426,7 @@ _KOTLIN = LangSpec(
 )
 
 _SWIFT = LangSpec(
-    family="c",
+    family="swift",
     attribute_prefixes=("@",),
     doc_line_prefixes=("///",),
     doc_block=True,
@@ -471,7 +471,7 @@ _SWIFT = LangSpec(
 )
 
 _PHP = LangSpec(
-    family="c",
+    family="php",
     attribute_prefixes=("#[",),
     doc_block=True,
     rules=[

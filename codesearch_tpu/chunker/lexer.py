@@ -200,6 +200,13 @@ def mask_source(language_family: str, src: str) -> str:
         return mask_c_family(src, backtick_strings=True)
     if language_family in ("js", "ts"):
         return mask_c_family(src, template_literals=True)
+    if language_family in ("kotlin", "swift"):
+        # both languages NEST /* */ block comments (Python-only path: the
+        # native tier has no family id for these, so mask_native defers)
+        return mask_c_family(src, nested_block_comments=True)
+    if language_family == "php":
+        # '#' starts a line comment in addition to '//' and '/* */'
+        return mask_c_family(src, hash_line_comments=True)
     # c, cpp, csharp, java
     return mask_c_family(src)
 

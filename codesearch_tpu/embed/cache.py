@@ -80,6 +80,7 @@ class PersistentEmbeddingCache:
 
     INDEX_FILE = "index.msgpack"
     VEC_FILE = "vectors.f32"
+    LOCK_FILE = ".lock"
 
     def __init__(
         self,
@@ -94,9 +95,41 @@ class PersistentEmbeddingCache:
         self._lock = threading.Lock()
         self._index: dict[str, int] = {}
         self._rows = 0
+        self._index_stat: tuple[int, int] | None = None  # (mtime_ns, size)
         self.hits = 0
         self.misses = 0
         self._load()
+
+    def _file_lock(self, shared: bool = False):
+        """Cross-process flock on the cache dir: the cache is SHARED between
+        concurrent codesearch processes of the same model — without this, two
+        writers append with independently computed row counters and their
+        index offsets silently point at each other's vectors."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _ctx():
+            fh = open(self.dir / self.LOCK_FILE, "w")
+            try:
+                fcntl.flock(fh, fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
+                yield
+            finally:
+                with contextlib.suppress(OSError):
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+                fh.close()
+
+        return _ctx()
+
+    def _reload_if_changed(self) -> None:
+        """Re-read the index snapshot when another process flushed one."""
+        try:
+            st = self._index_path.stat()
+            cur = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            cur = None
+        if cur != self._index_stat:
+            self._load()
 
     # -- files ---------------------------------------------------------------
 
@@ -109,17 +142,20 @@ class PersistentEmbeddingCache:
         return self.dir / self.INDEX_FILE
 
     def _load(self) -> None:
+        self._index = {}
+        self._rows = 0
+        self._index_stat = None
         if self._index_path.exists():
             try:
+                st = self._index_path.stat()
                 with open(self._index_path, "rb") as f:
                     raw = msgpack.unpack(f, raw=False)
                 if raw.get("dims") == self.dims:
                     self._index = dict(raw.get("index", {}))
                     self._rows = int(raw.get("rows", 0))
+                    self._index_stat = (st.st_mtime_ns, st.st_size)
                 else:
                     # model dims changed → invalidate
-                    self._index = {}
-                    self._rows = 0
                     self._vec_path.unlink(missing_ok=True)
             except Exception:
                 self._index = {}
@@ -138,6 +174,11 @@ class PersistentEmbeddingCache:
                 {"dims": self.dims, "rows": self._rows, "index": self._index}, f
             )
         os.replace(tmp, self._index_path)
+        try:
+            st = self._index_path.stat()
+            self._index_stat = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            self._index_stat = None
 
     # -- API -----------------------------------------------------------------
 
@@ -145,16 +186,22 @@ class PersistentEmbeddingCache:
         return len(self._index)
 
     def get_batch(self, hashes: list[str]) -> dict[str, np.ndarray]:
-        """Fetch any cached embeddings among ``hashes``."""
-        with self._lock:
+        """Fetch any cached embeddings among ``hashes``.
+
+        Holds a SHARED flock across (index freshness check + row reads) so a
+        concurrent writer's evict/compact can't swap the vector file between
+        our index lookup and the read."""
+        with self._lock, self._file_lock(shared=True):
+            self._reload_if_changed()
             wanted = [(h, self._index[h]) for h in hashes if h in self._index]
-            if not wanted:
+            if not wanted or not self._vec_path.exists():
                 self.misses += len(hashes)
                 return {}
             mm = np.memmap(self._vec_path, dtype=np.float32, mode="r").reshape(
                 -1, self.dims
             )
-            out = {h: np.array(mm[row]) for h, row in wanted}
+            have = mm.shape[0]
+            out = {h: np.array(mm[row]) for h, row in wanted if row < have}
             self.hits += len(out)
             self.misses += len(hashes) - len(out)
             return out
@@ -162,16 +209,24 @@ class PersistentEmbeddingCache:
     def put_batch(self, items: dict[str, np.ndarray]) -> None:
         if not items:
             return
-        with self._lock:
+        with self._lock, self._file_lock():
+            # under the exclusive lock: pick up any other writer's snapshot
+            # and recompute the append base from the ACTUAL file size, so
+            # concurrent processes never assign overlapping rows
+            self._reload_if_changed()
             new = {h: v for h, v in items.items() if h not in self._index}
             if not new:
                 return
+            base = (
+                self._vec_path.stat().st_size // (4 * self.dims)
+                if self._vec_path.exists() else 0
+            )
             block = np.stack([v.astype(np.float32) for v in new.values()])
             with open(self._vec_path, "ab") as f:
                 block.tofile(f)
             for i, h in enumerate(new.keys()):
-                self._index[h] = self._rows + i
-            self._rows += len(new)
+                self._index[h] = base + i
+            self._rows = base + len(new)
             if len(self._index) > self.max_entries:
                 self._evict_locked()
             self._flush_index()
@@ -200,7 +255,7 @@ class PersistentEmbeddingCache:
         }
 
     def clear(self) -> None:
-        with self._lock:
+        with self._lock, self._file_lock():
             self._index = {}
             self._rows = 0
             self._vec_path.unlink(missing_ok=True)

@@ -13,6 +13,7 @@ with index/mod.rs:35-268.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
 import json
 import os
@@ -190,6 +191,25 @@ def write_metadata(db_path: Path, service: EmbeddingService, stats: IndexStats) 
     os.replace(tmp, p)
 
 
+def invalidate_for_embedder_version(
+    db_path: Path,
+    service: EmbeddingService,
+    stores: tuple[VectorStore, FtsStore],
+) -> None:
+    """Featurizer-version change against LIVE stores (server refresh path,
+    where rmtree would pull files out from under open handles): clear both
+    stores and the file manifest so the next refresh re-embeds everything,
+    and stamp fresh metadata so queries never mix incomparable vectors."""
+    from ..utils.constants import FILE_META_DB_NAME
+
+    store, fts = stores
+    store.clear()
+    fts.clear()
+    with contextlib.suppress(OSError):
+        (Path(db_path) / FILE_META_DB_NAME).unlink()
+    write_metadata(db_path, service, IndexStats(db_path=Path(db_path)))
+
+
 def index(
     path: str | Path = ".",
     options: IndexOptions | None = None,
@@ -223,12 +243,16 @@ def index(
     # queries: force full invalidation (like a model change)
     from ..utils.constants import EMBEDDER_VERSION
 
-    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION and stores is None:
+    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION:
         info_print(
             f"embedder version changed "
             f"(v{meta.get('embedder_version', 1)} → v{EMBEDDER_VERSION}): full rebuild"
         )
-        shutil.rmtree(db_path, ignore_errors=True)
+        if stores is None:
+            shutil.rmtree(db_path, ignore_errors=True)
+        else:
+            # live-store refresh path (servers): clear in place instead
+            invalidate_for_embedder_version(db_path, service, stores)
         meta = {}
 
     db_path.mkdir(parents=True, exist_ok=True)

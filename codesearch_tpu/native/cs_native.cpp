@@ -202,6 +202,17 @@ struct Span {  // one emitted token, as a byte range (hashed lowercased)
   bool whole_flag;  // '_' in token or len > 12
 };
 
+// UTF-8 code-point count of a byte range (skips 0b10xxxxxx continuation
+// bytes) — the whole-identifier flag must match Python's len(token) over
+// the decoded string, not the byte length (parity bug: 'функция' is 14
+// bytes but 7 chars).
+inline long utf8_chars(const unsigned char* src, long start, long len) {
+  long c = 0;
+  for (long i = start; i < start + len; ++i)
+    if ((src[i] & 0xC0) != 0x80) ++c;
+  return c;
+}
+
 inline uint64_t hash_span(const unsigned char* src, const Span& s) {
   uint64_t h = FNV_OFFSET;
   for (long i = 0; i < s.len; ++i)
@@ -249,16 +260,17 @@ void token_spans(const unsigned char* src, long n, std::vector<Span>& out) {
             (is_upper(src[k - 1]) && is_upper(src[k]) && k + 1 < seg_end &&
              is_lower(src[k + 1]));
         if (boundary) {
-          out.push_back({s, k - s, (k - s) > 12});
+          out.push_back({s, k - s, utf8_chars(src, s, k - s) > 12});
           s = k;
         }
       }
-      out.push_back({s, seg_end - s, (seg_end - s) > 12});
+      out.push_back({s, seg_end - s, utf8_chars(src, s, seg_end - s) > 12});
     }
     size_t subs = out.size() - before;
     if (subs > 1) {
       // whole-identifier token keeps underscores → whole flag via '_' or len
-      out.push_back({start, end - start, has_underscore || (end - start) > 12});
+      out.push_back({start, end - start,
+                     has_underscore || utf8_chars(src, start, end - start) > 12});
     }
     // single-subword tokens: python emits just the subword string (no
     // underscores survive), so its whole flag is already correct

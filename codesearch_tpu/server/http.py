@@ -132,6 +132,22 @@ def make_server(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
     meta = read_metadata(db)
     service = EmbeddingService(meta.get("model", "code-hash-384"))
     stores, writer_lock = SharedStores.new_or_readonly(db, service.dims)
+    # featurizer-version guard (same rule as MCP: rebuild or refuse — never
+    # serve an index whose vectors are incomparable with current queries)
+    from ..utils.constants import EMBEDDER_VERSION
+
+    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION:
+        if stores.readonly:
+            if writer_lock is not None:
+                writer_lock.release()
+            raise RuntimeError(
+                f"index at {db} was built with embedder "
+                f"v{meta.get('embedder_version', 1)} (current v{EMBEDDER_VERSION}); "
+                "run `codesearch index --force` to rebuild"
+            )
+        from ..index.pipeline import invalidate_for_embedder_version
+
+        invalidate_for_embedder_version(db, service, (stores.store, stores.fts))
     manager: IndexManager | None = None
     if not stores.readonly:
         manager = IndexManager(root, db, stores, service)

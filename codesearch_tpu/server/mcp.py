@@ -375,6 +375,25 @@ def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
 
     start_cleanup_task(db)
     stores, writer_lock = SharedStores.new_or_readonly(db, service.dims)
+    # featurizer-version guard: an index built by an older featurizer is
+    # incomparable with new query vectors — rebuild when writable, refuse
+    # when readonly (never serve silently mis-ranked results)
+    from ..utils.constants import EMBEDDER_VERSION
+
+    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION:
+        if stores.readonly:
+            sys.stderr.write(
+                f"index at {db} was built with embedder "
+                f"v{meta.get('embedder_version', 1)} (current v{EMBEDDER_VERSION}) "
+                "and another writer holds the lock — run `codesearch index "
+                "--force` to rebuild\n"
+            )
+            if writer_lock is not None:
+                writer_lock.release()
+            return 1
+        from ..index.pipeline import invalidate_for_embedder_version
+
+        invalidate_for_embedder_version(db, service, (stores.store, stores.fts))
     manager: IndexManager | None = None
     if not stores.readonly:
         manager = IndexManager(root, db, stores, service)

@@ -155,10 +155,12 @@ def get_global_models_cache_dir() -> Path:
 
 # Version of the host featurization/tokenization/index-format pipeline.
 # Indexes from different versions are NOT comparable/loadable (v2: token
-# hashing blake2b → FNV-1a; v3: FTS postings → columnar CSR npz); a mismatch
-# forces full re-embedding, like the reference's model-change invalidation
+# hashing blake2b → FNV-1a; v3: FTS postings → columnar CSR npz; v4: native
+# whole-identifier flag counts UTF-8 code points like Python, not bytes —
+# weights change for indexes with non-ASCII identifiers); a mismatch forces
+# full re-embedding, like the reference's model-change invalidation
 # (cache/file_meta.rs:86-92).
-EMBEDDER_VERSION = 3
+EMBEDDER_VERSION = 4
 
 
 def get_embedding_cache_dir(model_name: str) -> Path:

@@ -535,3 +535,42 @@ class TestDedup:
         assert len(out) == 2
         assert d.stats.duplicates == 1
         assert d.stats.unique == 2
+
+
+class TestCommentFamilies:
+    """ADVICE round-1: Kotlin/Swift nest /* */; PHP has '#' line comments —
+    braces or keywords inside such comments must not corrupt chunk spans."""
+
+    def test_kotlin_nested_block_comment(self):
+        code = """/* outer /* nested { fun fake() } */ still comment */
+fun real(x: Int): Int {
+    return x + 1
+}
+"""
+        chunks = chunks_of(Language.KOTLIN, "a.kt", code)
+        fns = [c for c in chunks if c.kind.value == "Function"]
+        assert [f.signature and "real" in f.signature for f in fns] == [True]
+        # the def starts after the comment (0-based line 1), not inside it
+        assert fns[0].start_line == 1 and fns[0].end_line == 4
+
+    def test_swift_nested_block_comment(self):
+        code = """/* a /* nested func ghost() { */ b */
+func real(x: Int) -> Int {
+    return x + 1
+}
+"""
+        chunks = chunks_of(Language.SWIFT, "a.swift", code)
+        fns = [c for c in chunks if c.kind.value == "Function"]
+        assert len(fns) == 1 and "real" in (fns[0].signature or "")
+
+    def test_php_hash_comment(self):
+        code = """<?php
+# function ghost() { this is a comment with a brace {
+function real($x) {
+    return $x + 1;
+}
+"""
+        chunks = chunks_of(Language.PHP, "a.php", code)
+        fns = [c for c in chunks if c.kind.value == "Function"]
+        assert len(fns) == 1 and "real" in (fns[0].signature or "")
+        assert fns[0].start_line == 2

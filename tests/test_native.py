@@ -85,6 +85,11 @@ FEAT_CASES = [
     "   \n\t  ",
     "日本語 mixed unicode_ident ascii",
     "a b a b a b",  # repeated bigrams
+    # UTF-8 whole-flag parity: >12 bytes but ≤12 chars must NOT get the
+    # whole-identifier weight (len() counts code points, not bytes)
+    "функция обработкаДанных",
+    "очень_длинная_функция_обработки",   # >12 chars AND underscores
+    "処理する非常に長い識別子名前です x",  # 13 chars, 39 bytes → whole flag
 ]
 
 
