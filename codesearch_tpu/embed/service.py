@@ -88,13 +88,18 @@ def clean_docstring(doc: str) -> str:
 
 
 class _BertBackend:
-    """JAX BERT-family encoder backend with length-bucketed batching."""
+    """JAX BERT-family encoder backend with length-bucketed batching.
+
+    On a multi-chip mesh the encode batch shards over the "data" axis
+    (params replicate once) — SURVEY §2.2 "DP over ICI": chunk batches
+    spread across every chip during indexing with no caller changes."""
 
     def __init__(self, spec: ModelSpec, models_dir: Path):
         import jax
 
         from ..models import encoder as enc
         from ..models.tokenizer import load_tokenizer
+        from ..parallel.mesh import corpus_mesh
 
         assert spec.arch is not None
         self.spec = spec
@@ -118,7 +123,32 @@ class _BertBackend:
                 "random init — place model.safetensors under %s for parity",
                 spec.short_name, model_dir,
             )
+        self.mesh = corpus_mesh()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            self.params = jax.tree.map(lambda x: jax.device_put(x, repl), self.params)
         self._encode = enc.encode
+
+    def _shard_batch(self, ids: np.ndarray, mask: np.ndarray):
+        """Pad rows to the shard count and place sharded over "data"."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = self.mesh.shape["data"]
+        pad = (-ids.shape[0]) % s
+        if pad:
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate(
+                [mask, np.ones((pad, mask.shape[1]), mask.dtype)]
+            )
+        sh = NamedSharding(self.mesh, P("data", None))
+        return (
+            jax.device_put(jnp.asarray(ids), sh),
+            jax.device_put(jnp.asarray(mask), sh),
+        )
 
     @staticmethod
     def _bucket(length: int) -> int:
@@ -134,9 +164,12 @@ class _BertBackend:
             return np.zeros((0, self.spec.dims), np.float32)
         encs = [self.tokenizer.encode(t) for t in texts]
         out = np.zeros((len(texts), self.spec.dims), np.float32)
-        # group by padded-length bucket, then emit device batches
+        # group by padded-length bucket, then emit device batches (scaled by
+        # the mesh size so each chip still sees a full batch)
         order = sorted(range(len(encs)), key=lambda i: len(encs[i].ids))
         bs = _default_batch_size(self.spec.dims)
+        if self.mesh is not None:
+            bs *= self.mesh.shape["data"]
         i = 0
         while i < len(order):
             j = min(i + bs, len(order))
@@ -148,8 +181,13 @@ class _BertBackend:
                 L = min(len(encs[b].ids), max_len)
                 ids[row, :L] = encs[b].ids[:L]
                 mask[row, :L] = 1
-            vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
-            out[batch_idx] = np.asarray(vecs, np.float32)
+            if self.mesh is not None:
+                ids_d, mask_d = self._shard_batch(ids, mask)
+                vecs = self._encode(self.params, ids_d, mask_d, self.cfg)
+                out[batch_idx] = np.asarray(vecs, np.float32)[: len(batch_idx)]
+            else:
+                vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
+                out[batch_idx] = np.asarray(vecs, np.float32)
             i = j
             # NOTE: no mid-embed shutdown break — returning partial zero
             # vectors would poison the caches and the store; cancellation is
@@ -160,13 +198,30 @@ class _BertBackend:
 class _HashBackend:
     def __init__(self, spec: ModelSpec, table_path: Path | None = None):
         from ..models.hash_embedder import HashEmbedder
+        from ..parallel.mesh import corpus_mesh
 
         self.spec = spec
         self.model = HashEmbedder(spec.dims, table_path=table_path)
         self.pretrained = True  # deterministic; nothing to download
+        self.mesh = corpus_mesh()
+        if self.mesh is not None:
+            # replicate the table once — both the dp-embed path and the
+            # sharded query pipeline consume it replicated
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.model.table = jax.device_put(
+                self.model.table, NamedSharding(self.mesh, P())
+            )
 
     def embed(self, texts: list[str]) -> np.ndarray:
-        return self.model.embed_texts(texts)
+        if self.mesh is None or len(texts) < 2 * self.mesh.shape["data"]:
+            return self.model.embed_texts(texts)
+        from ..models.hash_embedder import batch_features
+        from ..parallel.dp_embed import dp_embed_features
+
+        ids, ws = batch_features(texts)
+        return dp_embed_features(self.model.table, ids, ws, self.mesh)
 
 
 class EmbeddingService:

@@ -34,6 +34,46 @@ def shard_corpus(corpus, valid, mesh: Mesh):
     return jax.device_put(corpus, ns), jax.device_put(valid, nv)
 
 
+def _merge_local_topk(scores: jax.Array, k: int, shard_rows: int):
+    """Local top-k + all_gather merge (runs INSIDE shard_map over "data").
+
+    Exact: every global top-k member is in its shard's local top-k. The
+    all_gather moves only [S, Q, k] candidates over ICI — independent of N.
+    """
+    kk = min(k, shard_rows)
+    vals, idx = _select_topk(scores, kk)
+    my_shard = jax.lax.axis_index("data")
+    gidx = idx.astype(jnp.int32) + my_shard * shard_rows
+    all_vals = jax.lax.all_gather(vals, "data", axis=0)   # [S, Q, kk]
+    all_idx = jax.lax.all_gather(gidx, "data", axis=0)
+    s, qn, _ = all_vals.shape
+    cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, s * kk)
+    cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, s * kk)
+    take = min(k, s * kk)
+    mvals, mpos = jax.lax.top_k(cat_vals, take)
+    midx = jnp.take_along_axis(cat_idx, mpos, axis=1)
+    return mvals, midx
+
+
+def _local_scores_bf16(q, c, v):
+    scores = jax.lax.dot_general(
+        q.astype(c.dtype), c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(v[None, :], scores, _NEG_INF)
+
+
+def _local_scores_int8(q, c_q, scale, v):
+    qf = q.astype(jnp.float32)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
+    q_i8 = jnp.clip(jnp.round(qf / q_scale[:, None]), -127, 127).astype(jnp.int8)
+    scores_i32 = jax.lax.dot_general(
+        q_i8, c_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+    scores = scores_i32.astype(jnp.float32) * (q_scale[:, None] * scale[None, :])
+    return jnp.where(v[None, :], scores, _NEG_INF)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_cosine_topk(
     queries: jax.Array,   # [Q, d] replicated
@@ -43,36 +83,89 @@ def sharded_cosine_topk(
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact global top-k. Returns (scores [Q,k], global indices [Q,k])."""
-    n_shards = mesh.shape["data"]
-    shard_rows = corpus.shape[0] // n_shards
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
 
     def local(q, c, v):
-        # per-shard scores + local top-k
-        scores = jax.lax.dot_general(
-            q.astype(c.dtype), c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        scores = jnp.where(v[None, :], scores, _NEG_INF)
-        kk = min(k, shard_rows)
-        vals, idx = _select_topk(scores, kk)
-        my_shard = jax.lax.axis_index("data")
-        gidx = idx.astype(jnp.int32) + my_shard * shard_rows
-        # gather all shards' candidates and merge (replicated result)
-        all_vals = jax.lax.all_gather(vals, "data", axis=0)   # [S, Q, kk]
-        all_idx = jax.lax.all_gather(gidx, "data", axis=0)
-        s, qn, _ = all_vals.shape
-        cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, s * kk)
-        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, s * kk)
-        take = min(k, s * kk)
-        mvals, mpos = jax.lax.top_k(cat_vals, take)
-        midx = jnp.take_along_axis(cat_idx, mpos, axis=1)
-        return mvals, midx
+        return _merge_local_topk(_local_scores_bf16(q, c, v), k, shard_rows)
 
-    vals, idx = jax.shard_map(
-        local,
-        mesh=mesh,
+    return jax.shard_map(
+        local, mesh=mesh,
         in_specs=(P(), P("data", None), P("data")),
-        out_specs=(P(), P()),
-        check_vma=False,
+        out_specs=(P(), P()), check_vma=False,
     )(queries, corpus, valid)
-    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_cosine_topk_int8(
+    queries: jax.Array,    # [Q, d] replicated
+    corpus_q: jax.Array,   # [N, d] int8, sharded over "data"
+    row_scale: jax.Array,  # [N] f32, sharded
+    valid: jax.Array,      # [N] bool, sharded
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 variant: the per-shard matmul runs int8×int8→int32 on the MXU."""
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(q, c, s, v):
+        return _merge_local_topk(_local_scores_int8(q, c, s, v), k, shard_rows)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(queries, corpus_q, row_scale, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_hash_embed_search(
+    table: jax.Array,     # [V, d] hash table, replicated
+    ids: jax.Array,       # [Q, T] feature bucket ids, replicated
+    weights: jax.Array,   # [Q, T]
+    corpus: jax.Array,    # [N, d] bf16, sharded over "data"
+    valid: jax.Array,     # [N] bool, sharded
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-dispatch sharded query pipeline: hash-embed the query variants
+    (tiny, computed redundantly per shard) + sharded exact top-k, in ONE
+    jitted call — the multi-chip analog of ops/query_pipeline.py."""
+    from ..models.hash_embedder import embed_features
+
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, v):
+        q = embed_features(t, i, w)
+        return _merge_local_topk(_local_scores_bf16(q, c, v), k, shard_rows)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_hash_embed_search_int8(
+    table: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    from ..models.hash_embedder import embed_features
+
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, s, v):
+        q = embed_features(t, i, w)
+        return _merge_local_topk(_local_scores_int8(q, c, s, v), k, shard_rows)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus_q, row_scale, valid)

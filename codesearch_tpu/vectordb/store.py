@@ -512,15 +512,45 @@ class VectorStore:
     # device state + search
     # ------------------------------------------------------------------
 
-    def _upload_full(self):
-        """Full host→device upload at power-of-two padded capacity."""
+    def _mesh(self):
+        """The product corpus mesh (None on a single device) — with ≥2
+        devices the matrix rows shard over the "data" axis and searches run
+        the sharded local-topk + all_gather merge, so servers/CLI use every
+        chip with no extra wiring (SURVEY §2.2 "DP over ICI ... REQUIRED")."""
+        from ..parallel.mesh import corpus_mesh
+
+        return corpus_mesh()
+
+    def _place(self, host_arr: np.ndarray, dtype, row_sharded: bool):
+        """Device placement: replicated on one device, or row-sharded over
+        the mesh's data axis."""
+        import jax
         import jax.numpy as jnp
 
+        mesh = self._mesh()
+        if mesh is None:
+            return jnp.asarray(host_arr, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (host_arr.ndim - 1))) if row_sharded else P()
+        return jax.device_put(jnp.asarray(host_arr, dtype), NamedSharding(mesh, spec))
+
+    def _device_cap(self, n: int) -> int:
+        """Padded device capacity: power-of-two (few compiled shapes) and a
+        multiple of the mesh shard count (even row sharding)."""
+        cap = max(VEC_INITIAL_CAPACITY, 1 << max(0, (n - 1).bit_length()))
+        mesh = self._mesh()
+        if mesh is not None:
+            s = mesh.shape["data"]
+            cap = ((cap + s - 1) // s) * s
+        return cap
+
+    def _upload_full(self):
+        """Full host→device upload at padded capacity (sharded over the
+        corpus mesh when present)."""
         rows = self._used()
         n = self._rows
-        # pad to a power-of-two row count so insert batches don't force
-        # a recompile per search (few distinct shapes)
-        cap = max(VEC_INITIAL_CAPACITY, 1 << max(0, (n - 1).bit_length()))
+        cap = self._device_cap(n)
         padded = np.zeros((cap, self.dims), np.float32)
         padded[:n] = rows
         valid = np.zeros((cap,), bool)
@@ -528,17 +558,28 @@ class VectorStore:
         if self.int8:
             # quantize on host: a device f32 staging copy at 10M rows
             # (15 GB) would not fit HBM; only int8 + scales transfer
+            import jax.numpy as jnp
+
             absmax = np.abs(padded).max(axis=1)
             scale = np.maximum(absmax, 1e-12) / 127.0
             q = np.clip(
                 np.round(padded / scale[:, None]), -127, 127
             ).astype(np.int8)
             self._device = (
-                "int8", jnp.asarray(q), jnp.asarray(scale, jnp.float32),
-                jnp.asarray(valid),
+                "int8",
+                self._place(q, jnp.int8, True),
+                self._place(scale, jnp.float32, True),
+                self._place(valid, bool, True),
             )
         else:
-            self._device = ("bf16", jnp.asarray(padded, jnp.bfloat16), None, jnp.asarray(valid))
+            import jax.numpy as jnp
+
+            self._device = (
+                "bf16",
+                self._place(padded, jnp.bfloat16, True),
+                None,
+                self._place(valid, bool, True),
+            )
         self._dev_rows = n
         self._dev_pending_del = []
         self.full_uploads += 1
@@ -600,12 +641,24 @@ class VectorStore:
                 return [[] for _ in range(query_vecs.shape[0])]
             dev = self._ensure_device()
             k = min(limit, max(1, n_valid))
-            if dev[0] == "int8":
-                vals, idx = cosine_topk_int8(
-                    jnp.asarray(query_vecs), dev[1], dev[2], dev[3], k
+            mesh = self._mesh()
+            q = jnp.asarray(query_vecs, jnp.float32)
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_cosine_topk,
+                    sharded_cosine_topk_int8,
                 )
+
+                if dev[0] == "int8":
+                    vals, idx = sharded_cosine_topk_int8(
+                        q, dev[1], dev[2], dev[3], k, mesh
+                    )
+                else:
+                    vals, idx = sharded_cosine_topk(q, dev[1], dev[3], k, mesh)
+            elif dev[0] == "int8":
+                vals, idx = cosine_topk_int8(q, dev[1], dev[2], dev[3], k)
             else:
-                vals, idx = cosine_topk(jnp.asarray(query_vecs), dev[1], dev[3], k)
+                vals, idx = cosine_topk(q, dev[1], dev[3], k)
         return self._materialize(vals, idx)
 
     def _materialize(self, vals, idx) -> list[list[SearchResult]]:
@@ -646,7 +699,24 @@ class VectorStore:
                 return [[] for _ in range(ids.shape[0])]
             dev = self._ensure_device()
             k = min(limit, max(1, n_valid))
-            if dev[0] == "int8":
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_hash_embed_search,
+                    sharded_hash_embed_search_int8,
+                )
+
+                if dev[0] == "int8":
+                    vals, idx = sharded_hash_embed_search_int8(
+                        table, jnp.asarray(ids), jnp.asarray(weights),
+                        dev[1], dev[2], dev[3], k, mesh,
+                    )
+                else:
+                    vals, idx = sharded_hash_embed_search(
+                        table, jnp.asarray(ids), jnp.asarray(weights),
+                        dev[1], dev[3], k, mesh,
+                    )
+            elif dev[0] == "int8":
                 vals, idx = hash_embed_search_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[2], dev[3], k
                 )

@@ -174,3 +174,79 @@ class TestGraftEntry:
             pytest.skip("needs 8 devices")
         g.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+
+class TestProductMeshWiring:
+    """VERDICT r1 item 3: the parallel tier must be the PRODUCT path — the
+    store and embed backends auto-shard over parallel.mesh.corpus_mesh()."""
+
+    def test_store_sharded_over_all_devices(self, tmp_path):
+        import jax
+
+        from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+
+        s = VectorStore(tmp_path / "db", dims=8)
+        rng = np.random.default_rng(0)
+        e = rng.normal(size=(64, 8)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        s.insert_chunks_with_ids(
+            e,
+            [ChunkMetadata(path=f"f{i}", content=f"c{i}", start_line=0,
+                           end_line=1, kind="Function") for i in range(64)],
+        )
+        res = s.search(e[13], 3)
+        assert res[0].chunk_id == 13
+        assert len(s._device[1].sharding.device_set) == len(jax.devices()) == 8
+
+    def test_session_search_uses_mesh(self, tmp_path):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def walk_files(root):\n"
+            '    """Walk the tree collecting source files."""\n'
+            "    return list(root.rglob('*'))\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        sess = SearchSession(stats.db_path, readonly=True)
+        resp = sess.search("walk source files", SearchOptions(limit=2))
+        assert resp.hits and resp.hits[0].path.endswith("a.py")
+        assert len(sess.store._device[1].sharding.device_set) == 8
+
+    def test_single_device_override(self, tmp_path, monkeypatch):
+        """CODESEARCH_SINGLE_DEVICE keeps the classic single-chip placement
+        (and proves single-chip behavior is unchanged by the mesh wiring)."""
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            s = VectorStore(tmp_path / "db", dims=8)
+            rng = np.random.default_rng(1)
+            e = rng.normal(size=(16, 8)).astype(np.float32)
+            e /= np.linalg.norm(e, axis=1, keepdims=True)
+            s.insert_chunks_with_ids(
+                e,
+                [ChunkMetadata(path=f"f{i}", content=f"c{i}", start_line=0,
+                               end_line=1, kind="Function") for i in range(16)],
+            )
+            res = s.search(e[5], 1)
+            assert res[0].chunk_id == 5
+            assert len(s._device[1].sharding.device_set) == 1
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
+
+    def test_dp_embed_through_service(self):
+        """EmbeddingService hash backend routes large batches over the mesh
+        and produces the same vectors as the single-dispatch path."""
+        from codesearch_tpu.embed import EmbeddingService
+
+        svc = EmbeddingService("code-hash-384", use_persistent_cache=False)
+        texts = [f"fn compute_thing_{i}(x: u32) -> u32 {{ x + {i} }}" for i in range(32)]
+        via_mesh = svc.backend.embed(texts)
+        direct = svc.backend.model.embed_texts(texts)
+        np.testing.assert_allclose(via_mesh, direct, rtol=2e-5, atol=2e-6)
