@@ -28,6 +28,120 @@ Q_BATCH = int(os.environ.get("BENCH_Q", 64))
 INT8 = bool(int(os.environ.get("BENCH_INT8", "0")))
 TOP_K = 10
 BASELINE_QPS = 1000.0 / 75.0  # reference: ~75 ms/query hybrid, CPU
+# product bench: full SearchSession hybrid over a ≥1M-chunk synthetic index
+# (real expansion/fusion/materialization); 0 skips it
+PRODUCT_ROWS = int(os.environ.get("BENCH_PRODUCT_ROWS", 1 << 20))
+
+
+def bench_product(n_rows: int) -> dict:
+    """The PRODUCT, not the kernel: build a synthetic n_rows-chunk index
+    through the real write plane (prepare_text → tokenize/featurize → embed →
+    store insert → FTS), then time full SearchSession.search() hybrid queries
+    (expansion ≤9 variants, fused single-dispatch retrieval, 3-way RRF,
+    boosts, metadata materialization). Numbers to beat: reference hybrid
+    ~75 ms/query, index 51 chunks/s (BASELINE.md rows 1-4)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from codesearch_tpu.chunker import Chunk, ChunkKind
+    from codesearch_tpu.embed import EmbeddingService
+    from codesearch_tpu.fts import FtsStore
+    from codesearch_tpu.index.pipeline import write_metadata
+    from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+    from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+
+    verbs = ["parse", "walk", "render", "compute", "merge", "flush", "encode",
+             "resolve", "validate", "dispatch", "batch", "cache", "track",
+             "scan", "load"]
+    nouns = ["config", "tree", "buffer", "index", "token", "matrix", "query",
+             "chunk", "socket", "widget", "metric", "schema", "branch",
+             "vector", "posting"]
+
+    td = Path(tempfile.mkdtemp(prefix="codesearch-bench-"))
+    try:
+        svc = EmbeddingService("code-hash-384", use_persistent_cache=False)
+        store = VectorStore(td / "db", dims=svc.dims)
+        fts = FtsStore(td / "db" / "fts")
+        t0 = time.time()
+        done = 0
+        slab = 8192
+        while done < n_rows:
+            n = min(slab, n_rows - done)
+            chunks = []
+            for i in range(done, done + n):
+                v, o = verbs[i % 15], nouns[(i // 15) % 15]
+                body = (
+                    f"def {v}_{o}_{i}(arg):\n"
+                    f'    """{v.capitalize()} the {o} and return the result."""\n'
+                    f"    return arg.{o} + {i}\n"
+                )
+                chunks.append(Chunk(
+                    content=body, start_line=0, end_line=3,
+                    kind=ChunkKind.FUNCTION, path=f"src/{o}/{v}_{i}.py",
+                    signature=f"def {v}_{o}_{i}(arg)",
+                ))
+            emb = svc.embed_chunks(chunks)
+            embs = np.stack([e.embedding for e in emb])
+            metas = [ChunkMetadata(
+                path=c.path, content=c.content, start_line=c.start_line,
+                end_line=c.end_line, kind=c.kind.value, signature=c.signature,
+                hash=c.hash, language="Python",
+            ) for c in chunks]
+            ids = store.insert_chunks_with_ids(embs, metas)
+            for cid, m in zip(ids, metas):
+                fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+            done += n
+            if done % 65536 == 0:
+                fts.commit()
+        index_cps = n_rows / (time.time() - t0)
+        store.build_index()
+        store.save()
+        fts.commit()
+
+        class _S:
+            primary_language = "Python"
+
+        write_metadata(td / "db", svc, _S())
+
+        session = SearchSession(td / "db", readonly=True)
+        queries = [
+            f"{v} the {o} and return it" for v in verbs[:8] for o in nouns[:4]
+        ]
+        # sanity: retrieval works on the synthetic corpus
+        probe = session.search("validate the schema and return it",
+                               SearchOptions(limit=10))
+        assert probe.hits, "product bench: no hits on synthetic corpus"
+        for q in queries[:4]:
+            session.search(q, SearchOptions(limit=10))
+        lat_h = []
+        for q in queries:
+            t1 = time.time()
+            session.search(q, SearchOptions(limit=10))
+            lat_h.append((time.time() - t1) * 1000)
+        lat_v = []
+        for q in queries:
+            t1 = time.time()
+            session.search(q + " now", SearchOptions(limit=10, mode="vector"))
+            lat_v.append((time.time() - t1) * 1000)
+        lat_h.sort()
+        lat_v.sort()
+        p50_h = lat_h[len(lat_h) // 2]
+        p50_v = lat_v[len(lat_v) // 2]
+        return {
+            "rows": n_rows,
+            "index_chunks_per_s_e2e": round(index_cps, 0),
+            "index_vs_cpu_onnx_51cps": round(index_cps / 51.0, 1),
+            "hybrid_p50_ms": round(p50_h, 1),
+            "hybrid_mean_ms": round(sum(lat_h) / len(lat_h), 1),
+            "hybrid_qps_single_stream": round(1000.0 / max(p50_h, 1e-9), 1),
+            "vector_p50_ms": round(p50_v, 1),
+            "hybrid_vs_baseline_75ms": round(75.0 / max(p50_h, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def main() -> None:
@@ -144,6 +258,8 @@ def main() -> None:
     out_b.block_until_ready()
     bert_cps = bsz * reps_b / (time.time() - t0)
 
+    product = bench_product(PRODUCT_ROWS) if PRODUCT_ROWS else None
+
     print(
         json.dumps(
             {
@@ -163,6 +279,7 @@ def main() -> None:
                     "embed_chunks_per_s_bge_small_arch": round(bert_cps, 0),
                     "embed_vs_cpu_onnx_51cps": round(bert_cps / 51.0, 1),
                     "setup_s": round(setup_s, 1),
+                    "product": product,
                 },
             }
         )

@@ -247,6 +247,8 @@ def _response_json(resp, scores: bool) -> dict:
             for h in resp.hits
         ],
     }
+    if resp.rerank_mode:
+        out["rerank_mode"] = resp.rerank_mode
     if scores:
         out["timings_ms"] = {k: round(v, 2) for k, v in resp.timings_ms.items()}
     return out
@@ -270,6 +272,12 @@ def _pretty_print(resp, scores: bool) -> None:
         if len(snippet) > 3:
             lines.append(f"   | … ({len(snippet) - 3} more lines)")
         lines.append("")
+    if resp.rerank_mode == "proxy-bi-encoder":
+        lines.append(
+            "note: reranked with the weights-free bi-encoder proxy "
+            "(place jina-reranker-v1-turbo-en weights in the models cache "
+            "for true cross-encoder quality)"
+        )
     if scores:
         t = resp.timings_ms
         lines.append(

@@ -696,6 +696,49 @@ class FtsStore:
         top = top[np.argsort(-scores[top])]
         return scores[top], top
 
+    def device_query_args(self, query: str, boost_kind: str | None, limit: int):
+        """Assemble the device-scoring inputs for a query: pow2-padded
+        (positions, contributions) + the resident kind array + boost kind id
+        + static top-k. Returns None when the query matches nothing. Used by
+        the fused hybrid dispatch (ops/query_pipeline.py) and _score_device."""
+        with self._lock:
+            self._flush_mem()
+            self._ensure_dense()
+            keys = np.unique(term_keys(query))
+            if keys.size == 0 or self._dnums_sorted.size == 0:
+                return None
+            gathered = self._gather_query(keys)
+            if gathered is None:
+                return None
+            pos, contrib = gathered
+            kind_dev = self._ensure_device()
+            cap = kind_dev.shape[0]
+            p = len(pos)
+            ppad = _pow2(max(p, 1))
+            pos_p = np.full(ppad, cap, np.int32)     # out-of-range → dropped
+            pos_p[:p] = pos
+            w_p = np.zeros(ppad, np.float32)
+            w_p[:p] = contrib
+            kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
+            k = min(_pow2(max(limit, 1)), cap)
+            return pos_p, w_p, kind_dev, kid, k
+
+    def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
+        """Map device top-k (scores, dense positions) back to FtsResults."""
+        with self._lock:
+            n = self._dnums_sorted.size
+            out = []
+            for s, p in zip(np.asarray(vals)[:limit], np.asarray(idx)[:limit]):
+                if s <= 0 or p >= n:
+                    continue
+                out.append(FtsResult(
+                    chunk_id=int(self._cid_arr[p]),
+                    score=float(s),
+                    path=self._doc_path[int(self._path_idx[p])],
+                    kind=self._kind_names[int(self._kind_arr[p])],
+                ))
+            return out
+
     def _score_device(self, pos, contrib, boost_kind, limit):
         """One device dispatch: scatter-add + kind boost + top-k
         (ops/bm25.py). Selection arrays pad to pow2 so XLA compiles few

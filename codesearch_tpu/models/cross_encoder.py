@@ -5,14 +5,20 @@ The reference scores (query, doc) pairs one-by-one on CPU via ort
 batched device forward: BERT over ``[CLS] query [SEP] doc [SEP]`` with
 segment ids, CLS pooler + linear head → logit → sigmoid.
 
+The architecture is read from the checkpoint's OWN ``config.json`` (drop
+the HF repo's config.json + model.safetensors + tokenizer into the models
+cache dir) — layer count/hidden/heads are never guessed; ALiBi-positioned
+checkpoints (JinaBERT-v2 family) are supported via position_type.
+
 Zero-egress fallback: without local weights, pair scores come from the
 deterministic hash embedder's cosine (a bi-encoder proxy) so the rerank
-pipeline stays functional end-to-end.
+pipeline stays functional end-to-end; ``mode`` labels which path ran so
+degraded ranking is visible in --scores / MCP output.
 """
 
 from __future__ import annotations
 
-import functools
+import json
 from pathlib import Path
 
 import numpy as np
@@ -20,28 +26,67 @@ import numpy as np
 from .registry import ArchConfig
 from .tokenizer import load_tokenizer
 
+# fallback shape when a checkpoint ships without config.json (BERT-small
+# class); with a config.json present this is fully overridden
 CROSS_ENCODER_ARCH = ArchConfig(
     vocab_size=30522, hidden=384, layers=6, heads=12, intermediate=1536,
     max_len=512, pooling="cls",
 )
 
 
+def arch_from_hf_config(model_dir: Path) -> ArchConfig | None:
+    """Build an ArchConfig from an HF BertConfig-style config.json. Returns
+    None when the file is absent; raises ValueError for architectures the
+    encoder cannot run (so stale indexes aren't silently mis-ranked)."""
+    p = model_dir / "config.json"
+    if not p.exists():
+        return None
+    raw = json.loads(p.read_text())
+    pos = raw.get("position_embedding_type", "absolute")
+    if pos not in ("absolute", "alibi"):
+        raise ValueError(f"unsupported position_embedding_type: {pos!r}")
+    act = raw.get("hidden_act", "gelu")
+    if act not in ("gelu", "gelu_new", "gelu_python"):
+        raise ValueError(f"unsupported hidden_act: {act!r}")
+    return ArchConfig(
+        vocab_size=int(raw.get("vocab_size", 30522)),
+        hidden=int(raw.get("hidden_size", 384)),
+        layers=int(raw.get("num_hidden_layers", 6)),
+        heads=int(raw.get("num_attention_heads", 12)),
+        intermediate=int(raw.get("intermediate_size", 1536)),
+        max_len=min(int(raw.get("max_position_embeddings", 512)), 8192),
+        type_vocab_size=max(int(raw.get("type_vocab_size", 2)), 1),
+        layer_norm_eps=float(raw.get("layer_norm_eps", 1e-12)),
+        pooling="cls",
+        position_type=pos,
+    )
+
+
 class CrossEncoder:
     def __init__(self, models_dir: Path | None = None, name: str = "jina-reranker-v1-turbo-en"):
-        import jax
-
         from . import encoder as enc
+        from ..utils.logger import get_logger
 
+        log = get_logger("cross_encoder")
         self.cfg = CROSS_ENCODER_ARCH
         self.name = name
         model_dir = (models_dir / name) if models_dir is not None else None
+        st = model_dir / "model.safetensors" if model_dir is not None else None
+        if st is not None and st.exists():
+            try:
+                cfg = arch_from_hf_config(model_dir)
+                if cfg is not None:
+                    self.cfg = cfg
+            except ValueError as e:
+                log.warning("reranker %s unusable (%s); using bi-encoder proxy",
+                            name, e)
+                st = None
         self.tokenizer = load_tokenizer(
             model_dir if model_dir is not None and model_dir.exists() else None,
             lowercase=True,
             max_len=self.cfg.max_len,
             vocab_size=self.cfg.vocab_size,
         )
-        st = model_dir / "model.safetensors" if model_dir is not None else None
         if st is not None and st.exists():
             self.params = enc.load_safetensors(st, self.cfg)
             self._head = self._load_head(st)
@@ -53,6 +98,12 @@ class CrossEncoder:
             from .hash_embedder import HashEmbedder
 
             self._proxy = HashEmbedder(384)
+
+    @property
+    def mode(self) -> str:
+        """'cross-encoder' (real batched pair forward) or
+        'proxy-bi-encoder' (zero-egress cosine fallback)."""
+        return "cross-encoder" if self.pretrained else "proxy-bi-encoder"
 
     def _load_head(self, st: Path):
         import jax.numpy as jnp
@@ -91,10 +142,11 @@ class CrossEncoder:
         q_ids = self.tokenizer.encode(query).ids
         batches_ids, batches_tt = [], []
         max_len = 0
+        seg_b = 1 if self.cfg.type_vocab_size > 1 else 0
         for d in docs:
             d_ids = self.tokenizer.encode(d).ids[1:]  # drop duplicate CLS
             ids = (q_ids + d_ids)[: self.cfg.max_len]
-            tt = ([0] * len(q_ids) + [1] * len(d_ids))[: self.cfg.max_len]
+            tt = ([0] * len(q_ids) + [seg_b] * len(d_ids))[: self.cfg.max_len]
             batches_ids.append(ids)
             batches_tt.append(tt)
             max_len = max(max_len, len(ids))

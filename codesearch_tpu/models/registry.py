@@ -33,6 +33,20 @@ class ArchConfig:
     layer_norm_eps: float = 1e-12
     pooling: str = "mean"          # "mean" | "cls"
     lowercase: bool = True
+    # architecture family (reference runs all three via ONNX graphs,
+    # embed/embedder.rs:7-96; here each is a distinct JAX forward):
+    #   "bert"       — learned positions, post-norm, GELU MLP
+    #   "nomic"      — rotary positions, post-norm, SwiGLU, bias-free attn/MLP
+    #   "modernbert" — rotary, PRE-norm, GeGLU, bias-free, alternating
+    #                  local(sliding-window)/global attention
+    arch_style: str = "bert"
+    rope_base: float = 10000.0       # rotary base (global layers)
+    rope_base_local: float = 10000.0  # rotary base for local layers (modernbert)
+    local_window: int = 0            # sliding-window size (0 = all global)
+    global_every: int = 1            # every Nth layer is global (modernbert: 3)
+    # "absolute" (learned) | "alibi" (symmetric additive bias, JinaBERT-v2
+    # style — no learned position table). Only meaningful for arch_style=bert.
+    position_type: str = "absolute"
 
 
 @dataclass(frozen=True)
@@ -55,11 +69,22 @@ _MINILM_L12 = ArchConfig(hidden=384, layers=12, heads=12, intermediate=1536)
 _BGE_SMALL = ArchConfig(hidden=384, layers=12, heads=12, intermediate=1536, pooling="cls")
 _BGE_BASE = ArchConfig(hidden=768, layers=12, heads=12, intermediate=3072, pooling="cls")
 _BGE_LARGE = ArchConfig(hidden=1024, layers=24, heads=16, intermediate=4096, pooling="cls")
-_NOMIC = ArchConfig(vocab_size=30528, hidden=768, layers=12, heads=12, intermediate=3072, max_len=2048)
+# nomic-bert-2048: rotary (base 1000), SwiGLU, bias-free attn/MLP, post-norm
+# (nomic-ai/nomic-embed-text-v1 config.json)
+_NOMIC = ArchConfig(vocab_size=30528, hidden=768, layers=12, heads=12,
+                    intermediate=3072, max_len=2048,
+                    arch_style="nomic", rope_base=1000.0)
 _JINA_CODE = ArchConfig(vocab_size=61056, hidden=768, layers=12, heads=12, intermediate=3072, max_len=8192)
 _E5_SMALL = ArchConfig(vocab_size=250037, hidden=384, layers=12, heads=12, intermediate=1536)
 _MXBAI = ArchConfig(hidden=1024, layers=24, heads=16, intermediate=4096, pooling="cls")
-_MODERNBERT = ArchConfig(vocab_size=50368, hidden=1024, layers=28, heads=16, intermediate=2624)
+# ModernBERT-large: pre-norm, GeGLU, bias-free, rotary with theta 160000 on
+# global layers (every 3rd) / 10000 on local sliding-window-128 layers
+# (answerdotai/ModernBERT-large config.json)
+_MODERNBERT = ArchConfig(vocab_size=50368, hidden=1024, layers=28, heads=16,
+                         intermediate=2624, max_len=8192, layer_norm_eps=1e-5,
+                         arch_style="modernbert", rope_base=160000.0,
+                         rope_base_local=10000.0, local_window=128,
+                         global_every=3)
 
 
 def _bert(short, full, dims, arch, *, q=False, qp="", dp="", aliases=()):
@@ -117,6 +142,7 @@ for spec in [
     _bert("mxbai-large", "mixedbread-ai/mxbai-embed-large-v1", 1024, _MXBAI,
           aliases=("mxbaiembedlargev1",)),
     _bert("modernbert-large", "lightonai/modernbert-embed-large", 1024, _MODERNBERT,
+          qp="search_query: ", dp="search_document: ",
           aliases=("modernbertembedlarge",)),
 ]:
     _register(spec)

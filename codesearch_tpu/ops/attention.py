@@ -26,13 +26,24 @@ def reference_attention(
     k: jax.Array,  # [B, H, S, Dh]
     v: jax.Array,  # [B, H, S, Dh]
     mask: jax.Array,  # [B, S] 1.0 = valid, 0.0 = pad
+    window: int = 0,  # >0: sliding-window attention, |i-j| ≤ window//2
+    bias2d: jax.Array | None = None,  # [H, S, S] additive bias (ALiBi)
 ) -> jax.Array:
-    """XLA-composed attention; the correctness reference."""
+    """XLA-composed attention; the correctness reference. ``window`` adds a
+    band mask (ModernBERT's local layers, sliding window 128); ``bias2d``
+    adds a per-head score bias (ALiBi)."""
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _NEG_INF
     scores = scores + bias
+    if bias2d is not None:
+        scores = scores + bias2d[None]
+    if window:
+        s = q.shape[2]
+        idx = jnp.arange(s)
+        band = jnp.abs(idx[:, None] - idx[None, :]) <= window // 2
+        scores = jnp.where(band[None, None], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     return out
@@ -118,14 +129,27 @@ def _default_backend() -> str:
     return jax.default_backend()
 
 
+def alibi_bias(heads: int, seq: int) -> jax.Array:
+    """Symmetric (bidirectional-encoder) ALiBi bias [H, S, S]: -m_h·|i-j|
+    with the standard geometric slopes (JinaBERT-v2 / MosaicBERT style)."""
+    slopes = 2.0 ** (-8.0 * (jnp.arange(heads, dtype=jnp.float32) + 1.0) / heads)
+    idx = jnp.arange(seq)
+    dist = jnp.abs(idx[:, None] - idx[None, :]).astype(jnp.float32)
+    return -slopes[:, None, None] * dist[None]
+
+
 def fused_encoder_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
+    window: int = 0, bias2d: jax.Array | None = None,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere. Windowed
+    (local) and biased (ALiBi) attention take the XLA path — at encoder
+    sequence lengths those score matmuls are already cheap.
 
     Backend is decided at trace time (jax.default_backend()), never from
     array values — safe under jit.
     """
-    if _default_backend() == "tpu" and q.shape[2] % 128 == 0:
+    if (window == 0 and bias2d is None
+            and _default_backend() == "tpu" and q.shape[2] % 128 == 0):
         return pallas_attention(q, k, v, mask)
-    return reference_attention(q, k, v, mask)
+    return reference_attention(q, k, v, mask, window=window, bias2d=bias2d)

@@ -48,3 +48,59 @@ def hash_embed_search_int8(
 
     q = embed_features(table, ids, weights)
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb"))
+def hash_embed_hybrid_search(
+    table: jax.Array,      # [V, d] hash-embedder table
+    ids: jax.Array,        # [Q, T] query-variant feature ids
+    weights: jax.Array,    # [Q, T]
+    corpus: jax.Array,     # [N, d] bf16
+    valid: jax.Array,      # [N] bool
+    kv: int,               # vector top-k
+    bm_pos: jax.Array,     # [P] i32 — BM25 posting positions (pad: out-of-range)
+    bm_w: jax.Array,       # [P] f32 — per-posting contributions (pad: 0)
+    kind_ids: jax.Array,   # [M] i32 — FTS dense-view kind ids
+    boost_kid: jax.Array,  # scalar i32 (-1: no boost)
+    kb: int,               # BM25 top-k
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """THE hybrid query: variant embedding + exact vector top-k + BM25
+    scatter top-k fused into ONE dispatch — one host→device transfer of the
+    tiny query arrays, one device→host readback for everything the fusion
+    stage needs. On a tunnel-attached chip this collapses the 2-3 round
+    trips of (embed → search → fts) into a single ~RTT; on local chips it
+    removes dispatch overhead. Replaces the reference's sequential
+    rayon-ANN-then-tantivy read plane (search/mod.rs:504-691)."""
+    from ..models.hash_embedder import embed_features
+    from .bm25 import bm25_scatter_topk
+    from .topk import cosine_topk
+
+    q = embed_features(table, ids, weights)
+    v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
+    b_vals, b_idx = bm25_scatter_topk(bm_pos, bm_w, kind_ids, boost_kid, kb)
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb"))
+def hash_embed_hybrid_search_int8(
+    table: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    bm_pos: jax.Array,
+    bm_w: jax.Array,
+    kind_ids: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.hash_embedder import embed_features
+    from .bm25 import bm25_scatter_topk
+    from .topk import cosine_topk_int8
+
+    q = embed_features(table, ids, weights)
+    v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
+    b_vals, b_idx = bm25_scatter_topk(bm_pos, bm_w, kind_ids, boost_kid, kb)
+    return v_vals, v_idx, b_vals, b_idx

@@ -79,6 +79,9 @@ class SearchResponse:
     total_chunks: int
     timings_ms: dict[str, float] = field(default_factory=dict)
     db_path: str = ""
+    # "cross-encoder" | "proxy-bi-encoder" when --rerank ran, else None —
+    # degraded (weights-free) reranking must be visible (VERDICT r1 item 6)
+    rerank_mode: str | None = None
 
 
 class SearchSession:
@@ -140,6 +143,7 @@ class SearchSession:
         # ---- embed + search all variants -------------------------------
         fetch = max(options.limit * OVERSAMPLE, options.limit)
         hash_backend = getattr(self.service.backend, "model", None)
+        fused_fts: list | None = None   # BM25 results from the fused dispatch
         t = time.time()
         if hash_backend is not None and hasattr(hash_backend, "table"):
             # single-dispatch fast path: featurize on host, embed+top-k in
@@ -151,9 +155,23 @@ class SearchSession:
             )
             timings["embed"] = (time.time() - t) * 1000
             t = time.time()
-            per_variant = self.store.search_featurized(
-                hash_backend.table, ids, ws, fetch
-            )
+            bm_args = None
+            if options.mode == "hybrid" and self.store._mesh() is None:
+                # fuse the BM25 pass into the SAME dispatch: the whole
+                # hybrid read plane costs one device round trip
+                bm_args = self.fts.device_query_args(
+                    query, intent.value if intent else None, fetch
+                )
+            if bm_args is not None:
+                per_variant, bv, bi = self.store.hybrid_search_featurized(
+                    hash_backend.table, ids, ws, fetch, bm_args
+                )
+                if bv is not None:
+                    fused_fts = self.fts.results_from_device(bv, bi, fetch)
+            else:
+                per_variant = self.store.search_featurized(
+                    hash_backend.table, ids, ws, fetch
+                )
         else:
             qvecs = np.stack(self.service.embed_queries_batch(variants))
             timings["embed"] = (time.time() - t) * 1000
@@ -177,7 +195,7 @@ class SearchSession:
 
         t = time.time()
         if use_hybrid:
-            fts_results = self.fts.search(
+            fts_results = fused_fts if fused_fts is not None else self.fts.search(
                 query, limit=fetch,
                 boost_kind=intent.value if intent else None,
             )
@@ -242,10 +260,12 @@ class SearchSession:
         hits.sort(key=lambda h: -h.score)
 
         # ---- neural rerank blend (search/mod.rs:829-866) -----------------
+        rerank_mode: str | None = None
         if options.rerank and hits:
             t = time.time()
             if self.reranker is None:
                 self.reranker = NeuralReranker()
+            rerank_mode = self.reranker.model.mode
             cands = hits[: max(100, options.limit)]
             reranked = self.reranker.rerank_and_blend(
                 query,
@@ -271,6 +291,7 @@ class SearchSession:
             total_chunks=len(self.store),
             timings_ms=timings,
             db_path=str(self.db_path),
+            rerank_mode=rerank_mode,
         )
 
 

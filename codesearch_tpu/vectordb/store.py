@@ -726,6 +726,48 @@ class VectorStore:
                 )
         return self._materialize(vals, idx)
 
+    def hybrid_search_featurized(
+        self, table, ids: np.ndarray, weights: np.ndarray, limit: int, bm_args
+    ):
+        """THE fused read plane (single device): variant hash-embedding +
+        exact vector top-k + BM25 scatter top-k in ONE dispatch
+        (ops/query_pipeline.hash_embed_hybrid_search). Returns
+        (per-variant vector results, bm25 scores, bm25 dense positions);
+        the FTS store maps the latter back to chunks.
+
+        ``bm_args`` comes from FtsStore.device_query_args()."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import (
+            hash_embed_hybrid_search,
+            hash_embed_hybrid_search_int8,
+        )
+
+        pos_p, w_p, kind_dev, kid, kb = bm_args
+        with self._lock:
+            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            if n_valid == 0:
+                return [[] for _ in range(ids.shape[0])], None, None
+            dev = self._ensure_device()
+            kv = min(limit, max(1, n_valid))
+            if dev[0] == "int8":
+                vv, vi, bv, bi = hash_embed_hybrid_search_int8(
+                    table, jnp.asarray(ids), jnp.asarray(weights),
+                    dev[1], dev[2], dev[3], kv,
+                    jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev,
+                    jnp.int32(kid), kb,
+                )
+            else:
+                vv, vi, bv, bi = hash_embed_hybrid_search(
+                    table, jnp.asarray(ids), jnp.asarray(weights),
+                    dev[1], dev[3], kv,
+                    jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev,
+                    jnp.int32(kid), kb,
+                )
+        vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
+        return self._materialize(vv, vi), bv, bi
+
     def search(self, query_vec: np.ndarray, limit: int) -> list[SearchResult]:
         return self.search_batch(query_vec, limit)[0]
 

@@ -299,3 +299,43 @@ class TestWatcher:
         (wt / ".git").write_text(f"gitdir: {main}\n")
         w = GitHeadWatcher(wt)
         assert w.head_path == main / "HEAD"
+
+
+class TestFusedHybridDispatch:
+    """Single-device hybrid fuses embed + vector top-k + BM25 into one
+    dispatch; results must match the unfused (mesh) pipeline."""
+
+    def test_fused_matches_unfused(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file into key/value pairs."""\n'
+            "    return dict(l.split('=') for l in open(path))\n\n"
+            "def draw_triangle(canvas):\n"
+            '    """Render a triangle."""\n'
+            "    canvas.poly(3)\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+
+        def run():
+            sess = SearchSession(stats.db_path, readonly=True)
+            resp = sess.search("parse configuration file", SearchOptions(limit=5))
+            return [(h.chunk_id, round(h.score, 6)) for h in resp.hits], resp.mode
+
+        unfused, mode_a = run()   # 8-device mesh → separate dispatches
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            fused, mode_b = run() # single device → fused hybrid dispatch
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
+        assert fused == unfused
+        assert mode_a == mode_b

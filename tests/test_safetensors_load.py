@@ -156,3 +156,147 @@ class TestCrossEncoderPairScoring:
         assert not model.pretrained
         s = model.score_pairs("q", ["a", "b"])
         assert s.shape == (2,)
+
+
+NOMIC_CFG = ArchConfig(vocab_size=128, hidden=32, layers=2, heads=4,
+                       intermediate=64, max_len=64, arch_style="nomic",
+                       rope_base=1000.0)
+MB_CFG = ArchConfig(vocab_size=128, hidden=32, layers=4, heads=4,
+                    intermediate=48, max_len=64, layer_norm_eps=1e-5,
+                    arch_style="modernbert", rope_base=160000.0,
+                    rope_base_local=10000.0, local_window=8, global_every=3)
+
+
+def _synthetic_nomic(path, cfg=NOMIC_CFG):
+    """nomic-ai/nomic-embed-text-v1 tensor names/shapes (embedder.rs:24-31)."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(1)
+    t = {}
+
+    def add(name, shape):
+        t[name] = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    h, m = cfg.hidden, cfg.intermediate
+    add("embeddings.word_embeddings.weight", (cfg.vocab_size, h))
+    add("embeddings.token_type_embeddings.weight", (2, h))
+    add("emb_ln.weight", (h,)); add("emb_ln.bias", (h,))
+    for i in range(cfg.layers):
+        L = f"encoder.layers.{i}."
+        add(L + "attn.Wqkv.weight", (3 * h, h))
+        add(L + "attn.out_proj.weight", (h, h))
+        add(L + "norm1.weight", (h,)); add(L + "norm1.bias", (h,))
+        add(L + "mlp.fc11.weight", (m, h))
+        add(L + "mlp.fc12.weight", (m, h))
+        add(L + "mlp.fc2.weight", (h, m))
+        add(L + "norm2.weight", (h,)); add(L + "norm2.bias", (h,))
+    save_file(t, str(path))
+    return t
+
+
+def _synthetic_modernbert(path, cfg=MB_CFG):
+    """answerdotai/ModernBERT tensor names/shapes (layer 0 has no attn_norm)."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(2)
+    t = {}
+
+    def add(name, shape):
+        t["model." + name] = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    h, m = cfg.hidden, cfg.intermediate
+    add("embeddings.tok_embeddings.weight", (cfg.vocab_size, h))
+    add("embeddings.norm.weight", (h,))
+    add("final_norm.weight", (h,))
+    for i in range(cfg.layers):
+        L = f"layers.{i}."
+        add(L + "attn.Wqkv.weight", (3 * h, h))
+        add(L + "attn.Wo.weight", (h, h))
+        if i > 0:
+            add(L + "attn_norm.weight", (h,))
+        add(L + "mlp.Wi.weight", (2 * m, h))
+        add(L + "mlp.Wo.weight", (h, m))
+        add(L + "mlp_norm.weight", (h,))
+    save_file(t, str(path))
+    return t
+
+
+class TestArchVariants:
+    """VERDICT r1 item 5: Nomic (rotary/SwiGLU) and ModernBERT (pre-norm,
+    GeGLU, alternating local/global attention) must load and run."""
+
+    def _roundtrip(self, tmp_path, builder, cfg):
+        import jax.numpy as jnp
+
+        from codesearch_tpu.models.encoder import encode, load_safetensors
+
+        st = tmp_path / "model.safetensors"
+        builder(st, cfg)
+        params = load_safetensors(st, cfg)
+        ids = jnp.asarray(np.arange(24).reshape(2, 12) % cfg.vocab_size)
+        mask = jnp.ones((2, 12), jnp.int32)
+        out = np.asarray(encode(params, ids, mask, cfg))
+        assert out.shape == (2, cfg.hidden)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+        return params, out
+
+    def test_nomic_load_and_forward(self, tmp_path):
+        params, _ = self._roundtrip(tmp_path, _synthetic_nomic, NOMIC_CFG)
+        # no learned positions in the pytree — positions are rotary
+        assert "position" not in params["embeddings"]
+
+    def test_modernbert_load_and_forward(self, tmp_path):
+        params, _ = self._roundtrip(tmp_path, _synthetic_modernbert, MB_CFG)
+        assert "attn_ln_scale" not in params["layers"][0]
+        assert "attn_ln_scale" in params["layers"][1]
+
+    def test_rope_encodes_relative_position(self):
+        """Rotary q·k scores must depend on relative distance only: equal
+        for equal (i-j), different for different (i-j)."""
+        import jax.numpy as jnp
+
+        from codesearch_tpu.models.encoder import _apply_rope
+
+        rng = np.random.default_rng(5)
+        vec = rng.standard_normal(8).astype(np.float32)
+        x = jnp.asarray(np.tile(vec, (1, 1, 16, 1)))  # same vector at all pos
+        q, k = _apply_rope(x, x, 100.0)
+        q, k = np.asarray(q), np.asarray(k)
+        s = lambda i, j: float(q[0, 0, i] @ k[0, 0, j])
+        assert s(3, 1) == pytest.approx(s(10, 8), rel=1e-5)   # same distance
+        assert abs(s(3, 1) - s(3, 3)) > 1e-3                  # different distance
+
+    def test_rope_preserves_norm(self):
+        import jax.numpy as jnp
+
+        from codesearch_tpu.models.encoder import _apply_rope
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((1, 2, 16, 8)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 2, 16, 8)).astype(np.float32))
+        q2, k2 = _apply_rope(q, k, 10000.0)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(q2), axis=-1),
+            np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5,
+        )
+
+    def test_local_window_masks_distant_tokens(self):
+        """ModernBERT's local layers must not attend beyond the window."""
+        import jax.numpy as jnp
+
+        from codesearch_tpu.ops.attention import reference_attention
+
+        rng = np.random.default_rng(4)
+        s = 16
+        q = jnp.asarray(rng.standard_normal((1, 1, s, 8)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 1, s, 8)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 1, s, 8)).astype(np.float32))
+        mask = jnp.ones((1, s), jnp.float32)
+        base = np.asarray(reference_attention(q, k, v, mask, window=4))
+        # perturb a key/value far outside every window of token 0
+        k2 = k.at[0, 0, 10].set(99.0)
+        v2 = v.at[0, 0, 10].set(99.0)
+        pert = np.asarray(reference_attention(q, k2, v2, mask, window=4))
+        np.testing.assert_allclose(pert[0, 0, 0], base[0, 0, 0], rtol=1e-5)
+        assert not np.allclose(pert[0, 0, 9], base[0, 0, 9])
