@@ -105,9 +105,21 @@ class SemanticChunker:
         label = self._label(node)
         new_context = context_stack + [label]
         content = src[node.start_off : node.end_off]
+        # attributes/decorators directly above belong to the definition's
+        # content (tree-sitter includes them in the item/decorated node —
+        # semantic.rs attaches them; doc comments stay docstring-only)
+        attr_start = node.start_line
+        while attr_start - 1 >= 0 and any(
+            source_lines[attr_start - 1].strip().startswith(p)
+            for p in spec.attribute_prefixes
+        ):
+            attr_start -= 1
+        if attr_start < node.start_line:
+            prefix = "\n".join(source_lines[attr_start : node.start_line])
+            content = prefix + "\n" + content
         chunk = Chunk(
             content=content,
-            start_line=node.start_line,
+            start_line=attr_start,
             end_line=node.end_line,
             kind=node.kind,
             path=path_str,

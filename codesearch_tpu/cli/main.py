@@ -69,8 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--scores", action="store_true", help="show stage timings")
     s.add_argument("--sync", action="store_true", help="incremental refresh before searching")
     s.add_argument("--no-expand", action="store_true", help="disable query expansion")
-    s.add_argument("--create-index", action="store_true",
-                   help="build the index first if none exists")
+    # parity: the reference auto-creates a missing index on first search
+    # (search/mod.rs:413-435); --no-create-index opts out
+    s.add_argument("--create-index", dest="create_index", action="store_true",
+                   default=True, help="build the index first if none exists (default)")
+    s.add_argument("--no-create-index", dest="create_index", action="store_false",
+                   help="fail instead of auto-indexing when no index exists")
 
     i = sub.add_parser("index", help="build or refresh the index")
     i.add_argument("args", nargs="*", default=[],

@@ -61,6 +61,11 @@ _EXACT_SIG_BOOST = 3.0
 MAX_SEGMENTS = 12          # hard cap — beyond it the two smallest merge
 MERGE_RATIO = 2.0          # similar-size segments merge eagerly
 DEVICE_MIN_DOCS = 50_000   # below this, host bincount beats a dispatch
+# Terms matching more than this fraction of the corpus are skipped: their
+# idf is ~log(1 + (N-df)/df) ≈ 0 (zero ranking signal) while their postings
+# dominate gather cost — measured 3.1M of 3.3M selected postings at 1M docs
+# came from stopword-class terms ("the"/"return"/...).
+MAX_DF_RATIO = 0.4
 
 
 def _to_i64(h: int) -> int:
@@ -204,9 +209,10 @@ class FtsStore:
         self._cid_arr = np.zeros(0, np.int64)
         self._path_idx = np.zeros(0, np.int64)   # dense pos → slot
         self._avg_len = 1.0
-        # device view of the dense arrays
+        # device view: resident postings + kind array (see _ensure_device)
         self._dev = None
         self._dev_dirty = True
+        self._seg_base: list[int] = []
         self.device_min_docs = DEVICE_MIN_DOCS
         if self.dir.exists():
             self._load()
@@ -358,6 +364,7 @@ class FtsStore:
         self._dead_since_flush.clear()
         if len(terms):
             self._segments.append(Segment.from_triples(terms, dnums, tfc, tfs))
+            self._dev_dirty = True
 
     def _liveness(self, dnums: np.ndarray) -> np.ndarray:
         """Vectorized live-dnum mask against the dense view (exact)."""
@@ -391,6 +398,7 @@ class FtsStore:
             if len(self._segments) > MAX_SEGMENTS or len(s1) * MERGE_RATIO >= len(s2):
                 merged = self._merge_segments([s2, s1])
                 self._segments = self._segments[:-2] + [merged]
+                self._dev_dirty = True
             else:
                 break
 
@@ -586,17 +594,40 @@ class FtsStore:
         self._dev_dirty = True
 
     def _ensure_device(self):
-        """Upload the per-doc kind-id array (pow2-padded) for the device
-        scoring path."""
+        """Sync the RESIDENT device state for BM25 scoring: per-posting dense
+        doc positions + idf-less contributions (term-major, segments
+        concatenated) and the per-doc kind-id array. Queries then ship only
+        (lo, len, idf) intervals — a few hundred bytes (ops/bm25.py)."""
+        self._ensure_dense()
         if not self._dev_dirty and self._dev is not None:
             return self._dev
         import jax.numpy as jnp
 
         n = self._dnums_sorted.size
-        cap = max(_pow2(n), 1024)
-        kinds = np.full(cap, -2, np.int32)   # pad never matches a boost kid
+        ncap = max(_pow2(n), 1024)
+        kinds = np.full(ncap, -2, np.int32)  # pad never matches a boost kid
         kinds[:n] = self._kind_arr
-        self._dev = jnp.asarray(kinds)
+        self._seg_base = []
+        base = 0
+        for seg in self._segments:
+            self._seg_base.append(base)
+            base += len(seg)
+        pcap = max(_pow2(base), 1024)
+        p_pos = np.full(pcap, ncap, np.int32)   # pad/dead → dropped
+        p_w = np.zeros(pcap, np.float32)
+        if base and n:
+            dnums = np.concatenate([s.dnums for s in self._segments])
+            tfb = np.concatenate([
+                s.tfc.astype(np.float32) + _SIG_BOOST * s.tfs.astype(np.float32)
+                for s in self._segments
+            ])
+            pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, n - 1)
+            live = self._dnums_sorted[pos] == dnums
+            len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
+            w = tfb * (_K1 + 1.0) / (tfb + len_norm)
+            p_pos[:base] = np.where(live, pos, ncap).astype(np.int32)
+            p_w[:base] = np.where(live, w, 0.0).astype(np.float32)
+        self._dev = (jnp.asarray(p_pos), jnp.asarray(p_w), jnp.asarray(kinds))
         self._dev_dirty = False
         return self._dev
 
@@ -614,19 +645,26 @@ class FtsStore:
         complete BM25 per-posting contribution) with dead postings zeroed.
         All O(P) and fully vectorized."""
         n_docs = max(self._n_live, 1)
+        # floor keeps tiny corpora exhaustive; the cap only bites at scale
+        max_df = max(MAX_DF_RATIO * n_docs, 64.0)
         parts_d, parts_c, parts_s, term_lens = [], [], [], []
         for key in keys:
+            ranges = []
             tl = 0
             for seg in self._segments:
                 lo, hi = seg.term_range(int(key))
                 if lo == hi:
                     continue
+                ranges.append((seg, lo, hi))
+                tl += hi - lo
+            # df-cap: near-zero-idf stopword terms dominate gather cost
+            if tl == 0 or tl > max_df:
+                continue
+            for seg, lo, hi in ranges:
                 parts_d.append(seg.dnums[lo:hi])
                 parts_c.append(seg.tfc[lo:hi])
                 parts_s.append(seg.tfs[lo:hi])
-                tl += hi - lo
-            if tl:
-                term_lens.append(tl)
+            term_lens.append(tl)
         if not parts_d:
             return None
         dnums = np.concatenate(parts_d)
@@ -659,17 +697,23 @@ class FtsStore:
         with self._lock:
             self._flush_mem()
             self._ensure_dense()
-            keys = np.unique(term_keys(query))
-            if keys.size == 0 or self._dnums_sorted.size == 0:
-                return []
-            gathered = self._gather_query(keys)
-            if gathered is None:
-                return []
-            pos, contrib = gathered
             n = self._dnums_sorted.size
+            if n == 0:
+                return []
             if n >= self.device_min_docs:
-                top_scores, top_pos = self._score_device(pos, contrib, boost_kind, limit)
+                # device path: no host-side posting materialization at all
+                args = self.device_query_args(query, boost_kind, limit)
+                if args is None:
+                    return []
+                top_scores, top_pos = self._score_device(args, limit)
             else:
+                keys = np.unique(term_keys(query))
+                if keys.size == 0:
+                    return []
+                gathered = self._gather_query(keys)
+                if gathered is None:
+                    return []
+                pos, contrib = gathered
                 top_scores, top_pos = self._score_host(pos, contrib, boost_kind, limit)
             out = []
             for s, p in zip(top_scores, top_pos):
@@ -697,31 +741,52 @@ class FtsStore:
         return scores[top], top
 
     def device_query_args(self, query: str, boost_kind: str | None, limit: int):
-        """Assemble the device-scoring inputs for a query: pow2-padded
-        (positions, contributions) + the resident kind array + boost kind id
-        + static top-k. Returns None when the query matches nothing. Used by
-        the fused hybrid dispatch (ops/query_pipeline.py) and _score_device."""
+        """Assemble the device-scoring inputs for a query against the
+        RESIDENT postings: per-(term×segment) CSR intervals (lo, len, idf) —
+        a few hundred bytes — plus the resident array handles, the boost
+        kind id and static (k, block) shapes. Returns None when the query
+        selects nothing. Used by the fused hybrid dispatch
+        (ops/query_pipeline.py) and _score_device."""
         with self._lock:
             self._flush_mem()
-            self._ensure_dense()
+            dev = self._ensure_device()
+            n = self._dnums_sorted.size
+            if n == 0:
+                return None
             keys = np.unique(term_keys(query))
-            if keys.size == 0 or self._dnums_sorted.size == 0:
+            if keys.size == 0:
                 return None
-            gathered = self._gather_query(keys)
-            if gathered is None:
+            lo, ln, idf = [], [], []
+            max_df = max(MAX_DF_RATIO * self._n_live, 64.0)
+            for key in keys:
+                ranges = []
+                df = 0
+                for s, seg in enumerate(self._segments):
+                    slo, shi = seg.term_range(int(key))
+                    if slo == shi:
+                        continue
+                    ranges.append((self._seg_base[s] + slo, shi - slo))
+                    df += shi - slo
+                if df == 0 or df > max_df:
+                    continue
+                t_idf = float(np.log(1.0 + (self._n_live - df + 0.5) / (df + 0.5)))
+                for rlo, rln in ranges:
+                    lo.append(rlo)
+                    ln.append(rln)
+                    idf.append(t_idf)
+            if not lo:
                 return None
-            pos, contrib = gathered
-            kind_dev = self._ensure_device()
-            cap = kind_dev.shape[0]
-            p = len(pos)
-            ppad = _pow2(max(p, 1))
-            pos_p = np.full(ppad, cap, np.int32)     # out-of-range → dropped
-            pos_p[:p] = pos
-            w_p = np.zeros(ppad, np.float32)
-            w_p[:p] = contrib
+            ipad = max(_pow2(len(lo)), 8)
+            lo_a = np.zeros(ipad, np.int32)
+            ln_a = np.zeros(ipad, np.int32)
+            idf_a = np.zeros(ipad, np.float32)
+            lo_a[: len(lo)] = lo
+            ln_a[: len(ln)] = ln
+            idf_a[: len(idf)] = idf
+            block = max(_pow2(int(max(ln))), 512)
             kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
-            k = min(_pow2(max(limit, 1)), cap)
-            return pos_p, w_p, kind_dev, kid, k
+            k = min(_pow2(max(limit, 1)), dev[2].shape[0])
+            return dev, lo_a, ln_a, idf_a, kid, k, block
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""
@@ -739,27 +804,19 @@ class FtsStore:
                 ))
             return out
 
-    def _score_device(self, pos, contrib, boost_kind, limit):
-        """One device dispatch: scatter-add + kind boost + top-k
-        (ops/bm25.py). Selection arrays pad to pow2 so XLA compiles few
-        program shapes."""
+    def _score_device(self, args, limit):
+        """One device dispatch against the resident postings: interval
+        gather + scatter-accumulate + kind boost + top-k (ops/bm25.py)."""
         import jax
         import jax.numpy as jnp
 
-        from ..ops.bm25 import bm25_scatter_topk
+        from ..ops.bm25 import bm25_resident_topk
 
-        kind_dev = self._ensure_device()
-        cap = kind_dev.shape[0]
-        p = len(pos)
-        ppad = _pow2(max(p, 1))
-        pos_p = np.full(ppad, cap, np.int32)     # out-of-range → dropped
-        pos_p[:p] = pos
-        w_p = np.zeros(ppad, np.float32)
-        w_p[:p] = contrib
-        kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
-        k = min(_pow2(max(limit, 1)), cap)
-        vals, idx = bm25_scatter_topk(
-            jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev, jnp.int32(kid), k
+        dev, lo, ln, idf, kid, k, block = args
+        vals, idx = bm25_resident_topk(
+            dev[0], dev[1], dev[2],
+            jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
+            jnp.int32(kid), k, block,
         )
         vals, idx = jax.device_get((vals, idx))
         return vals[:limit], idx[:limit]

@@ -50,7 +50,7 @@ def hash_embed_search_int8(
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "block"))
 def hash_embed_hybrid_search(
     table: jax.Array,      # [V, d] hash-embedder table
     ids: jax.Array,        # [Q, T] query-variant feature ids
@@ -58,30 +58,37 @@ def hash_embed_hybrid_search(
     corpus: jax.Array,     # [N, d] bf16
     valid: jax.Array,      # [N] bool
     kv: int,               # vector top-k
-    bm_pos: jax.Array,     # [P] i32 — BM25 posting positions (pad: out-of-range)
-    bm_w: jax.Array,       # [P] f32 — per-posting contributions (pad: 0)
+    p_pos: jax.Array,      # [P] i32 — RESIDENT posting → dense doc position
+    p_w: jax.Array,        # [P] f32 — RESIDENT idf-less contributions
     kind_ids: jax.Array,   # [M] i32 — FTS dense-view kind ids
+    lo: jax.Array,         # [I] i32 — query term intervals into p_pos
+    ln: jax.Array,         # [I] i32
+    idf: jax.Array,        # [I] f32
     boost_kid: jax.Array,  # scalar i32 (-1: no boost)
     kb: int,               # BM25 top-k
+    block: int,            # static gather length per interval
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """THE hybrid query: variant embedding + exact vector top-k + BM25
-    scatter top-k fused into ONE dispatch — one host→device transfer of the
-    tiny query arrays, one device→host readback for everything the fusion
-    stage needs. On a tunnel-attached chip this collapses the 2-3 round
-    trips of (embed → search → fts) into a single ~RTT; on local chips it
-    removes dispatch overhead. Replaces the reference's sequential
+    """THE hybrid query: variant embedding + exact vector top-k + resident-
+    postings BM25 top-k fused into ONE dispatch — the host→device transfer
+    is just the feature ids + ~10 CSR intervals (hundreds of bytes), one
+    device→host readback returns everything the fusion stage needs. On a
+    tunnel-attached chip this collapses the 2-3 round trips of
+    (embed → search → fts) into a single ~RTT; on local chips it removes
+    dispatch overhead. Replaces the reference's sequential
     rayon-ANN-then-tantivy read plane (search/mod.rs:504-691)."""
     from ..models.hash_embedder import embed_features
-    from .bm25 import bm25_scatter_topk
+    from .bm25 import bm25_resident_topk
     from .topk import cosine_topk
 
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
-    b_vals, b_idx = bm25_scatter_topk(bm_pos, bm_w, kind_ids, boost_kid, kb)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, block
+    )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "block"))
 def hash_embed_hybrid_search_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -90,17 +97,23 @@ def hash_embed_hybrid_search_int8(
     row_scale: jax.Array,
     valid: jax.Array,
     kv: int,
-    bm_pos: jax.Array,
-    bm_w: jax.Array,
+    p_pos: jax.Array,
+    p_w: jax.Array,
     kind_ids: jax.Array,
+    lo: jax.Array,
+    ln: jax.Array,
+    idf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    block: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
-    from .bm25 import bm25_scatter_topk
+    from .bm25 import bm25_resident_topk
     from .topk import cosine_topk_int8
 
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
-    b_vals, b_idx = bm25_scatter_topk(bm_pos, bm_w, kind_ids, boost_kid, kb)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, block
+    )
     return v_vals, v_idx, b_vals, b_idx

@@ -50,7 +50,8 @@ class SearchOptions:
     min_score: float | None = None
     model: str | None = None
     sync: bool = False
-    create_index: bool = False
+    # parity: the reference auto-creates a missing index (search/mod.rs:413-435)
+    create_index: bool = True
     no_expand: bool = False
 
 
@@ -279,6 +280,10 @@ class SearchSession:
                     h.score = order[h.chunk_id][1]
             hits = cands + hits[len(cands):]
             timings["rerank"] = (time.time() - t) * 1000
+            # path filter re-applied post-rerank (search/mod.rs:869-882)
+            if options.path_filter:
+                needle = options.path_filter
+                hits = [h for h in hits if needle in h.path]
 
         if options.min_score is not None:
             hits = [h for h in hits if h.score >= options.min_score]

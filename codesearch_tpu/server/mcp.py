@@ -28,16 +28,84 @@ log = get_logger("mcp")
 
 PROTOCOL_VERSION = "2024-11-05"
 
-INSTRUCTIONS = """\
-codesearch: local semantic code search over this repository.
+def build_instructions(project, db, model: str, dims: int, readonly: bool) -> str:
+    """Agent-facing playbook (parity in depth with the reference's get_info
+    workflow prompt, mcp/mod.rs:766-929): tool guide, token-efficient and
+    refactoring workflows, anti-grep guidance, troubleshooting."""
+    import os
 
-Workflow: call index_status once to confirm readiness, then semantic_search
-with natural-language queries ("where is retry logic for uploads") or
-identifier queries ("handle_file_modified"). Results are compact metadata
-(path, line range, kind, signature, score) — open the file at the returned
-lines for code; set compact=false only when you need inline content.
-Use find_references INSTEAD OF grep to locate call sites of a symbol.
-The index refreshes automatically (file watcher + git branch detection).
+    db_exists = Path(db).exists()
+    return f"""\
+codesearch: local semantic code search over this repository. Search by
+MEANING, not just keywords — the index is built from AST-aware chunks with
+signatures, docstrings and context breadcrumbs, and stays fresh
+automatically (file watcher + git branch detection).
+
+TOOLS
+
+1. find_databases()
+   Discover every index reachable from here (cwd, children, parents,
+   global registry) with per-database stats. Call this FIRST when unsure
+   which project is indexed.
+2. index_status()
+   Readiness check: status (ready/building/error), chunk/file counts,
+   model info. Call it before the first search and when results look
+   stale or empty.
+3. semantic_search(query, limit=10, compact=true, filter_path=null)
+   Natural-language or identifier search. Compact results carry only
+   path, line range, kind, signature and score — fetch code with your
+   read tool at those exact lines. filter_path narrows to a directory
+   (e.g. "src/api/"). Good queries describe intent:
+     - "where do we validate upload size limits"
+     - "retry logic for failed network calls"
+     - "handle_file_modified"  (identifiers work too)
+4. find_references(symbol, limit=50)
+   Every usage/call site of a function, class, method or type. USE THIS
+   INSTEAD OF grep for symbol usage — it is indexed, ranked and compact.
+   Essential before any refactor: it lists every location that must change.
+
+TOKEN-EFFICIENT WORKFLOW
+
+  1. find_databases() → index_status()        (discover, verify)
+  2. semantic_search("concept you need")      (compact metadata only)
+  3. find_references("SymbolName")            (locations only)
+  4. read the specific files/lines returned   (only what you need)
+
+Keep compact=true; set compact=false only when you truly need inline
+content for many results at once (high token cost).
+
+REFACTORING WORKFLOW
+
+  1. semantic_search("the thing to change") → find the definition
+  2. find_references("name") → enumerate ALL call sites
+  3. read each site, understand usage variants
+  4. change the definition plus every call site; re-run find_references
+     afterwards to confirm nothing was missed (the watcher reindexes your
+     edits within ~2s).
+
+DO / DON'T
+
+  ✓ start broad, then narrow with filter_path or more specific phrasing
+  ✓ use full phrases ("parse the gitignore stack"), not fragments ("git")
+  ✓ trust scores: results ≥0.8 are near-certain matches; <0.3 are noise
+  ✗ never grep for symbol usages — find_references is ranked and complete
+  ✗ don't search subdirectories expecting separate indexes (one per repo)
+  ✗ don't re-issue identical queries — results are deterministic and cached
+
+TROUBLESHOOTING
+
+  "no index": run find_databases(); if empty, ask the user to run
+  `codesearch index` in the project root (30-60s). This server refreshes
+  an existing index but a first full build is a CLI action.
+  Poor results: check index_status() for "building"/errors; try different
+  phrasing; a stale index rebuilds with `codesearch index --force`.
+
+PROJECT STATE
+
+  project: {project}
+  database: {db} ({"exists" if db_exists else "MISSING"}{", read-only" if readonly else ""})
+  model: {model} ({dims}d, TPU-accelerated exact search)
+  cwd: {os.getcwd()}
 """
 
 TOOLS = [
@@ -308,7 +376,11 @@ def _handle(service: CodesearchService, method: str, params: dict) -> dict:
             "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
             "capabilities": {"tools": {}},
             "serverInfo": {"name": "codesearch-tpu", "version": "0.1.0"},
-            "instructions": INSTRUCTIONS,
+            "instructions": build_instructions(
+                service.project_root, service.db_path,
+                service.service.model_name, service.service.dims,
+                service.stores.readonly,
+            ),
         }
     if method == "ping":
         return {}

@@ -744,7 +744,7 @@ class VectorStore:
             hash_embed_hybrid_search_int8,
         )
 
-        pos_p, w_p, kind_dev, kid, kb = bm_args
+        fts_dev, lo, ln, idf, kid, kb, block = bm_args
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
             if n_valid == 0:
@@ -755,15 +755,17 @@ class VectorStore:
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[2], dev[3], kv,
-                    jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev,
-                    jnp.int32(kid), kb,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
+                    jnp.int32(kid), kb, block,
                 )
             else:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[3], kv,
-                    jnp.asarray(pos_p), jnp.asarray(w_p), kind_dev,
-                    jnp.int32(kid), kb,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
+                    jnp.int32(kid), kb, block,
                 )
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
         return self._materialize(vv, vi), bv, bi

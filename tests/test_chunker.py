@@ -574,3 +574,138 @@ function real($x) {
         fns = [c for c in chunks if c.kind.value == "Function"]
         assert len(fns) == 1 and "real" in (fns[0].signature or "")
         assert fns[0].start_line == 2
+
+
+class TestReferenceGoldens:
+    """Golden cases ported from the reference's tree-sitter chunker tests
+    (/root/reference/src/chunker/semantic.rs:489-684) — the structural
+    scanner must reproduce the same behavior on these inputs (VERDICT r1
+    item 8), plus the known regex-vs-AST divergence risks it calls out."""
+
+    def test_chunk_rust_code(self):
+        code = '''
+/// This is a doc comment
+fn hello_world() {
+    println!("Hello, world!");
+}
+
+fn add(a: i32, b: i32) -> i32 {
+    a + b
+}
+
+struct Point {
+    x: f64,
+    y: f64,
+}
+'''
+        chunks = chunks_of(Language.RUST, "test.rs", code)
+        assert len(chunks) >= 3
+        fns = [c for c in chunks if c.kind == ChunkKind.FUNCTION]
+        assert len(fns) >= 2
+        hello = next(c for c in fns if "hello_world" in c.content)
+        assert hello.signature and "fn hello_world" in hello.signature
+        assert hello.docstring and "doc comment" in hello.docstring
+        assert any(c.kind == ChunkKind.STRUCT for c in chunks)
+
+    def test_chunk_python_code(self):
+        code = '''
+def hello():
+    """Say hello"""
+    print("Hello!")
+
+class Calculator:
+    """A simple calculator"""
+
+    def add(self, a, b):
+        """Add two numbers"""
+        return a + b
+'''
+        chunks = chunks_of(Language.PYTHON, "test.py", code)
+        assert len(chunks) >= 2
+        assert any(c.docstring for c in chunks)
+        add = next(c for c in chunks if "def add" in c.content and c.kind == ChunkKind.METHOD)
+        assert add.docstring and "Add two numbers" in add.docstring
+
+    def test_chunk_unsupported_language_fallback(self):
+        code = "Some random text file\nWith multiple lines\nThat should be chunked\nAs fallback"
+        chunks = chunks_of(Language.UNKNOWN, "test.txt", code)
+        assert chunks
+        assert all(c.kind == ChunkKind.BLOCK for c in chunks)
+
+    def test_context_breadcrumbs(self):
+        code = '''
+impl MyStruct {
+    fn method(&self) {
+        println!("method");
+    }
+}
+'''
+        chunks = chunks_of(Language.RUST, "test.rs", code)
+        method = next(c for c in chunks if c.kind == ChunkKind.METHOD)
+        assert len(method.context) >= 2
+        assert method.context[0].startswith("File:")
+
+    # --- divergence-risk cases the VERDICT names explicitly ---------------
+
+    def test_rust_multiline_where_clause(self):
+        code = '''
+pub fn process<T, E>(items: Vec<T>) -> Result<Vec<T>, E>
+where
+    T: Clone + Send + 'static,
+    E: std::error::Error,
+{
+    Ok(items)
+}
+
+fn after() {}
+'''
+        chunks = chunks_of(Language.RUST, "t.rs", code)
+        fns = [c for c in chunks if c.kind == ChunkKind.FUNCTION]
+        proc = next(c for c in fns if "process" in (c.signature or ""))
+        # the where clause and the full body belong to the chunk
+        assert "'static" in proc.content and "Ok(items)" in proc.content
+        assert any("after" in (c.signature or "") for c in fns)
+
+    def test_cpp_multiline_template_header(self):
+        code = '''
+template <typename K,
+          typename V>
+class HashMap {
+public:
+    V* find(const K& key) {
+        return nullptr;
+    }
+};
+
+int main() { return 0; }
+'''
+        chunks = chunks_of(Language.CPP, "t.cpp", code)
+        cls = [c for c in chunks if c.kind == ChunkKind.CLASS]
+        assert cls and "HashMap" in cls[0].content
+        assert any("main" in (c.signature or "") for c in chunks)
+
+    def test_python_decorated_def_with_arguments(self):
+        code = '''
+@app.route("/users/<int:user_id>", methods=["GET", "POST"])
+@require_auth(roles=("admin",))
+def get_user(user_id):
+    """Fetch one user."""
+    return db.get(user_id)
+'''
+        chunks = chunks_of(Language.PYTHON, "t.py", code)
+        fn = next(c for c in chunks if c.kind == ChunkKind.FUNCTION)
+        assert "def get_user" in (fn.signature or "")
+        # decorators attach to the definition chunk (reference attaches
+        # preceding attributes/decorators, semantic.rs visit path)
+        assert "@app.route" in fn.content
+        assert fn.docstring and "Fetch one user" in fn.docstring
+
+    def test_nested_generics_in_cpp_signature(self):
+        code = '''
+std::map<std::string, std::vector<std::pair<int, int>>> build_index(const Input& in) {
+    return {};
+}
+'''
+        chunks = chunks_of(Language.CPP, "t.cpp", code)
+        fn = next((c for c in chunks if c.kind == ChunkKind.FUNCTION), None)
+        assert fn is not None and "build_index" in fn.content

@@ -43,8 +43,10 @@ class TestCliFlow:
         assert payload["results"][0]["start_line"] >= 1  # 1-based for display
 
     def test_search_no_index_errors(self, tmp_path, monkeypatch, capsys):
+        # search auto-creates by default (ref parity); --no-create-index
+        # restores the hard error
         monkeypatch.chdir(tmp_path)
-        assert main(["search", "anything", "."]) == 1
+        assert main(["search", "anything", ".", "--no-create-index"]) == 1
         assert "error" in capsys.readouterr().err
 
     def test_setup_list(self, capsys):

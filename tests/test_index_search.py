@@ -339,3 +339,37 @@ class TestFusedHybridDispatch:
             mesh_mod.reset_corpus_mesh()
         assert fused == unfused
         assert mode_a == mode_b
+
+
+class TestSearchParity:
+    def test_search_auto_creates_index(self, tmp_repo):
+        """Parity: `search` builds a missing index by default
+        (search/mod.rs:413-435)."""
+        from codesearch_tpu.search.pipeline import SearchOptions, search
+        from codesearch_tpu.utils.constants import DB_DIR_NAME
+
+        assert not (tmp_repo / DB_DIR_NAME).exists()
+        resp = search("parse the configuration file", tmp_repo, SearchOptions(limit=3))
+        assert resp.hits
+        assert (tmp_repo / DB_DIR_NAME).exists()
+
+    def test_no_create_index_errors(self, tmp_repo):
+        import pytest
+
+        from codesearch_tpu.search.pipeline import SearchOptions, search
+        from codesearch_tpu.utils.errors import SearchError
+
+        with pytest.raises(SearchError):
+            search("anything", tmp_repo, SearchOptions(create_index=False))
+
+    def test_path_filter_applies_post_rerank(self, tmp_repo):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        stats = index(tmp_repo, IndexOptions(quiet=True))
+        sess = SearchSession(stats.db_path, readonly=True)
+        resp = sess.search(
+            "parse the configuration",
+            SearchOptions(limit=10, rerank=True, path_filter="main.py"),
+        )
+        assert all("main.py" in h.path for h in resp.hits)
