@@ -161,12 +161,17 @@ def _encoder_layer(
     nh = cfg.heads
     dh = h // nh
 
-    def proj(w, bias):
-        return (x @ w.astype(x.dtype) + bias.astype(x.dtype)).reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
-
-    q = proj(p["q_w"], p["q_b"])
-    k = proj(p["k_w"], p["k_b"])
-    v = proj(p["v_w"], p["v_b"])
+    # fused QKV: one [h, 3h] matmul feeds the MXU instead of three [h, h]
+    # (the concat of the stored kernels is CSE'd by XLA across calls)
+    qkv_w = jnp.concatenate(
+        [p["q_w"], p["k_w"], p["v_w"]], axis=1
+    ).astype(x.dtype)
+    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]]).astype(x.dtype)
+    qkv = x @ qkv_w + qkv_b
+    q, k, v = (
+        t.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
+        for t in jnp.split(qkv, 3, axis=-1)
+    )
     attn = fused_encoder_attention(q, k, v, mask, bias2d=bias2d)  # [B, H, S, Dh]
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
     attn = attn @ p["o_w"].astype(x.dtype) + p["o_b"].astype(x.dtype)

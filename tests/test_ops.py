@@ -136,3 +136,38 @@ class TestTopK:
         # top-1 should agree; scores within quantization error
         assert np.asarray(i8)[:, 0].tolist() == np.asarray(if_)[:, 0].tolist()
         np.testing.assert_allclose(np.asarray(v8), np.asarray(vf), atol=0.03)
+
+
+class TestPallasAttentionFull:
+    """Whole-sequence VMEM kernel (no online softmax): the seq-512 fast
+    path — numerical agreement with the XLA reference (interpret mode)."""
+
+    def test_matches_reference(self):
+        import jax
+
+        from codesearch_tpu.ops.attention import (
+            pallas_attention_full,
+            reference_attention,
+        )
+
+        rng = np.random.default_rng(11)
+        b, h, s, dh = 2, 3, 128, 32
+        q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        mask = jnp.asarray((rng.random((b, s)) > 0.3).astype(np.float32))
+        mask = mask.at[:, 0].set(1.0)
+        with jax.default_matmul_precision("float32"):
+            ref = reference_attention(q, k, v, mask)
+            out = pallas_attention_full(q, k, v, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-3)
+
+    def test_fully_masked_rows_are_finite(self):
+        from codesearch_tpu.ops.attention import pallas_attention_full
+
+        b, h, s, dh = 1, 1, 128, 16
+        out = pallas_attention_full(
+            jnp.ones((b, h, s, dh)), jnp.ones((b, h, s, dh)),
+            jnp.ones((b, h, s, dh)), jnp.zeros((b, s)), interpret=True,
+        )
+        assert np.isfinite(np.asarray(out)).all()
