@@ -41,7 +41,7 @@ from ..utils.constants import (
 )
 from ..utils.errors import IndexError_
 from ..utils.logger import get_logger
-from ..utils.output import info_print, warn_print
+from ..utils.output import ProgressLine, info_print, warn_print
 from ..vectordb import ChunkMetadata, VectorStore
 from .db_discovery import find_best_database
 from .file_meta import FileMetaStore, normalize_path
@@ -301,10 +301,13 @@ def index(
     chunker = SemanticChunker(
         INDEX_MAX_CHUNK_LINES, INDEX_MAX_CHUNK_CHARS, INDEX_OVERLAP_LINES
     )
+    progress = ProgressLine(len(changed))
     since_commit = 0
     i = 0
     while i < len(changed):
         if is_shutdown_requested():
+            progress.finish()
+            info_print("cancelling — committing partial progress …")
             stats.cancelled = True
             break
         batch_files = changed[i : i + EMBED_FILES_PER_BATCH]
@@ -374,8 +377,12 @@ def index(
             cursor += len(cs)
             file_meta.update_file(fpath, file_ids, hashes.get(normalize_path(fpath)))
         stats.files_indexed += len(per_file)
+        progress.update(
+            stats.files_indexed, extra=f", {stats.chunks_added} chunks"
+        )
 
     # ---- finalize -------------------------------------------------------
+    progress.finish()
     store.build_index()
     store.save()
     try:

@@ -38,6 +38,40 @@ def warn_print(*args: object) -> None:
         print("warning:", *args, file=sys.stderr)
 
 
+class ProgressLine:
+    """Single-line progress display on stderr (the analog of the
+    reference's indicatif bar, index/mod.rs:573-798): carriage-return
+    updates on a tty, periodic plain lines otherwise, nothing in quiet
+    mode. ``finish`` clears the line so the summary prints clean."""
+
+    def __init__(self, total: int, label: str = "indexing"):
+        self.total = total
+        self.label = label
+        self._tty = sys.stderr.isatty()
+        self._last_plain = 0.0
+
+    def update(self, done: int, extra: str = "") -> None:
+        if _QUIET or self.total <= 0:
+            return
+        import time as _t
+
+        pct = 100.0 * done / self.total
+        msg = f"{self.label}: {done}/{self.total} files ({pct:.0f}%){extra}"
+        if self._tty:
+            sys.stderr.write("\r\x1b[2K" + msg)
+            sys.stderr.flush()
+        else:
+            now = _t.monotonic()
+            if now - self._last_plain >= 5.0 or done == self.total:
+                self._last_plain = now
+                print(msg, file=sys.stderr)
+
+    def finish(self) -> None:
+        if not _QUIET and self._tty:
+            sys.stderr.write("\r\x1b[2K")
+            sys.stderr.flush()
+
+
 def error_print(*args: object) -> None:
     """Errors always go to stderr, even in quiet mode."""
     print("error:", *args, file=sys.stderr)

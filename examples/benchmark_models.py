@@ -110,8 +110,17 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             fts.commit()
 
         def _search(query, limit=3):
-            qv = svc.embed_query(query)
-            vres = store.search(qv, limit * 3)
+            hb = getattr(svc.backend, "model", None)
+            if hb is not None and hasattr(hb, "table"):
+                # single-dispatch path (featurize → embed+top-k in one call),
+                # matching the product pipeline
+                from codesearch_tpu.models.hash_embedder import batch_features
+
+                ids_q, ws_q = batch_features([svc.spec.query_prefix + query])
+                vres = store.search_featurized(hb.table, ids_q, ws_q, limit * 3)[0]
+            else:
+                qv = svc.embed_query(query)
+                vres = store.search(qv, limit * 3)
             if fts is None:
                 return vres[:limit]
             vk, fk = adapt_rrf_k(query)
@@ -138,9 +147,11 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
 
         hits, scores, q_times = 0, [], []
         for query, expect in queries:
+            _search(query, 3)  # warm: trace/compile + query-cache priming
             t0 = time.time()
-            res = _search(query, 3)
+            res = _search(query + " ", 3)  # cache-busting suffix, same shapes
             q_times.append(time.time() - t0)
+            res = _search(query, 3)
             ok = any(expect in r.metadata.path for r in res)
             hits += ok
             if res:
