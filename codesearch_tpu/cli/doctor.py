@@ -110,10 +110,17 @@ def run_checks(path: Path) -> list[CheckResult]:
     except Exception as e:
         checks.append(CheckResult("vector_store", False, f"failed to open: {e}", fixable=True))
 
-    # 7. FTS health
+    # 7. FTS health (segment count sanity: the merge policy keeps ≤ 12+1)
     try:
         fts = FtsStore(db / FTS_DIR_NAME, readonly=True)
-        checks.append(CheckResult("fts", True, f"{len(fts)} docs"))
+        st = fts.stats()
+        seg_ok = st["segments"] <= 16
+        checks.append(CheckResult(
+            "fts", seg_ok,
+            f"{len(fts)} docs, {st['segments']} segments"
+            + ("" if seg_ok else " (merge policy not converging)"),
+            fixable=not seg_ok,
+        ))
     except Exception as e:
         checks.append(CheckResult("fts", False, f"failed to open: {e}", fixable=True))
 
