@@ -776,17 +776,18 @@ class FtsStore:
                     idf.append(t_idf)
             if not lo:
                 return None
-            ipad = max(_pow2(len(lo)), 8)
+            ipad = max(_pow2(len(lo)), 32)
             lo_a = np.zeros(ipad, np.int32)
             ln_a = np.zeros(ipad, np.int32)
             idf_a = np.zeros(ipad, np.float32)
             lo_a[: len(lo)] = lo
             ln_a[: len(ln)] = ln
             idf_a[: len(idf)] = idf
-            block = max(_pow2(int(max(ln))), 512)
+            # flat gather budget: pow2 of the ACTUAL selected posting count
+            ptot = max(_pow2(int(sum(ln))), 1024)
             kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
             k = min(_pow2(max(limit, 1)), dev[2].shape[0])
-            return dev, lo_a, ln_a, idf_a, kid, k, block
+            return dev, lo_a, ln_a, idf_a, kid, k, ptot
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""
@@ -812,11 +813,11 @@ class FtsStore:
 
         from ..ops.bm25 import bm25_resident_topk
 
-        dev, lo, ln, idf, kid, k, block = args
+        dev, lo, ln, idf, kid, k, ptot = args
         vals, idx = bm25_resident_topk(
             dev[0], dev[1], dev[2],
             jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-            jnp.int32(kid), k, block,
+            jnp.int32(kid), k, ptot,
         )
         vals, idx = jax.device_get((vals, idx))
         return vals[:limit], idx[:limit]

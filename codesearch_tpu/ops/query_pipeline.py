@@ -50,7 +50,7 @@ def hash_embed_search_int8(
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "block"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot"))
 def hash_embed_hybrid_search(
     table: jax.Array,      # [V, d] hash-embedder table
     ids: jax.Array,        # [Q, T] query-variant feature ids
@@ -66,7 +66,7 @@ def hash_embed_hybrid_search(
     idf: jax.Array,        # [I] f32
     boost_kid: jax.Array,  # scalar i32 (-1: no boost)
     kb: int,               # BM25 top-k
-    block: int,            # static gather length per interval
+    ptot: int,             # static pow2 budget for selected postings
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query: variant embedding + exact vector top-k + resident-
     postings BM25 top-k fused into ONE dispatch — the host→device transfer
@@ -83,12 +83,12 @@ def hash_embed_hybrid_search(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, block
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "block"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot"))
 def hash_embed_hybrid_search_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -105,7 +105,7 @@ def hash_embed_hybrid_search_int8(
     idf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
-    block: int,
+    ptot: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from .bm25 import bm25_resident_topk
@@ -114,6 +114,6 @@ def hash_embed_hybrid_search_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, block
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx

@@ -744,7 +744,7 @@ class VectorStore:
             hash_embed_hybrid_search_int8,
         )
 
-        fts_dev, lo, ln, idf, kid, kb, block = bm_args
+        fts_dev, lo, ln, idf, kid, kb, ptot = bm_args
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
             if n_valid == 0:
@@ -757,7 +757,7 @@ class VectorStore:
                     dev[1], dev[2], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                    jnp.int32(kid), kb, block,
+                    jnp.int32(kid), kb, ptot,
                 )
             else:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
@@ -765,7 +765,7 @@ class VectorStore:
                     dev[1], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                    jnp.int32(kid), kb, block,
+                    jnp.int32(kid), kb, ptot,
                 )
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
         return self._materialize(vv, vi), bv, bi
