@@ -23,7 +23,18 @@ log = get_logger("file_meta")
 
 
 def normalize_path(path: str | Path) -> str:
-    return str(path).replace("\\", "/")
+    """Canonical manifest key: forward slashes, Windows extended-length
+    (``\\\\?\\``) prefix stripped, ``.`` segments and duplicate slashes
+    collapsed (parity with cache/file_meta.rs:17-25 and its UNC matrix)."""
+    s = str(path).replace("\\", "/")
+    if s.startswith("//?/"):
+        s = s[4:]
+    parts = []
+    for i, seg in enumerate(s.split("/")):
+        if seg == "." or (seg == "" and i > 0):
+            continue
+        parts.append(seg)
+    return "/".join(parts)
 
 
 @dataclass

@@ -373,3 +373,29 @@ class TestSearchParity:
             SearchOptions(limit=10, rerank=True, path_filter="main.py"),
         )
         assert all("main.py" in h.path for h in resp.hits)
+
+
+class TestPathNormalizationMatrix:
+    """Windows/UNC-style path normalization matrix (the reference tests this
+    exhaustively, cache/file_meta.rs:313-560)."""
+
+    def test_normalize_variants(self):
+        from codesearch_tpu.index.file_meta import normalize_path
+
+        cases = [
+            ("src/sub/file.py", "src/sub/file.py"),
+            ("src\\sub\\file.py", "src/sub/file.py"),
+            ("\\\\?\\C:\\repo\\a.rs", "C:/repo/a.rs"),
+            ("C:\\repo\\a.rs", "C:/repo/a.rs"),
+            ("./src/./a.py", "src/a.py"),
+            ("src//double//slash.py", "src/double/slash.py"),
+        ]
+        for raw, want in cases:
+            assert normalize_path(raw) == want, raw
+
+    def test_roundtrip_stability(self):
+        from codesearch_tpu.index.file_meta import normalize_path
+
+        p = "src\\nested\\deep\\mod.rs"
+        once = normalize_path(p)
+        assert normalize_path(once) == once
