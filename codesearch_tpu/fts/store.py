@@ -627,7 +627,19 @@ class FtsStore:
             w = tfb * (_K1 + 1.0) / (tfb + len_norm)
             p_pos[:base] = np.where(live, pos, ncap).astype(np.int32)
             p_w[:base] = np.where(live, w, 0.0).astype(np.float32)
-        self._dev = (jnp.asarray(p_pos), jnp.asarray(p_w), jnp.asarray(kinds))
+        arrays = (jnp.asarray(p_pos), jnp.asarray(p_w), jnp.asarray(kinds))
+        # replicate over the corpus mesh so the fused multi-chip dispatch
+        # can consume the resident arrays on every device
+        from ..parallel.mesh import corpus_mesh
+
+        mesh = corpus_mesh()
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            arrays = tuple(jax.device_put(a, repl) for a in arrays)
+        self._dev = arrays
         self._dev_dirty = False
         return self._dev
 

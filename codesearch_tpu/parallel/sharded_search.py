@@ -145,6 +145,90 @@ def sharded_hash_embed_search(
     )(table, ids, weights, corpus, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot", "mesh"))
+def sharded_hash_embed_hybrid(
+    table: jax.Array,      # [V, d] replicated
+    ids: jax.Array,        # [Q, T] replicated
+    weights: jax.Array,    # [Q, T]
+    corpus: jax.Array,     # [N, d] bf16, sharded over "data"
+    valid: jax.Array,      # [N] bool, sharded
+    kv: int,
+    p_pos: jax.Array,      # FTS resident postings, replicated over the mesh
+    p_w: jax.Array,
+    kind_ids: jax.Array,
+    lo: jax.Array,
+    ln: jax.Array,
+    idf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    ptot: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip fused hybrid: the sharded vector top-k (local + all_gather
+    merge over ICI) and the BM25 interval reduction (computed redundantly on
+    replicated resident arrays — cheaper than sharding a few-ms reduction)
+    run inside ONE jit, so servers on a pod slice keep the single-dispatch
+    read plane of the single-chip path."""
+    from ..models.hash_embedder import embed_features
+    from ..ops.bm25 import bm25_resident_topk
+
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, v):
+        q = embed_features(t, i, w)
+        return _merge_local_topk(_local_scores_bf16(q, c, v), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus, valid)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot", "mesh"))
+def sharded_hash_embed_hybrid_int8(
+    table: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    kind_ids: jax.Array,
+    lo: jax.Array,
+    ln: jax.Array,
+    idf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    ptot: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.hash_embedder import embed_features
+    from ..ops.bm25 import bm25_resident_topk
+
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, s, v):
+        q = embed_features(t, i, w)
+        return _merge_local_topk(_local_scores_int8(q, c, s, v), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus_q, row_scale, valid)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_hash_embed_search_int8(
     table: jax.Array,

@@ -157,9 +157,11 @@ class SearchSession:
             timings["embed"] = (time.time() - t) * 1000
             t = time.time()
             bm_args = None
-            if options.mode == "hybrid" and self.store._mesh() is None:
+            if options.mode == "hybrid":
                 # fuse the BM25 pass into the SAME dispatch: the whole
-                # hybrid read plane costs one device round trip
+                # hybrid read plane costs one device round trip (single
+                # chip AND mesh — the sharded variant runs the vector
+                # local-topk+merge and the BM25 reduction in one jit)
                 bm_args = self.fts.device_query_args(
                     query, intent.value if intent else None, fetch
                 )

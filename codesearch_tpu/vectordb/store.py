@@ -751,7 +751,30 @@ class VectorStore:
                 return [[] for _ in range(ids.shape[0])], None, None
             dev = self._ensure_device()
             kv = min(limit, max(1, n_valid))
-            if dev[0] == "int8":
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_hash_embed_hybrid,
+                    sharded_hash_embed_hybrid_int8,
+                )
+
+                if dev[0] == "int8":
+                    vv, vi, bv, bi = sharded_hash_embed_hybrid_int8(
+                        table, jnp.asarray(ids), jnp.asarray(weights),
+                        dev[1], dev[2], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
+                        jnp.int32(kid), kb, ptot, mesh,
+                    )
+                else:
+                    vv, vi, bv, bi = sharded_hash_embed_hybrid(
+                        table, jnp.asarray(ids), jnp.asarray(weights),
+                        dev[1], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
+                        jnp.int32(kid), kb, ptot, mesh,
+                    )
+            elif dev[0] == "int8":
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[2], dev[3], kv,
