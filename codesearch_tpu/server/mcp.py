@@ -180,6 +180,7 @@ class CodesearchService:
         self.stores = stores
         self.service = service
         self.manager = manager
+        self._metadata = read_metadata(db_path)
 
     # ------------------------------------------------------------------
     # tools
@@ -195,20 +196,38 @@ class CodesearchService:
 
         import numpy as np
 
-        qvec = self.service.embed_query(query)
         intent = detect_structural_intent(query)
+        kind = intent.value if intent else None
         vector_k, fts_k = adapt_rrf_k(query)
+        hb = getattr(self.service.backend, "model", None)
         with self.stores.lock:
-            vres = self.stores.store.search(np.asarray(qvec), limit * 3)
-            fres = self.stores.fts.search(
-                query, limit * 3, boost_kind=intent.value if intent else None
-            )
+            fres = None
+            if hb is not None and hasattr(hb, "table"):
+                # fused read plane: embed + vector top-k + BM25 top-k in ONE
+                # device dispatch (same path as the CLI/session pipeline)
+                from ..models.hash_embedder import batch_features
+
+                ids, ws = batch_features([self.service.spec.query_prefix + query])
+                bm = self.stores.fts.device_query_args(query, kind, limit * 3)
+                if bm is not None:
+                    per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
+                        hb.table, ids, ws, limit * 3, bm
+                    )
+                    vres = per_variant[0]
+                    fres = self.stores.fts.results_from_device(bvv, bii, limit * 3)
+                else:
+                    vres = self.stores.store.search_featurized(
+                        hb.table, ids, ws, limit * 3
+                    )[0]
+            else:
+                qvec = self.service.embed_query(query)
+                vres = self.stores.store.search(np.asarray(qvec), limit * 3)
+            if fres is None:
+                fres = self.stores.fts.search(query, limit * 3, boost_kind=kind)
             eres = []
             for ident in detect_identifiers(query):
                 eres.extend(
-                    self.stores.fts.search_exact(
-                        ident, kind=intent.value if intent else None, limit=limit * 3
-                    )
+                    self.stores.fts.search_exact(ident, kind=kind, limit=limit * 3)
                 )
             fused = rrf_fusion_with_exact(
                 [(r.chunk_id, r.score) for r in vres],
@@ -216,27 +235,36 @@ class CodesearchService:
                 [(r.chunk_id, r.score) for r in eres],
                 vector_k=vector_k, fts_k=fts_k,
             )
-            items = []
+            # language ×1.2 / structural-kind ×1.15 boosts (mcp/mod.rs:369-390)
+            primary = self._metadata.get("primary_language")
+            scored = []
             for f in fused:
                 meta = self.stores.store.get_chunk(f.chunk_id)
                 if meta is None:
                     continue
                 if filter_path and filter_path not in meta.path:
                     continue
+                score = f.rrf_score
+                if primary and meta.language == primary:
+                    score *= 1.2
+                if kind and meta.kind == kind:
+                    score *= 1.15
+                scored.append((score, meta))
+            scored.sort(key=lambda x: -x[0])
+            items = []
+            for score, meta in scored[:limit]:
                 item = {
                     "path": meta.path,
                     "start_line": meta.start_line + 1,
                     "end_line": meta.end_line,
                     "kind": meta.kind,
-                    "score": round(f.rrf_score, 4),
+                    "score": round(score, 4),
                 }
                 if meta.signature:
                     item["signature"] = meta.signature
                 if not compact:
                     item["content"] = meta.content
                 items.append(item)
-                if len(items) >= limit:
-                    break
         return {"query": query, "results": items, "total": len(items)}
 
     def find_references(self, args: dict) -> dict:
