@@ -133,10 +133,11 @@ class Segment:
     """Immutable CSR postings block: unique sorted terms + offsets into
     parallel (dnum, tf_content, tf_signature) arrays."""
 
-    __slots__ = ("name", "terms", "offsets", "dnums", "tfc", "tfs")
+    __slots__ = ("name", "terms", "offsets", "dnums", "tfc", "tfs", "seq")
 
     def __init__(self, terms, offsets, dnums, tfc, tfs, name: str | None = None):
         self.name = name           # npz filename once persisted; None = memory-only
+        self.seq = -1              # store-unique id (assigned on adoption)
         self.terms = terms
         self.offsets = offsets
         self.dnums = dnums
@@ -201,19 +202,26 @@ class FtsStore:
         self._persisted_log_bytes = 0
         self._log_dead = 0             # "d" records in the persisted log
         self._needs_rewrite = False
-        # dense scoring view over live docs (rebuilt lazily, vectorized)
+        # dense scoring view: SLOT-indexed (append-only, never compacted —
+        # slot positions are stable so resident device postings stay valid
+        # across doc adds/deletes; liveness is a mask)
         self._dense_dirty = True
-        self._dnums_sorted = np.zeros(0, np.int64)
+        self._dnums_sorted = np.zeros(0, np.int64)   # full slot view (sorted)
         self._len_arr = np.zeros(0, np.float32)
+        self._live_arr = np.zeros(0, bool)
         self._kind_arr = np.zeros(0, np.int32)
         self._cid_arr = np.zeros(0, np.int64)
-        self._path_idx = np.zeros(0, np.int64)   # dense pos → slot
         self._avg_len = 1.0
-        # device view: resident postings + kind array (see _ensure_device)
+        # device view: resident postings + kind/valid arrays, synced
+        # INCREMENTALLY (new segments DUS-append; deletes scatter the valid
+        # mask; full rebuild only on capacity/garbage/avg-len triggers)
         self._dev = None
-        self._dev_dirty = True
-        self._seg_base: list[int] = []
+        self._dev_state: dict | None = None
+        self._dev_pending_dead: list[int] = []       # slots killed since sync
+        self._seg_seq = 0
         self.device_min_docs = DEVICE_MIN_DOCS
+        self.fts_full_uploads = 0                    # diagnostics for tests
+        self.fts_incremental_updates = 0
         if self.dir.exists():
             self._load()
         elif not readonly:
@@ -251,6 +259,7 @@ class FtsStore:
             self._doc_len.a[slot] = -1
             self._n_live -= 1
             self._dead_since_flush.add(dnum)
+            self._dev_pending_dead.append(slot)
             self._dense_dirty = True
 
     def _doc(self, dnum: int):
@@ -334,7 +343,9 @@ class FtsStore:
         self._dead_since_flush = set()
         self._pending_doclog = []
         self._dense_dirty = True
-        self._dev_dirty = True
+        self._dev = None
+        self._dev_state = None
+        self._dev_pending_dead = []
 
     # ------------------------------------------------------------------
     # segment lifecycle
@@ -363,8 +374,7 @@ class FtsStore:
             tfc, tfs = tfc[live], tfs[live]
         self._dead_since_flush.clear()
         if len(terms):
-            self._segments.append(Segment.from_triples(terms, dnums, tfc, tfs))
-            self._dev_dirty = True
+            self._segments.append(self._adopt(Segment.from_triples(terms, dnums, tfc, tfs)))
 
     def _liveness(self, dnums: np.ndarray) -> np.ndarray:
         """Vectorized live-dnum mask against the dense view (exact)."""
@@ -374,7 +384,7 @@ class FtsStore:
         pos = np.searchsorted(self._dnums_sorted, dnums).clip(
             0, self._dnums_sorted.size - 1
         )
-        return self._dnums_sorted[pos] == dnums
+        return (self._dnums_sorted[pos] == dnums) & self._live_arr[pos]
 
     def _merge_segments(self, victims: list[Segment]) -> Segment:
         """k-way merge (concatenate + stable resort), dropping dead postings."""
@@ -396,9 +406,8 @@ class FtsStore:
             self._segments.sort(key=len, reverse=True)
             s1, s2 = self._segments[-1], self._segments[-2]
             if len(self._segments) > MAX_SEGMENTS or len(s1) * MERGE_RATIO >= len(s2):
-                merged = self._merge_segments([s2, s1])
+                merged = self._adopt(self._merge_segments([s2, s1]))
                 self._segments = self._segments[:-2] + [merged]
-                self._dev_dirty = True
             else:
                 break
 
@@ -438,12 +447,12 @@ class FtsStore:
             ):
                 self._ensure_dense()
                 parts = []
-                for i in range(self._dnums_sorted.size):
-                    slot = int(self._path_idx[i])
+                for slot in np.nonzero(self._live_arr)[0]:
+                    slot = int(slot)
                     parts.append(msgpack.packb(
-                        ("a", int(self._dnums_sorted[i]), int(self._cid_arr[i]),
-                         int(self._len_arr[i]),
-                         self._kind_names[int(self._kind_arr[i])],
+                        ("a", int(self._dnums_sorted[slot]), int(self._cid_arr[slot]),
+                         int(self._len_arr[slot]),
+                         self._kind_names[int(self._kind_arr[slot])],
                          self._doc_path[slot]),
                         use_bin_type=True,
                     ))
@@ -516,10 +525,10 @@ class FtsStore:
                     continue
                 try:
                     data = np.load(p)
-                    self._segments.append(Segment(
+                    self._segments.append(self._adopt(Segment(
                         data["terms"], data["offsets"], data["dnums"],
                         data["tfc"], data["tfs"], name=name,
-                    ))
+                    )))
                 except Exception as e:
                     log.warning("corrupt fts segment %s — skipped: %s", name, e)
             log_bytes = int(manifest.get("log_bytes", 0))
@@ -563,10 +572,10 @@ class FtsStore:
         if pz.exists():
             try:
                 data = np.load(pz)
-                self._segments.append(Segment(
+                self._segments.append(self._adopt(Segment(
                     data["uniq_terms"], data["offsets"], data["p_docs"],
                     data["p_tfc"], data["p_tfs"],
-                ))
+                )))
             except Exception as e:
                 log.warning("corrupt legacy fts postings, starting empty: %s", e)
         self._dead_since_flush.clear()
@@ -576,71 +585,159 @@ class FtsStore:
     # dense view + device state
     # ------------------------------------------------------------------
 
+    def _adopt(self, seg: Segment) -> Segment:
+        seg.seq = self._seg_seq
+        self._seg_seq += 1
+        return seg
+
     def _ensure_dense(self) -> None:
-        """Rebuild the dense scoring view: O(n) vectorized (dnums are
-        assigned monotonically and appended in order, so the live slice is
-        already sorted — no argsort)."""
+        """Refresh the SLOT-indexed scoring view: O(n) vectorized array
+        views (dnums are assigned monotonically and appended in order, so
+        the slot view is already sorted — no argsort). Slots are never
+        compacted: positions stay stable for the resident device postings;
+        liveness is the mask."""
         if not self._dense_dirty:
             return
         lens = self._doc_len.view()
-        live = lens >= 0
-        self._dnums_sorted = self._doc_dnum.view()[live]
-        self._len_arr = lens[live].astype(np.float32)
-        self._kind_arr = self._doc_kid.view()[live]
-        self._cid_arr = self._doc_cid.view()[live]
-        self._path_idx = np.nonzero(live)[0]
-        self._avg_len = float(self._len_arr.mean()) if self._len_arr.size else 1.0
+        self._dnums_sorted = self._doc_dnum.view()
+        self._live_arr = lens >= 0
+        self._len_arr = np.where(self._live_arr, lens, 1).astype(np.float32)
+        self._kind_arr = self._doc_kid.view()
+        self._cid_arr = self._doc_cid.view()
+        n_live = int(self._live_arr.sum())
+        self._avg_len = (
+            float(self._len_arr[self._live_arr].mean()) if n_live else 1.0
+        )
         self._dense_dirty = False
-        self._dev_dirty = True
 
-    def _ensure_device(self):
-        """Sync the RESIDENT device state for BM25 scoring: per-posting dense
-        doc positions + idf-less contributions (term-major, segments
-        concatenated) and the per-doc kind-id array. Queries then ship only
-        (lo, len, idf) intervals — a few hundred bytes (ops/bm25.py)."""
-        self._ensure_dense()
-        if not self._dev_dirty and self._dev is not None:
-            return self._dev
+    def _place_repl(self, host_arr: np.ndarray):
+        """Device placement, replicated over the corpus mesh if present (so
+        the fused multi-chip dispatch can consume the arrays everywhere)."""
+        import jax
         import jax.numpy as jnp
 
+        from ..parallel.mesh import corpus_mesh
+
+        mesh = corpus_mesh()
+        if mesh is None:
+            return jnp.asarray(host_arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(jnp.asarray(host_arr), NamedSharding(mesh, P()))
+
+    def _segment_posting_block(self, seg: Segment, ncap: int):
+        """(p_pos, p_w) block for one immutable segment, computed against
+        the current slot view and avg_len (vectorized)."""
+        n = self._dnums_sorted.size
+        pos = np.searchsorted(self._dnums_sorted, seg.dnums).clip(0, max(n - 1, 0))
+        live = (self._dnums_sorted[pos] == seg.dnums) & self._live_arr[pos] \
+            if n else np.zeros(len(seg.dnums), bool)
+        tfb = seg.tfc.astype(np.float32) + _SIG_BOOST * seg.tfs.astype(np.float32)
+        len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len) \
+            if n else np.ones(len(seg.dnums), np.float32)
+        w = tfb * (_K1 + 1.0) / (tfb + len_norm)
+        return (
+            np.where(live, pos, ncap).astype(np.int32),
+            np.where(live, w, 0.0).astype(np.float32),
+        )
+
+    def _device_rebuild(self):
+        """Full resident-state build (first sync, capacity overflow, garbage
+        or avg_len-drift trigger)."""
         n = self._dnums_sorted.size
         ncap = max(_pow2(n), 1024)
         kinds = np.full(ncap, -2, np.int32)  # pad never matches a boost kid
         kinds[:n] = self._kind_arr
-        self._seg_base = []
-        base = 0
+        valid = np.zeros(ncap, bool)
+        valid[:n] = self._live_arr
+        seg_base: dict[int, int] = {}
+        used = 0
         for seg in self._segments:
-            self._seg_base.append(base)
-            base += len(seg)
-        pcap = max(_pow2(base), 1024)
+            seg_base[seg.seq] = used
+            used += len(seg)
+        pcap = max(_pow2(used), 1024)
         p_pos = np.full(pcap, ncap, np.int32)   # pad/dead → dropped
         p_w = np.zeros(pcap, np.float32)
-        if base and n:
-            dnums = np.concatenate([s.dnums for s in self._segments])
-            tfb = np.concatenate([
-                s.tfc.astype(np.float32) + _SIG_BOOST * s.tfs.astype(np.float32)
-                for s in self._segments
-            ])
-            pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, n - 1)
-            live = self._dnums_sorted[pos] == dnums
-            len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
-            w = tfb * (_K1 + 1.0) / (tfb + len_norm)
-            p_pos[:base] = np.where(live, pos, ncap).astype(np.int32)
-            p_w[:base] = np.where(live, w, 0.0).astype(np.float32)
-        arrays = (jnp.asarray(p_pos), jnp.asarray(p_w), jnp.asarray(kinds))
-        # replicate over the corpus mesh so the fused multi-chip dispatch
-        # can consume the resident arrays on every device
-        from ..parallel.mesh import corpus_mesh
+        for seg in self._segments:
+            b = seg_base[seg.seq]
+            bp, bw = self._segment_posting_block(seg, ncap)
+            p_pos[b : b + len(seg)] = bp
+            p_w[b : b + len(seg)] = bw
+        self._dev = (
+            self._place_repl(p_pos), self._place_repl(p_w),
+            self._place_repl(kinds), self._place_repl(valid),
+        )
+        self._dev_state = {
+            "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,
+            "seg_base": seg_base, "n_synced": n, "avg_len": self._avg_len,
+        }
+        self._dev_pending_dead = []
+        self.fts_full_uploads += 1
+        return self._dev
 
-        mesh = corpus_mesh()
-        if mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    def _ensure_device(self):
+        """Sync the RESIDENT device state for BM25 scoring INCREMENTALLY:
+        immutable segments DUS-append their (slot, contribution) blocks once;
+        doc adds append kind/valid entries; deletes scatter the valid mask.
+        A full re-upload happens only when capacity overflows, merged-away
+        garbage passes 50%, or avg_len drifts >10% from the synced value
+        (contributions embed the length normalization). Queries then ship
+        only (lo, len, idf) intervals — a few hundred bytes (ops/bm25.py)."""
+        self._ensure_dense()
+        st = self._dev_state
+        if self._dev is None or st is None:
+            return self._device_rebuild()
+        n = self._dnums_sorted.size
+        live_segs = {seg.seq for seg in self._segments}
+        new_segs = [seg for seg in self._segments if seg.seq not in st["seg_base"]]
+        removed = [sq for sq in st["seg_base"] if sq not in live_segs]
+        grow_p = sum(len(seg) for seg in new_segs)
+        drift = abs(self._avg_len - st["avg_len"]) / max(st["avg_len"], 1e-9)
+        if (
+            n > st["ncap"]
+            or st["used"] + sum(_pow2(max(len(sg), 1)) for sg in new_segs) > st["pcap"]
+            or drift > 0.10
+            or st["garbage"] > 0.5 * max(st["used"], 1)
+        ):
+            return self._device_rebuild()
+        if not new_segs and not removed and not self._dev_pending_dead \
+                and n == st["n_synced"]:
+            return self._dev
+        from ..vectordb import device_ops
 
-            repl = NamedSharding(mesh, P())
-            arrays = tuple(jax.device_put(a, repl) for a in arrays)
-        self._dev = arrays
-        self._dev_dirty = False
+        p_pos, p_w, kinds, valid = self._dev
+        # 1. doc appends: kind + liveness entries for new slots
+        if n > st["n_synced"]:
+            b = st["n_synced"]
+            kinds = device_ops.update_1d(kinds, self._kind_arr[b:n], b, -2)
+            valid = device_ops.update_1d(
+                valid, self._live_arr[b:n], b, False
+            )
+            st["n_synced"] = n
+            self.fts_incremental_updates += 1
+        # 2. deletes: scatter False into the valid mask
+        if self._dev_pending_dead:
+            valid = device_ops.invalidate_rows(
+                valid, self._dev_pending_dead, st["ncap"]
+            )
+            self._dev_pending_dead = []
+            self.fts_incremental_updates += 1
+        # 3. merged-away segments become garbage (space reclaimed at rebuild)
+        for sq in removed:
+            del st["seg_base"][sq]
+        if removed:
+            st["garbage"] = st["used"] - sum(
+                len(seg) for seg in self._segments if seg.seq in st["seg_base"]
+            )
+        # 4. new segments: DUS-append their posting blocks
+        for seg in new_segs:
+            bp, bw = self._segment_posting_block(seg, st["ncap"])
+            p_pos = device_ops.update_1d(p_pos, bp, st["used"], st["ncap"])
+            p_w = device_ops.update_1d(p_w, bw, st["used"], 0.0)
+            st["seg_base"][seg.seq] = st["used"]
+            st["used"] += len(seg)
+            self.fts_incremental_updates += 1
+        self._dev = (p_pos, p_w, kinds, valid)
         return self._dev
 
     # ------------------------------------------------------------------
@@ -687,7 +784,7 @@ class FtsStore:
         pos = np.searchsorted(self._dnums_sorted, dnums).clip(
             0, self._dnums_sorted.size - 1
         )
-        live = self._dnums_sorted[pos] == dnums
+        live = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos]
         # exact per-term df over live postings → idf, expanded per posting
         lens = np.asarray(term_lens, np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -729,12 +826,12 @@ class FtsStore:
                 top_scores, top_pos = self._score_host(pos, contrib, boost_kind, limit)
             out = []
             for s, p in zip(top_scores, top_pos):
-                if s <= 0 or p >= n:
+                if s <= 0 or p >= n or not self._live_arr[p]:
                     continue
                 out.append(FtsResult(
                     chunk_id=int(self._cid_arr[p]),
                     score=float(s),
-                    path=self._doc_path[int(self._path_idx[p])],
+                    path=self._doc_path[int(p)],
                     kind=self._kind_names[int(self._kind_arr[p])],
                 ))
             return out
@@ -770,14 +867,15 @@ class FtsStore:
                 return None
             lo, ln, idf = [], [], []
             max_df = max(MAX_DF_RATIO * self._n_live, 64.0)
+            seg_base = self._dev_state["seg_base"]
             for key in keys:
                 ranges = []
                 df = 0
-                for s, seg in enumerate(self._segments):
+                for seg in self._segments:
                     slo, shi = seg.term_range(int(key))
                     if slo == shi:
                         continue
-                    ranges.append((self._seg_base[s] + slo, shi - slo))
+                    ranges.append((seg_base[seg.seq] + slo, shi - slo))
                     df += shi - slo
                 if df == 0 or df > max_df:
                     continue
@@ -807,12 +905,12 @@ class FtsStore:
             n = self._dnums_sorted.size
             out = []
             for s, p in zip(np.asarray(vals)[:limit], np.asarray(idx)[:limit]):
-                if s <= 0 or p >= n:
+                if s <= 0 or p >= n or not self._live_arr[p]:
                     continue
                 out.append(FtsResult(
                     chunk_id=int(self._cid_arr[p]),
                     score=float(s),
-                    path=self._doc_path[int(self._path_idx[p])],
+                    path=self._doc_path[int(p)],
                     kind=self._kind_names[int(self._kind_arr[p])],
                 ))
             return out
@@ -827,7 +925,7 @@ class FtsStore:
 
         dev, lo, ln, idf, kid, k, ptot = args
         vals, idx = bm25_resident_topk(
-            dev[0], dev[1], dev[2],
+            dev[0], dev[1], dev[2], dev[3],
             jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
             jnp.int32(kid), k, ptot,
         )

@@ -5,9 +5,9 @@ host→device costs ~100 ms — per-query posting transfer is unaffordable.
 So the postings live in HBM (``p_pos`` dense doc positions + ``p_w``
 idf-less per-posting contributions, precomputed at sync), and a query
 ships only its terms' CSR *intervals* — [(lo, len, idf)] ≈ a few hundred
-bytes. The device gathers each interval (masked fixed-length blocks),
-applies idf, scatter-accumulates the dense score vector, boosts the
-structural kind, and selects top-k — one dispatch.
+bytes. The device gathers the intervals via a flat plan, applies idf, reduces
+per-doc runs with a sort + segmented scan, boosts the structural kind,
+masks dead slots, and selects top-k — one dispatch.
 
 Replaces tantivy's per-query segment walk (fts/tantivy_store.rs:394-458)
 with the TPU-shaped equivalent of SURVEY §2.1 item 4 (CSR gather +
@@ -27,9 +27,11 @@ KIND_BOOST = 3.0
 
 @functools.partial(jax.jit, static_argnames=("k", "ptot"))
 def bm25_resident_topk(
-    p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → dense doc position
+    p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → doc slot
     p_w: jax.Array,        # [P] f32 — RESIDENT: (k1+1)·tf/(tf+K) per posting
-    kind_ids: jax.Array,   # [N] i32 — RESIDENT: per-doc kind id
+    kind_ids: jax.Array,   # [N] i32 — RESIDENT: per-slot kind id
+    doc_valid: jax.Array,  # [N] bool — RESIDENT: slot liveness (deletes are
+                           # a scatter here, never a postings re-upload)
     lo: jax.Array,         # [I] i32 — interval starts into p_pos (pad: 0)
     ln: jax.Array,         # [I] i32 — interval lengths (pad: 0)
     idf: jax.Array,        # [I] f32 — per-interval idf (pad: 0)
@@ -75,22 +77,7 @@ def bm25_resident_topk(
         kind_ids[jnp.clip(pos_s, 0, max(n - 1, 0))] == boost_kid,
         jnp.float32(KIND_BOOST), 1.0,
     )
-    runs = jnp.where(is_end & (pos_s < n), totals * boost, -jnp.inf)
+    alive = doc_valid[jnp.clip(pos_s, 0, max(n - 1, 0))]
+    runs = jnp.where(is_end & (pos_s < n) & alive, totals * boost, -jnp.inf)
     vals, ridx = jax.lax.top_k(runs, min(k, runs.shape[0]))
     return vals, pos_s[ridx].astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def bm25_scatter_topk(
-    pos: jax.Array,        # [P] i32 — dense-view positions (pad: out-of-range)
-    contrib: jax.Array,    # [P] f32 — full per-posting contribution (pad: 0)
-    kind_ids: jax.Array,   # [N] i32 — per-doc kind id (device-resident)
-    boost_kid: jax.Array,  # scalar i32 — kind id to boost ×3 (-1: none)
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    n = kind_ids.shape[0]
-    scores = jnp.zeros((n,), jnp.float32).at[pos].add(contrib, mode="drop")
-    boost = jnp.where(kind_ids == boost_kid, jnp.float32(KIND_BOOST), 1.0)
-    scores = scores * boost
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals, idx.astype(jnp.int32)

@@ -58,9 +58,10 @@ def hash_embed_hybrid_search(
     corpus: jax.Array,     # [N, d] bf16
     valid: jax.Array,      # [N] bool
     kv: int,               # vector top-k
-    p_pos: jax.Array,      # [P] i32 — RESIDENT posting → dense doc position
+    p_pos: jax.Array,      # [P] i32 — RESIDENT posting → doc slot
     p_w: jax.Array,        # [P] f32 — RESIDENT idf-less contributions
-    kind_ids: jax.Array,   # [M] i32 — FTS dense-view kind ids
+    kind_ids: jax.Array,   # [M] i32 — FTS per-slot kind ids
+    doc_valid: jax.Array,  # [M] bool — FTS slot liveness
     lo: jax.Array,         # [I] i32 — query term intervals into p_pos
     ln: jax.Array,         # [I] i32
     idf: jax.Array,        # [I] f32
@@ -83,7 +84,7 @@ def hash_embed_hybrid_search(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -100,6 +101,7 @@ def hash_embed_hybrid_search_int8(
     p_pos: jax.Array,
     p_w: jax.Array,
     kind_ids: jax.Array,
+    doc_valid: jax.Array,
     lo: jax.Array,
     ln: jax.Array,
     idf: jax.Array,
@@ -114,6 +116,6 @@ def hash_embed_hybrid_search_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx

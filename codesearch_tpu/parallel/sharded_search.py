@@ -156,6 +156,7 @@ def sharded_hash_embed_hybrid(
     p_pos: jax.Array,      # FTS resident postings, replicated over the mesh
     p_w: jax.Array,
     kind_ids: jax.Array,
+    doc_valid: jax.Array,
     lo: jax.Array,
     ln: jax.Array,
     idf: jax.Array,
@@ -184,7 +185,7 @@ def sharded_hash_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -201,6 +202,7 @@ def sharded_hash_embed_hybrid_int8(
     p_pos: jax.Array,
     p_w: jax.Array,
     kind_ids: jax.Array,
+    doc_valid: jax.Array,
     lo: jax.Array,
     ln: jax.Array,
     idf: jax.Array,
@@ -224,7 +226,7 @@ def sharded_hash_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
     )
     return v_vals, v_idx, b_vals, b_idx
 

@@ -105,6 +105,26 @@ def insert_rows_int8(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _update_1d_fn():
+    def f(arr, block, base):
+        return jax.lax.dynamic_update_slice(arr, block, (base,))
+
+    donate = (0,) if _donate() else ()
+    return jax.jit(f, donate_argnums=donate)
+
+
+def update_1d(arr, host_block: np.ndarray, base: int, pad_value):
+    """Write a host block into a device 1D array at ``base`` (donated DUS).
+    The block pads to a power of two with ``pad_value``; the caller
+    guarantees the padded region is free capacity."""
+    n = len(host_block)
+    npad = pow2(max(n, 1))
+    block = np.full(npad, pad_value, host_block.dtype)
+    block[:n] = host_block
+    return _update_1d_fn()(arr, jnp.asarray(block, arr.dtype), jnp.int32(base))
+
+
 def invalidate_rows(valid, row_indices: list[int], capacity: int):
     """Tombstone rows on device. Index list pads to a power of two with
     ``capacity`` (out of range → dropped by the scatter)."""

@@ -762,7 +762,7 @@ class VectorStore:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid_int8(
                         table, jnp.asarray(ids), jnp.asarray(weights),
                         dev[1], dev[2], dev[3], kv,
-                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
                         jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
                         jnp.int32(kid), kb, ptot, mesh,
                     )
@@ -770,7 +770,7 @@ class VectorStore:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid(
                         table, jnp.asarray(ids), jnp.asarray(weights),
                         dev[1], dev[3], kv,
-                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
                         jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
                         jnp.int32(kid), kb, ptot, mesh,
                     )
@@ -778,7 +778,7 @@ class VectorStore:
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[2], dev[3], kv,
-                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
                     jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
                     jnp.int32(kid), kb, ptot,
                 )
@@ -786,7 +786,7 @@ class VectorStore:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[3], kv,
-                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
                     jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
                     jnp.int32(kid), kb, ptot,
                 )

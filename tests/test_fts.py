@@ -225,3 +225,56 @@ class TestSegments:
         assert (d / "fts.json").exists()
         s2 = FtsStore(d)
         assert s2.search("beta")[0].chunk_id == 9
+
+
+class TestIncrementalDeviceSync:
+    """Round-2: the resident device postings must sync incrementally — new
+    segments DUS-append, deletes scatter the valid mask; full re-uploads
+    happen only on capacity/garbage/drift triggers."""
+
+    def _store(self, tmp_path, n=600):
+        s = FtsStore(tmp_path / "fts")
+        s.device_min_docs = 1   # force the device path at tiny sizes
+        for i in range(n):
+            s.add_chunk(i, f"alpha beta gamma_{i} delta epsilon", f"f{i}.rs",
+                        f"fn gamma_{i}()", "Function")
+        s.commit()
+        return s
+
+    def test_new_segment_appends_without_rebuild(self, tmp_path):
+        s = self._store(tmp_path)
+        assert s.search("gamma_123")[0].chunk_id == 123
+        uploads0 = s.fts_full_uploads
+        # add more docs in a new segment (small — merge policy may fold, in
+        # which case bases change but the sync is still DUS-append of the
+        # merged segment unless capacity overflows)
+        for i in range(600, 640):
+            s.add_chunk(i, f"alpha zeta eta_{i} theta", f"f{i}.rs",
+                        f"fn eta_{i}()", "Function")
+        res = s.search("eta_615")
+        assert res and res[0].chunk_id == 615
+        assert s.fts_full_uploads == uploads0, "doc adds must not re-upload postings"
+        assert s.fts_incremental_updates > 0
+
+    def test_delete_scatters_validity(self, tmp_path):
+        s = self._store(tmp_path)
+        s.search("gamma_5")   # sync
+        uploads0 = s.fts_full_uploads
+        s.delete_chunk(123)
+        res = s.search("gamma_123", limit=50)
+        assert all(r.chunk_id != 123 for r in res)
+        assert s.fts_full_uploads == uploads0, "deletes must be a mask scatter"
+
+    def test_device_results_match_host_after_updates(self, tmp_path):
+        s = self._store(tmp_path)
+        s.search("gamma_7")  # device sync
+        for i in range(600, 620):
+            s.add_chunk(i, f"alpha beta gamma_{i} delta epsilon", f"f{i}.rs",
+                        f"fn gamma_{i}()", "Function")
+        s.delete_chunk(3)
+        dev = s.search("alpha gamma_610", limit=10)
+        s.device_min_docs = 10**9
+        host = s.search("alpha gamma_610", limit=10)
+        assert [r.chunk_id for r in dev][:3] == [r.chunk_id for r in host][:3]
+        for d, h in zip(dev, host):
+            assert d.score == pytest.approx(h.score, rel=2e-3)
