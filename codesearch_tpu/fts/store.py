@@ -939,9 +939,18 @@ class FtsStore:
         limit: int = 20,
     ) -> list[FtsResult]:
         """Exact identifier lookup: signature hits boosted ×3 over content
-        hits; AND-ed with kind when provided."""
+        hits; AND-ed with kind when provided.
+
+        Scoring matches tantivy's TermQuery semantics
+        (tantivy_store.rs:460-524): each field contributes a real BM25 term
+        score (tf saturation + length normalization), signature boosted ×3 —
+        NOT raw term counts. Raw counts let a long chunk that merely *calls*
+        an identifier many times outrank the short chunk that *defines* it;
+        saturation caps the caller's tf while the definition keeps the ×3
+        signature-field boost."""
         with self._lock:
             self._flush_mem()
+            self._ensure_dense()
             toks = code_tokens(identifier)
             target = None
             for t in toks:
@@ -964,7 +973,10 @@ class FtsStore:
                         continue
                     if kind is not None and meta[1] != kind:
                         continue
-                    score = _EXACT_SIG_BOOST * float(s) + float(c)
+                    len_norm = _K1 * (1.0 - _B + _B * meta[0] / self._avg_len)
+                    sat_s = s * (_K1 + 1.0) / (s + len_norm) if s else 0.0
+                    sat_c = c * (_K1 + 1.0) / (c + len_norm) if c else 0.0
+                    score = _EXACT_SIG_BOOST * sat_s + sat_c
                     if score > 0:
                         out.append((meta[3], score, meta[2], meta[1]))
             out.sort(key=lambda kv: -kv[1])

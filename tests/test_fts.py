@@ -62,6 +62,24 @@ class TestExact:
     def test_no_identifier(self, store):
         assert store.search_exact("a b") == []
 
+    def test_definition_beats_heavy_caller(self, store):
+        """tf saturation + length norm (tantivy TermQuery semantics): a long
+        chunk that *calls* an identifier many times must not outrank the
+        short chunk whose *signature* defines it (tantivy_store.rs:460-524)."""
+        filler = " ".join(f"word{i}" for i in range(40))
+        store.add_chunk(
+            7,
+            f"VectorStore VectorStore VectorStore VectorStore VectorStore "
+            f"VectorStore VectorStore usage everywhere {filler}",
+            "caller.rs", None, "Function",
+        )
+        store.add_chunk(8, "store implementation", "def.rs",
+                        "pub struct VectorStore", "Struct")
+        store.commit()
+        res = store.search_exact("VectorStore")
+        assert res[0].chunk_id == 8
+        assert any(r.chunk_id == 7 for r in res)
+
 
 class TestLifecycle:
     def test_delete_removes(self, store):
