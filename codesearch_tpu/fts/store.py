@@ -222,6 +222,8 @@ class FtsStore:
         self.device_min_docs = DEVICE_MIN_DOCS
         self.fts_full_uploads = 0                    # diagnostics for tests
         self.fts_incremental_updates = 0
+        # monotone content-change counter (see VectorStore.mutation_count)
+        self.mutation_count = 0
         if self.dir.exists():
             self._load()
         elif not readonly:
@@ -293,6 +295,7 @@ class FtsStore:
             s_keys = term_keys(signature or "")
             doc_len = max(len(c_keys) + len(s_keys), 1)
             self._add_doc(dnum, chunk_id, doc_len, kind, path)
+            self.mutation_count += 1
             self._pending_doclog.append(
                 msgpack.packb(("a", dnum, chunk_id, doc_len, kind, path),
                               use_bin_type=True)
@@ -316,6 +319,7 @@ class FtsStore:
             if dnum is None:
                 return
             self._kill_dnum(dnum)
+            self.mutation_count += 1
             self._pending_doclog.append(
                 msgpack.packb(("d", dnum), use_bin_type=True)
             )
@@ -323,6 +327,7 @@ class FtsStore:
     def clear(self) -> None:
         with self._lock:
             self.__init_empty()
+            self.mutation_count += 1
             self._needs_rewrite = True
             self.commit()
 

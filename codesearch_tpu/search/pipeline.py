@@ -10,7 +10,9 @@ neural rerank blend.
 
 from __future__ import annotations
 
+import dataclasses
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -39,6 +41,7 @@ EARLY_TERMINATION_SCORE = 0.85   # top-5 similarity (ref: distance < 0.15)
 LANGUAGE_BOOST = 1.2
 KIND_BOOST = 1.15
 OVERSAMPLE = 3                   # fetch limit×3 for fusion headroom
+RESPONSE_CACHE_MAX = 128         # fused responses kept per session
 
 
 @dataclass
@@ -115,6 +118,15 @@ class SearchSession:
         )
         self.fts = FtsStore(db_path / FTS_DIR_NAME, readonly=readonly)
         self.reranker: NeuralReranker | None = None
+        # response LRU: on a tunnel-attached chip even the fused single
+        # dispatch pays ~1 RTT (~38 ms); agents (the MCP consumer) repeat
+        # queries, so cache the whole fused response keyed on the options +
+        # store mutation counters (any index change invalidates). Extends the
+        # reference's query-embedding cache (embed/cache.rs:142-244 — which
+        # we also have) to the full read plane.
+        self._resp_cache: OrderedDict[tuple, SearchResponse] = OrderedDict()
+        self.resp_cache_hits = 0
+        self.resp_cache_misses = 0
 
     def search(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
         # optional xprof trace (SURVEY §5 tracing parity): set
@@ -129,10 +141,31 @@ class SearchSession:
                 return self._search_impl(query, options)
         return self._search_impl(query, options)
 
+    def _cache_key(self, query: str, o: SearchOptions) -> tuple:
+        return (
+            query, o.limit, o.mode, o.rerank, o.path_filter, o.min_score,
+            o.no_expand,
+            self.store.mutation_count, self.fts.mutation_count,
+        )
+
     def _search_impl(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
         options = options or SearchOptions()
         if not query or not query.strip():
             raise SearchError("empty query")
+
+        key = self._cache_key(query, options)
+        cached = self._resp_cache.get(key)
+        if cached is not None:
+            self._resp_cache.move_to_end(key)
+            self.resp_cache_hits += 1
+            # callers may resort/rescore hits — hand out copies
+            return dataclasses.replace(
+                cached,
+                hits=[dataclasses.replace(h) for h in cached.hits],
+                timings_ms={**cached.timings_ms, "cached": True},
+            )
+        self.resp_cache_misses += 1
+
         t_all = time.time()
         timings: dict[str, float] = {}
 
@@ -291,7 +324,7 @@ class SearchSession:
             hits = [h for h in hits if h.score >= options.min_score]
         hits = hits[: options.limit]
         timings["total"] = (time.time() - t_all) * 1000
-        return SearchResponse(
+        resp = SearchResponse(
             hits=hits,
             query=query,
             mode="vector" if not use_hybrid else "hybrid",
@@ -300,6 +333,12 @@ class SearchSession:
             db_path=str(self.db_path),
             rerank_mode=rerank_mode,
         )
+        self._resp_cache[key] = dataclasses.replace(
+            resp, hits=[dataclasses.replace(h) for h in hits]
+        )
+        while len(self._resp_cache) > RESPONSE_CACHE_MAX:
+            self._resp_cache.popitem(last=False)
+        return resp
 
 
 def search(

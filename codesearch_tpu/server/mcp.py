@@ -181,6 +181,12 @@ class CodesearchService:
         self.service = service
         self.manager = manager
         self._metadata = read_metadata(db_path)
+        # fused-response LRU keyed on store mutation counters: agents repeat
+        # queries, and on a tunnel-attached chip even the single fused
+        # dispatch pays ~1 RTT (mirrors SearchSession._resp_cache)
+        from collections import OrderedDict
+
+        self._resp_cache: OrderedDict[tuple, dict] = OrderedDict()
 
     # ------------------------------------------------------------------
     # tools
@@ -193,6 +199,15 @@ class CodesearchService:
         limit = int(args.get("limit") or 10)
         compact = args.get("compact", True)
         filter_path = args.get("filter_path")
+
+        cache_key = (
+            query, limit, bool(compact), filter_path,
+            self.stores.store.mutation_count, self.stores.fts.mutation_count,
+        )
+        cached = self._resp_cache.get(cache_key)
+        if cached is not None:
+            self._resp_cache.move_to_end(cache_key)
+            return {**cached, "results": [{**r} for r in cached["results"]]}
 
         import numpy as np
 
@@ -265,7 +280,11 @@ class CodesearchService:
                 if not compact:
                     item["content"] = meta.content
                 items.append(item)
-        return {"query": query, "results": items, "total": len(items)}
+        resp = {"query": query, "results": items, "total": len(items)}
+        self._resp_cache[cache_key] = {**resp, "results": [{**r} for r in items]}
+        while len(self._resp_cache) > 128:
+            self._resp_cache.popitem(last=False)
+        return resp
 
     def find_references(self, args: dict) -> dict:
         symbol = str(args.get("symbol", "")).strip()

@@ -151,6 +151,9 @@ class VectorStore:
         self._dev_pending_del: list[int] = []        # rows tombstoned since sync
         self.full_uploads = 0                        # diagnostics (tests assert
         self.incremental_updates = 0                 # no full re-upload per edit)
+        # monotone content-change counter: any insert/delete/clear bumps it,
+        # so higher layers (response caches) can key on store freshness
+        self.mutation_count = 0
 
         if self.db_path.exists():
             self._load()
@@ -469,6 +472,7 @@ class VectorStore:
                 self._row_of[cid] = base + i
                 self._id_of.append(cid)
                 self._pending_log.append(self._pack_add(cid, meta))
+            self.mutation_count += 1
             return ids
 
     def delete_chunks(self, ids: list[int]) -> int:
@@ -484,6 +488,8 @@ class VectorStore:
                     removed += 1
                 if self._meta.pop(cid, None) is not None or row is not None:
                     self._pending_log.append(self._pack_del(cid))
+            if removed:
+                self.mutation_count += 1
         return removed
 
     def clear(self) -> None:
@@ -500,6 +506,7 @@ class VectorStore:
             self._device = None
             self._dev_rows = 0
             self._dev_pending_del = []
+            self.mutation_count += 1
             self.save()
 
     def build_index(self) -> None:

@@ -246,6 +246,41 @@ class TestSearchPipeline:
         assert resp.hits
         assert "rerank" in resp.timings_ms
 
+    def test_response_cache_hit_and_invalidation(self, indexed_repo):
+        repo, _ = indexed_repo
+        session = SearchSession(repo / ".codesearch.db")
+        opts = SearchOptions(limit=5)
+        first = session.search("parse_config", opts)
+        second = session.search("parse_config", opts)
+        assert session.resp_cache_hits == 1
+        assert second.timings_ms.get("cached") is True
+        assert [(h.chunk_id, h.score) for h in second.hits] == [
+            (h.chunk_id, h.score) for h in first.hits
+        ]
+        # cached hits are copies — caller mutation must not poison the cache
+        second.hits[0].score = -1.0
+        third = session.search("parse_config", opts)
+        assert third.hits[0].score == first.hits[0].score
+        # any store mutation invalidates (key embeds mutation counters)
+        from codesearch_tpu.vectordb import ChunkMetadata
+
+        session.store.readonly = False
+        session.store.insert_chunks_with_ids(
+            np.eye(1, session.store.dims, dtype=np.float32),
+            [ChunkMetadata(path="x.py", content="def zz(): pass",
+                           start_line=0, end_line=1, kind="Function")],
+        )
+        session.search("parse_config", opts)
+        assert session.resp_cache_misses >= 2
+
+    def test_different_options_not_conflated(self, indexed_repo):
+        repo, _ = indexed_repo
+        session = SearchSession(repo / ".codesearch.db")
+        a = session.search("parse_config", SearchOptions(limit=5))
+        b = session.search("parse_config", SearchOptions(limit=2))
+        assert session.resp_cache_hits == 0
+        assert len(b.hits) <= 2 and len(a.hits) <= 5
+
 
 class TestWatcher:
     def test_polling_watcher_detects_changes(self, tmp_path):

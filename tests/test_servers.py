@@ -84,6 +84,29 @@ class TestMcp:
         if lock:
             lock.release()
 
+    def test_semantic_search_response_cache(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        try:
+            a = svc.semantic_search({"query": "parse_config", "limit": 5})
+            b = svc.semantic_search({"query": "parse_config", "limit": 5})
+            assert b == a
+            assert len(svc._resp_cache) == 1
+            # caller mutation of the returned dicts must not poison the cache
+            if b["results"]:
+                b["results"][0]["score"] = -1
+            c = svc.semantic_search({"query": "parse_config", "limit": 5})
+            assert c == a
+            # an index mutation invalidates (key embeds mutation counters)
+            with svc.stores.lock:
+                svc.stores.fts.add_chunk(999_999, "def cache_buster(): pass",
+                                         "zz.py", None, "Function")
+            svc.semantic_search({"query": "parse_config", "limit": 5})
+            assert len(svc._resp_cache) == 2
+        finally:
+            if lock:
+                lock.release()
+
     def test_find_references(self, indexed):
         root, db = indexed
         svc, lock = _mk_service(root, db)
