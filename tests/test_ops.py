@@ -125,6 +125,47 @@ class TestTopK:
         assert all(valid[i] for row in idx for i in row)
         assert (np.diff(vals, axis=1) <= 1e-6).all()
 
+    def test_fused_int8_kernel_interpret_exact_vs_xla(self):
+        # identical quantization on both paths → scores and indices must
+        # match the XLA reference exactly (interpret mode)
+        from codesearch_tpu.ops.pallas_topk import fused_cosine_topk_int8
+        from codesearch_tpu.ops.topk import _cosine_topk_int8_xla
+
+        rng = np.random.default_rng(12)
+        n, d, q, k = 4096, 64, 4, 8
+        c = _norm(rng.standard_normal((n, d)).astype(np.float32))
+        cq, scale = quantize_rows_int8(jnp.asarray(c))
+        queries = jnp.asarray(
+            _norm(rng.standard_normal((q, d)).astype(np.float32)))
+        valid = np.ones(n, bool)
+        valid[::7] = False
+        vals, idx = fused_cosine_topk_int8(
+            queries, cq, scale, jnp.asarray(valid), k, tile=1024,
+            interpret=True,
+        )
+        rv, ri = _cosine_topk_int8_xla(queries, cq, scale, jnp.asarray(valid), k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-6)
+
+    def test_fused_kernel_ascending_tiles_worst_case(self):
+        # adversarial for the threshold gate: every tile beats the previous
+        # one, forcing a merge at every grid step — result must stay exact
+        from codesearch_tpu.ops.pallas_topk import fused_cosine_topk_int8
+        from codesearch_tpu.ops.topk import _cosine_topk_int8_xla
+
+        n, d, k = 4096, 64, 8
+        c = np.zeros((n, d), np.float32)
+        c[:, 0] = np.linspace(0.01, 1.0, n)          # ascending scores
+        cq, scale = quantize_rows_int8(jnp.asarray(c))
+        queries = jnp.asarray(np.eye(2, d, dtype=np.float32))
+        valid = jnp.ones(n, bool)
+        vals, idx = fused_cosine_topk_int8(
+            queries, cq, scale, valid, k, tile=512, interpret=True,
+        )
+        rv, ri = _cosine_topk_int8_xla(queries, cq, scale, valid, k)
+        np.testing.assert_array_equal(np.asarray(idx)[0], np.asarray(ri)[0])
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-6)
+
     def test_int8_close_to_fp(self):
         rng = np.random.default_rng(5)
         c = _norm(rng.standard_normal((1000, 64)).astype(np.float32))
