@@ -34,19 +34,15 @@ def shard_corpus(corpus, valid, mesh: Mesh):
     return jax.device_put(corpus, ns), jax.device_put(valid, nv)
 
 
-def _merge_local_topk(scores: jax.Array, k: int, shard_rows: int):
-    """Local top-k + all_gather merge (runs INSIDE shard_map over "data").
-
-    Exact: every global top-k member is in its shard's local top-k. The
-    all_gather moves only [S, Q, k] candidates over ICI — independent of N.
-    """
-    kk = min(k, shard_rows)
-    vals, idx = _select_topk(scores, kk)
+def _gather_merge(vals: jax.Array, idx: jax.Array, k: int, shard_rows: int):
+    """all_gather the per-shard [Q, kk] candidates over ICI and merge
+    (runs INSIDE shard_map over "data"). Exact: every global top-k member
+    is in its shard's local top-k. Bytes moved are independent of N."""
     my_shard = jax.lax.axis_index("data")
     gidx = idx.astype(jnp.int32) + my_shard * shard_rows
     all_vals = jax.lax.all_gather(vals, "data", axis=0)   # [S, Q, kk]
     all_idx = jax.lax.all_gather(gidx, "data", axis=0)
-    s, qn, _ = all_vals.shape
+    s, qn, kk = all_vals.shape
     cat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(qn, s * kk)
     cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(qn, s * kk)
     take = min(k, s * kk)
@@ -74,6 +70,38 @@ def _local_scores_int8(q, c_q, scale, v):
     return jnp.where(v[None, :], scores, _NEG_INF)
 
 
+def _local_topk_bf16(q, c, v, kk: int):
+    """Per-shard exact top-k: the gated Pallas kernel on TPU (never
+    materializes [Q, shard_rows]) with the XLA composition as fallback —
+    the same dispatch rule as ops.topk.cosine_topk, applied per shard."""
+    from ..ops.pallas_topk import MAX_FUSED_K, fused_cosine_topk
+    from ..ops.topk import _FUSED_TILE, _on_tpu
+
+    n = c.shape[0]
+    if (_on_tpu() and kk <= MAX_FUSED_K and q.shape[0] >= 8
+            and n % _FUSED_TILE == 0 and c.dtype == jnp.bfloat16):
+        return fused_cosine_topk(q, c, v, kk, tile=_FUSED_TILE)
+    return _select_topk(_local_scores_bf16(q, c, v), kk)
+
+
+def _local_topk_int8(q, c_q, scale, v, kk: int):
+    from ..ops.pallas_topk import MAX_FUSED_K, fused_cosine_topk_int8
+    from ..ops.topk import _FUSED_TILE, _FUSED_TILE_INT8, _on_tpu
+
+    n = c_q.shape[0]
+    if _on_tpu() and kk <= MAX_FUSED_K:
+        for tile in (_FUSED_TILE_INT8, _FUSED_TILE):
+            if n % tile == 0:
+                return fused_cosine_topk_int8(q, c_q, scale, v, kk, tile=tile)
+    return _select_topk(_local_scores_int8(q, c_q, scale, v), kk)
+
+
+def _merge_local_topk(scores: jax.Array, k: int, shard_rows: int):
+    """Legacy entry: local top-k over materialized scores + gather merge."""
+    kk = min(k, shard_rows)
+    return _gather_merge(*_select_topk(scores, kk), k, shard_rows)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_cosine_topk(
     queries: jax.Array,   # [Q, d] replicated
@@ -86,7 +114,8 @@ def sharded_cosine_topk(
     shard_rows = corpus.shape[0] // mesh.shape["data"]
 
     def local(q, c, v):
-        return _merge_local_topk(_local_scores_bf16(q, c, v), k, shard_rows)
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_bf16(q, c, v, kk), k, shard_rows)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -108,7 +137,8 @@ def sharded_cosine_topk_int8(
     shard_rows = corpus_q.shape[0] // mesh.shape["data"]
 
     def local(q, c, s, v):
-        return _merge_local_topk(_local_scores_int8(q, c, s, v), k, shard_rows)
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_int8(q, c, s, v, kk), k, shard_rows)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -136,7 +166,8 @@ def sharded_hash_embed_search(
 
     def local(t, i, w, c, v):
         q = embed_features(t, i, w)
-        return _merge_local_topk(_local_scores_bf16(q, c, v), k, shard_rows)
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_bf16(q, c, v, kk), k, shard_rows)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -177,7 +208,8 @@ def sharded_hash_embed_hybrid(
 
     def local(t, i, w, c, v):
         q = embed_features(t, i, w)
-        return _merge_local_topk(_local_scores_bf16(q, c, v), kv, shard_rows)
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_bf16(q, c, v, kk), kv, shard_rows)
 
     v_vals, v_idx = jax.shard_map(
         local, mesh=mesh,
@@ -218,7 +250,8 @@ def sharded_hash_embed_hybrid_int8(
 
     def local(t, i, w, c, s, v):
         q = embed_features(t, i, w)
-        return _merge_local_topk(_local_scores_int8(q, c, s, v), kv, shard_rows)
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_int8(q, c, s, v, kk), kv, shard_rows)
 
     v_vals, v_idx = jax.shard_map(
         local, mesh=mesh,
@@ -248,7 +281,8 @@ def sharded_hash_embed_search_int8(
 
     def local(t, i, w, c, s, v):
         q = embed_features(t, i, w)
-        return _merge_local_topk(_local_scores_int8(q, c, s, v), k, shard_rows)
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_int8(q, c, s, v, kk), k, shard_rows)
 
     return jax.shard_map(
         local, mesh=mesh,
