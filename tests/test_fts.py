@@ -245,6 +245,57 @@ class TestSegments:
         assert s2.search("beta")[0].chunk_id == 9
 
 
+class TestCrashRecovery:
+    """The manifest rename is the single commit point: anything written
+    after it (doclog bytes, segment files) must be invisible/pruned on the
+    next open, and corrupt files must degrade, not crash."""
+
+    def _populated(self, tmp_path):
+        s = FtsStore(tmp_path / "fts")
+        for i in range(20):
+            s.add_chunk(i, f"alpha token_{i} beta", f"f{i}.rs",
+                        f"fn token_{i}()", "Function")
+        s.commit()
+        return s
+
+    def test_doclog_tail_beyond_manifest_ignored(self, tmp_path):
+        s = self._populated(tmp_path)
+        # crash between doclog append and manifest flip: extra bytes exist
+        # but the manifest's log_bytes cursor doesn't cover them
+        with open(s.dir / "docs.log", "ab") as f:
+            f.write(b"\x96\xa1a\x63\x63\x02\xa4Kind")  # fragment of an "a" record
+        s2 = FtsStore(tmp_path / "fts")
+        assert len(s2) == 20
+        assert s2.search("token_3")[0].chunk_id == 3
+
+    def test_orphan_segment_pruned(self, tmp_path):
+        s = self._populated(tmp_path)
+        orphan = s.dir / "seg-999.npz"
+        orphan.write_bytes(b"not a real npz")
+        s2 = FtsStore(tmp_path / "fts")   # loads fine (manifest ignores it)
+        assert len(s2) == 20
+        s2.add_chunk(99, "fresh", "z.rs")
+        s2.commit()                        # prune pass removes the orphan
+        assert not orphan.exists()
+
+    def test_corrupt_segment_skipped(self, tmp_path):
+        s = self._populated(tmp_path)
+        seg = next(s.dir.glob("seg-*.npz"))
+        seg.write_bytes(seg.read_bytes()[: seg.stat().st_size // 2])
+        s2 = FtsStore(tmp_path / "fts")   # warns + skips, docs still load
+        assert len(s2) == 20
+        assert s2.search("token_3") == [] or True  # postings lost, no crash
+
+    def test_corrupt_manifest_starts_empty(self, tmp_path):
+        s = self._populated(tmp_path)
+        (s.dir / "fts.json").write_text("{not json")
+        s2 = FtsStore(tmp_path / "fts")
+        assert len(s2) == 0               # degraded, not crashed
+        s2.add_chunk(1, "rebuild", "a.rs")
+        s2.commit()
+        assert FtsStore(tmp_path / "fts").search("rebuild")[0].chunk_id == 1
+
+
 class TestIncrementalDeviceSync:
     """Round-2: the resident device postings must sync incrementally — new
     segments DUS-append, deletes scatter the valid mask; full re-uploads
