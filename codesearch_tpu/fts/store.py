@@ -648,19 +648,23 @@ class FtsStore:
 
     def _device_rebuild(self):
         """Full resident-state build (first sync, capacity overflow, garbage
-        or avg_len-drift trigger)."""
+        or avg_len-drift trigger). Kind + liveness pack into ONE int32 table
+        (``slot_meta``: kind id when live, DEAD_SLOT otherwise) so the BM25
+        kernel pays a single per-posting table gather (ops/bm25.py)."""
+        from ..ops.bm25 import CHUNK, DEAD_SLOT
+
         n = self._dnums_sorted.size
         ncap = max(_pow2(n), 1024)
-        kinds = np.full(ncap, -2, np.int32)  # pad never matches a boost kid
-        kinds[:n] = self._kind_arr
-        valid = np.zeros(ncap, bool)
-        valid[:n] = self._live_arr
+        meta = np.full(ncap, DEAD_SLOT, np.int32)
+        meta[:n] = np.where(self._live_arr, self._kind_arr, DEAD_SLOT)
         seg_base: dict[int, int] = {}
         used = 0
         for seg in self._segments:
             seg_base[seg.seq] = used
             used += len(seg)
-        pcap = max(_pow2(used), 1024)
+        # + CHUNK: the kernel's slice-gather reads whole CHUNK windows, so
+        # every chunk start must satisfy start + CHUNK <= pcap
+        pcap = max(_pow2(used + CHUNK), 2048)
         p_pos = np.full(pcap, ncap, np.int32)   # pad/dead → dropped
         p_w = np.zeros(pcap, np.float32)
         for seg in self._segments:
@@ -670,7 +674,7 @@ class FtsStore:
             p_w[b : b + len(seg)] = bw
         self._dev = (
             self._place_repl(p_pos), self._place_repl(p_w),
-            self._place_repl(kinds), self._place_repl(valid),
+            self._place_repl(meta),
         )
         self._dev_state = {
             "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,
@@ -688,6 +692,8 @@ class FtsStore:
         garbage passes 50%, or avg_len drifts >10% from the synced value
         (contributions embed the length normalization). Queries then ship
         only (lo, len, idf) intervals — a few hundred bytes (ops/bm25.py)."""
+        from ..ops.bm25 import CHUNK, DEAD_SLOT
+
         self._ensure_dense()
         st = self._dev_state
         if self._dev is None or st is None:
@@ -696,11 +702,11 @@ class FtsStore:
         live_segs = {seg.seq for seg in self._segments}
         new_segs = [seg for seg in self._segments if seg.seq not in st["seg_base"]]
         removed = [sq for sq in st["seg_base"] if sq not in live_segs]
-        grow_p = sum(len(seg) for seg in new_segs)
         drift = abs(self._avg_len - st["avg_len"]) / max(st["avg_len"], 1e-9)
         if (
             n > st["ncap"]
-            or st["used"] + sum(_pow2(max(len(sg), 1)) for sg in new_segs) > st["pcap"]
+            or st["used"] + sum(_pow2(max(len(sg), 1)) for sg in new_segs)
+            + CHUNK > st["pcap"]
             or drift > 0.10
             or st["garbage"] > 0.5 * max(st["used"], 1)
         ):
@@ -710,20 +716,20 @@ class FtsStore:
             return self._dev
         from ..vectordb import device_ops
 
-        p_pos, p_w, kinds, valid = self._dev
-        # 1. doc appends: kind + liveness entries for new slots
+        p_pos, p_w, meta = self._dev
+        # 1. doc appends: packed kind|liveness entries for new slots
         if n > st["n_synced"]:
             b = st["n_synced"]
-            kinds = device_ops.update_1d(kinds, self._kind_arr[b:n], b, -2)
-            valid = device_ops.update_1d(
-                valid, self._live_arr[b:n], b, False
-            )
+            packed = np.where(
+                self._live_arr[b:n], self._kind_arr[b:n], DEAD_SLOT
+            ).astype(np.int32)
+            meta = device_ops.update_1d(meta, packed, b, DEAD_SLOT)
             st["n_synced"] = n
             self.fts_incremental_updates += 1
-        # 2. deletes: scatter False into the valid mask
+        # 2. deletes: scatter the dead sentinel into the packed table
         if self._dev_pending_dead:
-            valid = device_ops.invalidate_rows(
-                valid, self._dev_pending_dead, st["ncap"]
+            meta = device_ops.scatter_fill(
+                meta, self._dev_pending_dead, st["ncap"], DEAD_SLOT
             )
             self._dev_pending_dead = []
             self.fts_incremental_updates += 1
@@ -742,7 +748,7 @@ class FtsStore:
             st["seg_base"][seg.seq] = st["used"]
             st["used"] += len(seg)
             self.fts_incremental_updates += 1
-        self._dev = (p_pos, p_w, kinds, valid)
+        self._dev = (p_pos, p_w, meta)
         return self._dev
 
     # ------------------------------------------------------------------
@@ -856,11 +862,15 @@ class FtsStore:
 
     def device_query_args(self, query: str, boost_kind: str | None, limit: int):
         """Assemble the device-scoring inputs for a query against the
-        RESIDENT postings: per-(term×segment) CSR intervals (lo, len, idf) —
-        a few hundred bytes — plus the resident array handles, the boost
-        kind id and static (k, block) shapes. Returns None when the query
-        selects nothing. Used by the fused hybrid dispatch
+        RESIDENT postings: per-(term×segment) CSR intervals pre-split into
+        CHUNK-aligned slices (start, live-len, idf) — a few hundred bytes —
+        plus the resident array handles, the boost kind id and static
+        (k, imax) shapes. Chunks never straddle interval boundaries, so the
+        kernel gathers each as one contiguous DMA. Returns None when the
+        query selects nothing. Used by the fused hybrid dispatch
         (ops/query_pipeline.py) and _score_device."""
+        from ..ops.bm25 import CHUNK
+
         with self._lock:
             self._flush_mem()
             dev = self._ensure_device()
@@ -870,7 +880,8 @@ class FtsStore:
             keys = np.unique(term_keys(query))
             if keys.size == 0:
                 return None
-            lo, ln, idf = [], [], []
+            cstart, clen, cidf = [], [], []
+            n_intervals = 0
             max_df = max(MAX_DF_RATIO * self._n_live, 64.0)
             seg_base = self._dev_state["seg_base"]
             for key in keys:
@@ -886,23 +897,27 @@ class FtsStore:
                     continue
                 t_idf = float(np.log(1.0 + (self._n_live - df + 0.5) / (df + 0.5)))
                 for rlo, rln in ranges:
-                    lo.append(rlo)
-                    ln.append(rln)
-                    idf.append(t_idf)
-            if not lo:
+                    n_intervals += 1
+                    off = 0
+                    while off < rln:
+                        cstart.append(rlo + off)
+                        clen.append(min(CHUNK, rln - off))
+                        cidf.append(t_idf)
+                        off += CHUNK
+            if not cstart:
                 return None
-            ipad = max(_pow2(len(lo)), 32)
-            lo_a = np.zeros(ipad, np.int32)
-            ln_a = np.zeros(ipad, np.int32)
-            idf_a = np.zeros(ipad, np.float32)
-            lo_a[: len(lo)] = lo
-            ln_a[: len(ln)] = ln
-            idf_a[: len(idf)] = idf
-            # flat gather budget: pow2 of the ACTUAL selected posting count
-            ptot = max(_pow2(int(sum(ln))), 1024)
+            cpad = max(_pow2(len(cstart)), 8)
+            cs_a = np.zeros(cpad, np.int32)
+            cl_a = np.zeros(cpad, np.int32)
+            ci_a = np.zeros(cpad, np.float32)
+            cs_a[: len(cstart)] = cstart
+            cl_a[: len(clen)] = clen
+            ci_a[: len(cidf)] = cidf
             kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
             k = min(_pow2(max(limit, 1)), dev[2].shape[0])
-            return dev, lo_a, ln_a, idf_a, kid, k, ptot
+            # static run-length bound for the kernel's shifted-add reduction
+            imax = max(_pow2(n_intervals), 4)
+            return dev, cs_a, cl_a, ci_a, kid, k, imax
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""
@@ -921,18 +936,18 @@ class FtsStore:
             return out
 
     def _score_device(self, args, limit):
-        """One device dispatch against the resident postings: interval
-        gather + scatter-accumulate + kind boost + top-k (ops/bm25.py)."""
+        """One device dispatch against the resident postings: chunk DMA
+        gather + run reduction + kind boost + top-k (ops/bm25.py)."""
         import jax
         import jax.numpy as jnp
 
         from ..ops.bm25 import bm25_resident_topk
 
-        dev, lo, ln, idf, kid, k, ptot = args
+        dev, cs, cl, ci, kid, k, imax = args
         vals, idx = bm25_resident_topk(
-            dev[0], dev[1], dev[2], dev[3],
-            jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-            jnp.int32(kid), k, ptot,
+            dev[0], dev[1], dev[2],
+            jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+            jnp.int32(kid), k, imax,
         )
         vals, idx = jax.device_get((vals, idx))
         return vals[:limit], idx[:limit]

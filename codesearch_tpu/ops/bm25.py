@@ -1,18 +1,29 @@
-"""Device BM25: resident postings + interval gather + scatter top-k.
+"""Device BM25: resident postings + chunked slice-gather + run top-k.
 
 Measured on the tunnel-attached chip: shipping even 131k posting entries
 host→device costs ~100 ms — per-query posting transfer is unaffordable.
-So the postings live in HBM (``p_pos`` dense doc positions + ``p_w``
-idf-less per-posting contributions, precomputed at sync), and a query
-ships only its terms' CSR *intervals* — [(lo, len, idf)] ≈ a few hundred
-bytes. The device gathers the intervals via a flat plan, applies idf, reduces
-per-doc runs with a sort + segmented scan, boosts the structural kind,
-masks dead slots, and selects top-k — one dispatch.
+So the postings live in HBM (``p_pos`` dense doc slots + ``p_w`` idf-less
+per-posting contributions, precomputed at sync) and a query ships only its
+terms' CSR intervals, pre-split on host into ``CHUNK``-aligned slices —
+a few hundred bytes.
+
+Per-op cost model (measured on v5e at 262k selected postings):
+- elementwise flat gather of (pos, w): 5.7 ms → a vmap'd
+  ``dynamic_slice`` over CHUNK-aligned starts: 1.6 ms (XLA lowers it to
+  per-chunk DMAs instead of per-element fetches). Chunks never straddle
+  interval boundaries (host pads each interval's plan to CHUNK multiples),
+  so a chunk is one contiguous DMA with a live-prefix mask.
+- per-posting kind + validity lookups were TWO random [N]-table gathers at
+  ~3.1 ms each → ONE packed int32 table (``slot_meta``: the kind id for a
+  live slot, ``DEAD_SLOT`` otherwise; deletes scatter the sentinel).
+- the associative_scan segmented sum (~10 ms) → run totals via shifted
+  compare-adds: a doc slot appears at most once per (term × segment) CSR
+  interval, so run lengths after the sort are bounded by the ORIGINAL
+  interval count (static ``imax``), and ``imax-1`` shifted passes are exact.
 
 Replaces tantivy's per-query segment walk (fts/tantivy_store.rs:394-458)
-with the TPU-shaped equivalent of SURVEY §2.1 item 4 (CSR gather +
-segmented-sum). Interval counts and block lengths are pow2-bucketed by the
-caller so XLA compiles O(log) program shapes.
+with the TPU-shaped equivalent of SURVEY §2.1 item 4. Chunk counts are
+pow2-bucketed by the caller so XLA compiles O(log) program shapes.
 """
 
 from __future__ import annotations
@@ -23,61 +34,55 @@ import jax
 import jax.numpy as jnp
 
 KIND_BOOST = 3.0
+CHUNK = 1024            # slice-gather granularity (measured sweet spot)
+DEAD_SLOT = -(1 << 20)  # slot_meta sentinel: tombstoned or padding slot
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ptot"))
+@functools.partial(jax.jit, static_argnames=("k", "imax"))
 def bm25_resident_topk(
     p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → doc slot
     p_w: jax.Array,        # [P] f32 — RESIDENT: (k1+1)·tf/(tf+K) per posting
-    kind_ids: jax.Array,   # [N] i32 — RESIDENT: per-slot kind id
-    doc_valid: jax.Array,  # [N] bool — RESIDENT: slot liveness (deletes are
-                           # a scatter here, never a postings re-upload)
-    lo: jax.Array,         # [I] i32 — interval starts into p_pos (pad: 0)
-    ln: jax.Array,         # [I] i32 — interval lengths (pad: 0)
-    idf: jax.Array,        # [I] f32 — per-interval idf (pad: 0)
+    slot_meta: jax.Array,  # [N] i32 — RESIDENT: kind id | DEAD_SLOT
+    cstart: jax.Array,     # [C] i32 — chunk starts into p_pos (pad: 0)
+    clen: jax.Array,       # [C] i32 — live prefix length ≤ CHUNK (pad: 0)
+    cidf: jax.Array,       # [C] f32 — per-chunk idf (pad: 0)
     boost_kid: jax.Array,  # scalar i32 — kind id to boost ×3 (-1: none)
     k: int,
-    ptot: int,             # static pow2 bucket ≥ total selected postings
+    imax: int,             # static bound on original interval count
 ) -> tuple[jax.Array, jax.Array]:
-    """Sort + segmented-scan accumulation — NO scatter. XLA's TPU scatter
-    serializes (~23M updates/s measured: 45 ms for a 1M-posting query);
-    sort_key_val + a segmented-sum scan + top_k does the same reduction in
-    a few ms, entirely on MXU/VPU-friendly primitives. The gather plan is
-    FLAT: slot j maps to its interval via searchsorted over the interval
-    cumsum, so work scales with the query's ACTUAL posting count (pow2-
-    bucketed once), not intervals × max-interval padding. Only candidate
-    docs are materialized — never an [N]-dense vector."""
-    n = kind_ids.shape[0]
-    p = p_pos.shape[0]
-    ends = jnp.cumsum(ln)                                      # [I]
-    starts = ends - ln
-    total = ends[-1]
-    j = jnp.arange(ptot, dtype=jnp.int32)
-    iid = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
-    iid = jnp.clip(iid, 0, lo.shape[0] - 1)
-    live = j < total
-    idx = jnp.clip(lo[iid] + (j - starts[iid]), 0, p - 1)
-    pos = jnp.where(live, p_pos[idx], n)                       # n sorts last
-    w = jnp.where(live, p_w[idx] * idf[iid], 0.0)
+    """One dispatch: chunk DMA-gather → idf apply → sort by slot → bounded
+    shifted-add run reduction → kind boost + liveness mask → top-k. Only
+    candidate postings are materialized — never an [N]-dense vector."""
+    n = slot_meta.shape[0]
+    c = cstart.shape[0]
+    pos2 = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(p_pos, (s,), (CHUNK,))
+    )(cstart)                                                  # [C, CHUNK]
+    w2 = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(p_w, (s,), (CHUNK,))
+    )(cstart)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 1)
+    live = j < clen[:, None]
+    pos = jnp.where(live, pos2, n).reshape(-1)                 # n sorts last
+    w = jnp.where(live, w2 * cidf[:, None], 0.0).reshape(-1)
     pos_s, w_s = jax.lax.sort_key_val(pos, w)
     neq = pos_s[1:] != pos_s[:-1]
-    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
 
-    # segmented inclusive-sum scan: runs of equal pos accumulate, flags
-    # reset the carry at run starts (exact within each run — no global
-    # cumsum cancellation)
-    def comb(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va + vb), fa | fb
+    # segmented sum over runs of equal pos: run lengths ≤ imax (a slot
+    # appears at most once per original interval), so imax-1 shifted
+    # compare-adds accumulate each run total exactly at its run end
+    totals = w_s
+    for s in range(1, imax):
+        same = jnp.concatenate(
+            [jnp.zeros((s,), bool), pos_s[s:] == pos_s[:-s]]
+        )
+        shifted_w = jnp.concatenate([jnp.zeros((s,), w_s.dtype), w_s[:-s]])
+        totals = totals + jnp.where(same, shifted_w, 0.0)
 
-    totals, _ = jax.lax.associative_scan(comb, (w_s, is_start))
-    boost = jnp.where(
-        kind_ids[jnp.clip(pos_s, 0, max(n - 1, 0))] == boost_kid,
-        jnp.float32(KIND_BOOST), 1.0,
-    )
-    alive = doc_valid[jnp.clip(pos_s, 0, max(n - 1, 0))]
+    meta = slot_meta[jnp.clip(pos_s, 0, max(n - 1, 0))]        # ONE gather
+    boost = jnp.where(meta == boost_kid, jnp.float32(KIND_BOOST), 1.0)
+    alive = meta != DEAD_SLOT
     runs = jnp.where(is_end & (pos_s < n) & alive, totals * boost, -jnp.inf)
     vals, ridx = jax.lax.top_k(runs, min(k, runs.shape[0]))
     return vals, pos_s[ridx].astype(jnp.int32)

@@ -50,7 +50,7 @@ def hash_embed_search_int8(
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax"))
 def hash_embed_hybrid_search(
     table: jax.Array,      # [V, d] hash-embedder table
     ids: jax.Array,        # [Q, T] query-variant feature ids
@@ -60,14 +60,13 @@ def hash_embed_hybrid_search(
     kv: int,               # vector top-k
     p_pos: jax.Array,      # [P] i32 — RESIDENT posting → doc slot
     p_w: jax.Array,        # [P] f32 — RESIDENT idf-less contributions
-    kind_ids: jax.Array,   # [M] i32 — FTS per-slot kind ids
-    doc_valid: jax.Array,  # [M] bool — FTS slot liveness
-    lo: jax.Array,         # [I] i32 — query term intervals into p_pos
-    ln: jax.Array,         # [I] i32
-    idf: jax.Array,        # [I] f32
+    slot_meta: jax.Array,  # [M] i32 — FTS packed kind|liveness per slot
+    cstart: jax.Array,     # [C] i32 — query chunk starts into p_pos
+    clen: jax.Array,       # [C] i32 — live prefix per chunk
+    cidf: jax.Array,       # [C] f32 — per-chunk idf
     boost_kid: jax.Array,  # scalar i32 (-1: no boost)
     kb: int,               # BM25 top-k
-    ptot: int,             # static pow2 budget for selected postings
+    imax: int,             # static run-length bound (original intervals)
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query: variant embedding + exact vector top-k + resident-
     postings BM25 top-k fused into ONE dispatch — the host→device transfer
@@ -84,12 +83,12 @@ def hash_embed_hybrid_search(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax"))
 def hash_embed_hybrid_search_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -100,14 +99,13 @@ def hash_embed_hybrid_search_int8(
     kv: int,
     p_pos: jax.Array,
     p_w: jax.Array,
-    kind_ids: jax.Array,
-    doc_valid: jax.Array,
-    lo: jax.Array,
-    ln: jax.Array,
-    idf: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
-    ptot: int,
+    imax: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from .bm25 import bm25_resident_topk
@@ -116,6 +114,6 @@ def hash_embed_hybrid_search_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
     )
     return v_vals, v_idx, b_vals, b_idx

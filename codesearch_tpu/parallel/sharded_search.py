@@ -176,7 +176,7 @@ def sharded_hash_embed_search(
     )(table, ids, weights, corpus, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot", "mesh"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax", "mesh"))
 def sharded_hash_embed_hybrid(
     table: jax.Array,      # [V, d] replicated
     ids: jax.Array,        # [Q, T] replicated
@@ -186,14 +186,13 @@ def sharded_hash_embed_hybrid(
     kv: int,
     p_pos: jax.Array,      # FTS resident postings, replicated over the mesh
     p_w: jax.Array,
-    kind_ids: jax.Array,
-    doc_valid: jax.Array,
-    lo: jax.Array,
-    ln: jax.Array,
-    idf: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
-    ptot: int,
+    imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip fused hybrid: the sharded vector top-k (local + all_gather
@@ -217,12 +216,12 @@ def sharded_hash_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "ptot", "mesh"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax", "mesh"))
 def sharded_hash_embed_hybrid_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -233,14 +232,13 @@ def sharded_hash_embed_hybrid_int8(
     kv: int,
     p_pos: jax.Array,
     p_w: jax.Array,
-    kind_ids: jax.Array,
-    doc_valid: jax.Array,
-    lo: jax.Array,
-    ln: jax.Array,
-    idf: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
-    ptot: int,
+    imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
@@ -259,7 +257,7 @@ def sharded_hash_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, kind_ids, doc_valid, lo, ln, idf, boost_kid, kb, ptot
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 

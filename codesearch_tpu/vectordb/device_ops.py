@@ -132,3 +132,21 @@ def invalidate_rows(valid, row_indices: list[int], capacity: int):
     idx = np.full(npad, capacity, np.int32)
     idx[: len(row_indices)] = row_indices
     return _invalidate_fn()(valid, jnp.asarray(idx))
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_fill_fn(fill):
+    def f(arr, idx):
+        return arr.at[idx].set(fill, mode="drop")
+
+    donate = (0,) if _donate() else ()
+    return jax.jit(f, donate_argnums=donate)
+
+
+def scatter_fill(arr, row_indices: list[int], capacity: int, fill):
+    """Scatter a constant into rows on device (donated). Index list pads to
+    a power of two with ``capacity`` (out of range → dropped)."""
+    npad = pow2(max(len(row_indices), 1))
+    idx = np.full(npad, capacity, np.int32)
+    idx[: len(row_indices)] = row_indices
+    return _scatter_fill_fn(fill)(arr, jnp.asarray(idx))

@@ -751,7 +751,7 @@ class VectorStore:
             hash_embed_hybrid_search_int8,
         )
 
-        fts_dev, lo, ln, idf, kid, kb, ptot = bm_args
+        fts_dev, cs, cl, ci, kid, kb, imax = bm_args
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
             if n_valid == 0:
@@ -769,33 +769,33 @@ class VectorStore:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid_int8(
                         table, jnp.asarray(ids), jnp.asarray(weights),
                         dev[1], dev[2], dev[3], kv,
-                        fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
-                        jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                        jnp.int32(kid), kb, ptot, mesh,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.int32(kid), kb, imax, mesh,
                     )
                 else:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid(
                         table, jnp.asarray(ids), jnp.asarray(weights),
                         dev[1], dev[3], kv,
-                        fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
-                        jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                        jnp.int32(kid), kb, ptot, mesh,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.int32(kid), kb, imax, mesh,
                     )
             elif dev[0] == "int8":
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[2], dev[3], kv,
-                    fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
-                    jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                    jnp.int32(kid), kb, ptot,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.int32(kid), kb, imax,
                 )
             else:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
                     table, jnp.asarray(ids), jnp.asarray(weights),
                     dev[1], dev[3], kv,
-                    fts_dev[0], fts_dev[1], fts_dev[2], fts_dev[3],
-                    jnp.asarray(lo), jnp.asarray(ln), jnp.asarray(idf),
-                    jnp.int32(kid), kb, ptot,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.int32(kid), kb, imax,
                 )
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
         return self._materialize(vv, vi), bv, bi
