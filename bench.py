@@ -91,8 +91,10 @@ def bench_product(n_rows: int) -> dict:
                 hash=c.hash, language="Python",
             ) for c in chunks]
             ids = store.insert_chunks_with_ids(embs, metas)
-            for cid, m in zip(ids, metas):
-                fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+            fts.add_chunks([
+                (cid, m.content, m.path, m.signature, m.kind)
+                for cid, m in zip(ids, metas)
+            ])
             done += n
             if done % 65536 == 0:
                 fts.commit()

@@ -279,8 +279,10 @@ class IndexManager:
                 for e in embedded
             ]
             ids = self.stores.store.insert_chunks_with_ids(embs, metas)
-            for cid, m in zip(ids, metas):
-                self.stores.fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+            self.stores.fts.add_chunks([
+                (cid, m.content, m.path, m.signature, m.kind)
+                for cid, m in zip(ids, metas)
+            ])
             fm.update_file(path, ids, check.sha256)
         else:
             fm.update_file(path, [], check.sha256)

@@ -359,8 +359,10 @@ def index(
             ]
             ids = store.insert_chunks_with_ids(embs, metas)
             try:
-                for cid, m in zip(ids, metas):
-                    fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+                fts.add_chunks([
+                    (cid, m.content, m.path, m.signature, m.kind)
+                    for cid, m in zip(ids, metas)
+                ])
                 since_commit += len(ids)
                 if since_commit >= FTS_COMMIT_EVERY:
                     fts.commit()

@@ -91,15 +91,10 @@ def _featurize_py(text: str) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ids, np.int64), np.asarray(ws, np.float32)
 
 
-def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.ndarray]:
-    """(bucket_ids [T], weights [T]); native C++ path when available."""
-    from ..native import featurize_native
-
-    result = featurize_native(text) if featurize_native is not None else None
-    if result is not None:
-        ids, ws = result
-    else:
-        ids, ws = _featurize_py(text)
+def _cap_features(
+    ids: np.ndarray, ws: np.ndarray, max_tokens: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Empty/overflow handling shared by the per-text and batch paths."""
     if ids.size == 0:
         return np.zeros(1, np.int32), np.zeros(1, np.float32)
     if ids.size > max_tokens:
@@ -111,11 +106,30 @@ def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.n
     return ids.astype(np.int32), ws
 
 
+def featurize(text: str, max_tokens: int = MAX_TOKENS) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket_ids [T], weights [T]); native C++ path when available."""
+    from ..native import featurize_native
+
+    result = featurize_native(text) if featurize_native is not None else None
+    if result is None:
+        result = _featurize_py(text)
+    return _cap_features(*result, max_tokens)
+
+
 def batch_features(
     texts: list[str], max_tokens: int = MAX_TOKENS
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Pad a batch of featurized texts to [B, T] ids + weights (0-weight pad)."""
-    pairs = [featurize(t, max_tokens) for t in texts]
+    """Pad a batch of featurized texts to [B, T] ids + weights (0-weight pad).
+    One native call featurizes the whole slab when available (amortizes
+    per-text ctypes marshaling — the indexing write plane's hot loop)."""
+    from ..native import featurize_batch_native, featurize_native
+
+    raw = (featurize_batch_native(texts)
+           if featurize_native is not None and texts else None)
+    if raw is not None:
+        pairs = [_cap_features(i, w, max_tokens) for i, w in raw]
+    else:
+        pairs = [featurize(t, max_tokens) for t in texts]
     t_max = max((len(i) for i, _ in pairs), default=1)
     # round up so XLA sees few distinct shapes (avoids recompile storms)
     t_max = 1 << max(4, (t_max - 1).bit_length())

@@ -70,6 +70,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
             ]
+            lib.cs_featurize_batch.restype = ctypes.c_long
+            lib.cs_featurize_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+            ]
             _lib = lib
             log.info("native tier loaded: %s", so)
         except Exception as e:
@@ -131,6 +138,47 @@ def token_hashes_native(text: str, buckets: int = 0) -> np.ndarray | None:
     if n < 0:
         return None
     return ids[:n].copy()
+
+
+def featurize_batch_native(
+    texts: list[str],
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """Featurize a slab of texts in ONE native call (byte-identical per-text
+    results to featurize_native; amortizes ctypes marshaling)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..models.hash_embedder import VOCAB_BUCKETS
+
+    raws = [t.encode("utf-8", errors="replace") for t in texts]
+    offs = np.zeros(len(raws) + 1, dtype=np.int64 if ctypes.sizeof(
+        ctypes.c_long) == 8 else np.int32)
+    total = 0
+    for i, r in enumerate(raws):
+        total += len(r)
+        offs[i + 1] = total
+    buf = b"".join(raws)
+    cap = 2 * total + 16 * max(len(raws), 1)
+    ids = np.empty(cap, np.int64)
+    ws = np.empty(cap, np.float64)
+    counts = np.zeros(len(raws), offs.dtype)
+    n = lib.cs_featurize_batch(
+        buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(raws),
+        VOCAB_BUCKETS,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if n < 0:
+        return None
+    out = []
+    pos = 0
+    for c in counts:
+        c = int(c)
+        out.append((ids[pos:pos + c].copy(), ws[pos:pos + c].astype(np.float32)))
+        pos += c
+    return out
 
 
 def is_available() -> bool:

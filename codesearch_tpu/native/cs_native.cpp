@@ -354,6 +354,26 @@ long cs_featurize(const char* text, long n, int64_t buckets,
   return o;
 }
 
+// Batch featurize: one call for a whole slab of texts (concatenated buffer
+// + offsets[n_texts+1]), amortizing the per-call ctypes marshaling that
+// dominates per-text invocation at indexing rates. Per-text results are
+// byte-identical to cs_featurize; counts_out[t] holds text t's feature
+// count and results pack contiguously into ids_out/w_out. Returns the
+// total count, or -1 if max_out is too small.
+long cs_featurize_batch(const char* buf, const long* offsets, long n_texts,
+                        int64_t buckets, int64_t* ids_out, double* w_out,
+                        long max_out, long* counts_out) {
+  long pos = 0;
+  for (long t = 0; t < n_texts; ++t) {
+    long m = cs_featurize(buf + offsets[t], offsets[t + 1] - offsets[t],
+                          buckets, ids_out + pos, w_out + pos, max_out - pos);
+    if (m < 0) return -1;
+    counts_out[t] = m;
+    pos += m;
+  }
+  return pos;
+}
+
 // Raw token bucket-id stream (order preserved, duplicates included) for FTS
 // term-frequency counting. Returns count, or -1 if max_out too small.
 long cs_token_hashes(const char* text, long n, int64_t buckets,

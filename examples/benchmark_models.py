@@ -105,8 +105,10 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
         fts = None
         if hybrid:
             fts = FtsStore(Path(tempfile.mkdtemp()) / "fts")
-            for cid, m in zip(ids, metas):
-                fts.add_chunk(cid, m.content, m.path, m.signature, m.kind)
+            fts.add_chunks([
+                (cid, m.content, m.path, m.signature, m.kind)
+                for cid, m in zip(ids, metas)
+            ])
             fts.commit()
 
         def _search(query, limit=3):

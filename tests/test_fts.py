@@ -245,6 +245,41 @@ class TestSegments:
         assert s2.search("beta")[0].chunk_id == 9
 
 
+class TestBatchIngest:
+    def test_add_chunks_matches_add_chunk(self, tmp_path):
+        """The vectorized slab path must be posting-identical to the
+        per-row path: same scores, same exact-match results."""
+        rows = []
+        for i in range(60):
+            rows.append((i, f"alpha beta_{i % 7} gamma {'extra ' * (i % 3)}",
+                         f"f{i}.rs", f"fn beta_{i % 7}()" if i % 2 else None,
+                         "Function" if i % 2 else "Struct"))
+        a = FtsStore(tmp_path / "a")
+        for r in rows:
+            a.add_chunk(*r)
+        a.commit()
+        b = FtsStore(tmp_path / "b")
+        b.add_chunks(rows)
+        b.commit()
+        assert a.stats()["postings"] == b.stats()["postings"]
+        for q in ("alpha gamma", "beta_3", "extra alpha"):
+            ra = [(r.chunk_id, round(r.score, 6)) for r in a.search(q)]
+            rb = [(r.chunk_id, round(r.score, 6)) for r in b.search(q)]
+            assert ra == rb
+        ea = [(r.chunk_id, r.score) for r in a.search_exact("beta_3")]
+        eb = [(r.chunk_id, r.score) for r in b.search_exact("beta_3")]
+        assert ea == eb
+
+    def test_add_chunks_replaces_existing(self, tmp_path):
+        s = FtsStore(tmp_path / "fts")
+        s.add_chunk(1, "old content here", "a.rs")
+        s.add_chunks([(1, "new content here", "a.rs", None, "")])
+        s.commit()
+        assert len(s) == 1
+        assert s.search("new")[0].chunk_id == 1
+        assert s.search("old") == []
+
+
 class TestCrashRecovery:
     """The manifest rename is the single commit point: anything written
     after it (doclog bytes, segment files) must be invisible/pruned on the

@@ -114,6 +114,30 @@ class TestFeaturizeParity:
             np.testing.assert_array_equal(ws_n, ws_p, err_msg=str(f))
 
 
+class TestFeaturizeBatchParity:
+    def test_batch_matches_per_text(self):
+        got = native.featurize_batch_native(list(FEAT_CASES))
+        assert got is not None and len(got) == len(FEAT_CASES)
+        for text, (ids_b, ws_b) in zip(FEAT_CASES, got):
+            ids_1, ws_1 = native.featurize_native(text)
+            np.testing.assert_array_equal(ids_b, ids_1, err_msg=repr(text))
+            np.testing.assert_array_equal(ws_b, ws_1, err_msg=repr(text))
+
+    def test_batch_features_padded_parity(self):
+        """batch_features must be identical with and without the batched
+        native path (the query/index planes both consume it)."""
+        import codesearch_tpu.models.hash_embedder as he
+
+        texts = list(FEAT_CASES) + ["def f(x): return x + 1"]
+        ids_b, ws_b = he.batch_features(texts)
+        pairs = [he.featurize(t) for t in texts]
+        t_max = ids_b.shape[1]
+        for row, (i, w) in enumerate(pairs):
+            m = min(len(i), t_max)
+            np.testing.assert_array_equal(ids_b[row, :m], i[:m])
+            np.testing.assert_array_equal(ws_b[row, :m], w[:m])
+
+
 class TestTokenHashParity:
     @pytest.mark.parametrize("text", FEAT_CASES)
     def test_cases(self, text):
