@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--scores", action="store_true", help="show stage timings")
     s.add_argument("--sync", action="store_true", help="incremental refresh before searching")
     s.add_argument("--no-expand", action="store_true", help="disable query expansion")
+    s.add_argument("--files-only", action="store_true",
+                   help="print matching file paths only (like grep -l)")
+    s.add_argument("--max-per-file", type=int, default=None,
+                   help="max results shown per file")
+    s.add_argument("--rrf-k", type=float, default=None,
+                   help="fixed RRF k for fusion (default: adaptive)")
+    s.add_argument("--rerank-top", type=int, default=None,
+                   help="number of top results to rerank (default 100)")
     # parity: the reference auto-creates a missing index on first search
     # (search/mod.rs:413-435); --no-create-index opts out
     s.add_argument("--create-index", dest="create_index", action="store_true",
@@ -81,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[add|remove|list] [path] — registry subcommands, "
                         "or just a path to index")
     i.add_argument("--force", "-f", action="store_true", help="full rebuild")
+    i.add_argument("--dry-run", action="store_true",
+                   help="show what would be indexed without indexing")
     i.add_argument("--register", action="store_true", help="add repo to the global registry")
     i.add_argument("--int8", action="store_true",
                    help="int8-quantized device corpus (halves HBM; ~same ranking)")
@@ -219,9 +229,18 @@ def _cmd_search(args) -> int:
         sync=args.sync,
         create_index=args.create_index,
         no_expand=args.no_expand,
+        rrf_k=args.rrf_k,
+        rerank_top=args.rerank_top,
+        per_file=args.max_per_file,
     )
     resp = search(args.query, args.path, options)
-    if args.json_out:
+    if args.files_only:
+        seen = set()
+        for h in resp.hits:
+            if h.path not in seen:
+                result_print(h.path)
+                seen.add(h.path)
+    elif args.json_out:
         result_print(json.dumps(_response_json(resp, args.scores), indent=2))
     elif args.compact:
         for h in resp.hits:
@@ -323,8 +342,11 @@ def _cmd_index(args) -> int:
             store_path=args.store,
             int8=args.int8,
             global_db=args.global_db,
+            dry_run=args.dry_run,
         ),
     )
+    if args.dry_run:
+        return 0
     if args.register:
         register_repo(Path(path).resolve())
     info_print(

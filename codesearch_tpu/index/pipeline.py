@@ -60,6 +60,7 @@ class IndexOptions:
     store_path: Path | None = None  # explicit db location override
     int8: bool = False              # quantized device corpus (halves HBM)
     global_db: bool = False         # place db under ~/.codesearch/dbs/
+    dry_run: bool = False           # preview what would be indexed, no writes
 
 
 @dataclass
@@ -229,7 +230,8 @@ def index(
     )
     stats = IndexStats(db_path=db_path, int8=options.int8)
 
-    if options.force and db_path.exists() and stores is None:
+    if options.force and db_path.exists() and stores is None \
+            and not options.dry_run:
         info_print(f"force rebuild: deleting {db_path}")
         shutil.rmtree(db_path, ignore_errors=True)
 
@@ -243,7 +245,8 @@ def index(
     # queries: force full invalidation (like a model change)
     from ..utils.constants import EMBEDDER_VERSION
 
-    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION:
+    if meta and meta.get("embedder_version", 1) != EMBEDDER_VERSION \
+            and not options.dry_run:
         info_print(
             f"embedder version changed "
             f"(v{meta.get('embedder_version', 1)} → v{EMBEDDER_VERSION}): full rebuild"
@@ -254,6 +257,27 @@ def index(
             # live-store refresh path (servers): clear in place instead
             invalidate_for_embedder_version(db_path, service, stores)
         meta = {}
+
+    if options.dry_run:
+        # preview (index/mod.rs --dry-run): walk + diff, no writes
+        files, walk_stats = FileWalker(root).walk()
+        stats.files_walked = len(files)
+        fm = FileMetaStore.load_or_create(db_path, service.model_name)
+        for f in files:
+            if fm.check_file(f.path).changed:
+                stats.files_indexed += 1
+                info_print(f"  would index: {f.path}")
+            else:
+                stats.files_unchanged += 1
+        deleted = fm.find_deleted_files({str(f.path) for f in files})
+        for dpath in deleted:
+            stats.files_deleted += 1
+            info_print(f"  would remove: {dpath}")
+        info_print(
+            f"dry run: {stats.files_indexed} to index, "
+            f"{stats.files_unchanged} unchanged, {stats.files_deleted} deleted"
+        )
+        return stats
 
     db_path.mkdir(parents=True, exist_ok=True)
     ensure_db_ignored(root)

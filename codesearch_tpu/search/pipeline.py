@@ -56,6 +56,9 @@ class SearchOptions:
     # parity: the reference auto-creates a missing index (search/mod.rs:413-435)
     create_index: bool = True
     no_expand: bool = False
+    rrf_k: float | None = None      # fixed RRF k override (search/mod.rs:640)
+    rerank_top: int | None = None   # candidates to rerank (search/mod.rs:712)
+    per_file: int | None = None     # max hits per file (search/mod.rs:1007)
 
 
 @dataclass
@@ -144,7 +147,7 @@ class SearchSession:
     def _cache_key(self, query: str, o: SearchOptions) -> tuple:
         return (
             query, o.limit, o.mode, o.rerank, o.path_filter, o.min_score,
-            o.no_expand,
+            o.no_expand, o.rrf_k, o.rerank_top, o.per_file,
             self.store.mutation_count, self.fts.mutation_count,
         )
 
@@ -171,7 +174,10 @@ class SearchSession:
 
         identifiers = detect_identifiers(query)
         intent = detect_structural_intent(query)
-        vector_k, fts_k = adapt_rrf_k(query)
+        if options.rrf_k is not None:
+            vector_k = fts_k = float(options.rrf_k)
+        else:
+            vector_k, fts_k = adapt_rrf_k(query)
         variants = [query] if options.no_expand else expand_query(query)
 
         # ---- embed + search all variants -------------------------------
@@ -302,7 +308,7 @@ class SearchSession:
             if self.reranker is None:
                 self.reranker = NeuralReranker()
             rerank_mode = self.reranker.model.mode
-            cands = hits[: max(100, options.limit)]
+            cands = hits[: options.rerank_top or max(100, options.limit)]
             reranked = self.reranker.rerank_and_blend(
                 query,
                 [(h.chunk_id, h.signature or h.content[:512]) for h in cands],
@@ -322,6 +328,15 @@ class SearchSession:
 
         if options.min_score is not None:
             hits = [h for h in hits if h.score >= options.min_score]
+        if options.per_file is not None and options.per_file > 0:
+            seen_per_file: dict[str, int] = {}
+            capped = []
+            for h in hits:
+                c = seen_per_file.get(h.path, 0)
+                if c < options.per_file:
+                    capped.append(h)
+                    seen_per_file[h.path] = c + 1
+            hits = capped
         hits = hits[: options.limit]
         timings["total"] = (time.time() - t_all) * 1000
         resp = SearchResponse(

@@ -42,6 +42,20 @@ class TestCliFlow:
         assert "timings_ms" in payload
         assert payload["results"][0]["start_line"] >= 1  # 1-based for display
 
+    def test_search_files_only(self, cli_repo, capsys):
+        main(["--quiet", "index", "."])
+        capsys.readouterr()
+        assert main(["search", "parse_config", ".", "--files-only"]) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert lines and len(lines) == len(set(lines))   # unique paths only
+        assert all(":" not in ln for ln in lines)        # bare paths
+
+    def test_index_dry_run(self, cli_repo, capsys):
+        assert main(["index", ".", "--dry-run"]) == 0
+        out = capsys.readouterr()
+        assert "would index" in out.err or "dry run" in out.err
+        assert not (cli_repo / ".codesearch.db").exists()
+
     def test_search_no_index_errors(self, tmp_path, monkeypatch, capsys):
         # search auto-creates by default (ref parity); --no-create-index
         # restores the hard error

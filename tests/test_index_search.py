@@ -273,6 +273,30 @@ class TestSearchPipeline:
         session.search("parse_config", opts)
         assert session.resp_cache_misses >= 2
 
+    def test_per_file_cap(self, indexed_repo):
+        repo, _ = indexed_repo
+        resp = search("config", repo, SearchOptions(limit=10, per_file=1))
+        paths = [h.path for h in resp.hits]
+        assert len(paths) == len(set(paths))   # at most one hit per file
+
+    def test_rrf_k_override_changes_fusion(self, indexed_repo):
+        repo, _ = indexed_repo
+        a = search("parse_config", repo, SearchOptions(limit=5))
+        b = search("parse_config", repo, SearchOptions(limit=5, rrf_k=60.0))
+        assert b.hits  # same corpus, different fusion constant still works
+        assert a.hits[0].score != b.hits[0].score
+
+    def test_index_dry_run_writes_nothing(self, tmp_path):
+        from codesearch_tpu.index import IndexOptions, index
+
+        (tmp_path / "a.py").write_text("def f(x):\n    return x\n")
+        stats = index(tmp_path, IndexOptions(quiet=True, dry_run=True))
+        assert stats.files_indexed == 1
+        assert not (tmp_path / ".codesearch.db").exists()
+        # a real run afterwards indexes normally
+        stats2 = index(tmp_path, IndexOptions(quiet=True))
+        assert stats2.chunks_added > 0
+
     def test_different_options_not_conflated(self, indexed_repo):
         repo, _ = indexed_repo
         session = SearchSession(repo / ".codesearch.db")
