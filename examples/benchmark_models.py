@@ -49,6 +49,7 @@ FALSE_POSITIVE_QUERY = "kubernetes deployment yaml"
 
 def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
                   hybrid: bool = False, exclude: list[str] | None = None):
+    corpus = corpus.resolve()
     import numpy as np
 
     from codesearch_tpu.chunker import SemanticChunker

@@ -15,7 +15,7 @@ import numpy as np
 
 
 def main() -> int:
-    corpus = Path(sys.argv[1] if len(sys.argv) > 1 else "codesearch_tpu")
+    corpus = Path(sys.argv[1] if len(sys.argv) > 1 else "codesearch_tpu").resolve()
     from codesearch_tpu.chunker import SemanticChunker
     from codesearch_tpu.embed import EmbeddingService
     from codesearch_tpu.fileio import FileWalker

@@ -18,7 +18,7 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    corpus = Path(args[0] if args else "codesearch_tpu")
+    corpus = Path(args[0] if args else "codesearch_tpu").resolve()
 
     from codesearch_tpu.chunker import SemanticChunker
     from codesearch_tpu.embed.service import prepare_text
