@@ -233,6 +233,9 @@ def _cmd_search(args) -> int:
         rerank_top=args.rerank_top,
         per_file=args.max_per_file,
     )
+    if args.files_only and (args.json_out or args.compact):
+        error_print("--files-only cannot combine with --json/--compact")
+        return 1
     resp = search(args.query, args.path, options)
     if args.files_only:
         seen = set()

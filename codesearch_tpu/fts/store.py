@@ -66,6 +66,10 @@ DEVICE_MIN_DOCS = 50_000   # below this, host bincount beats a dispatch
 # dominate gather cost — measured 3.1M of 3.3M selected postings at 1M docs
 # came from stopword-class terms ("the"/"return"/...).
 MAX_DF_RATIO = 0.4
+# device-path cap on (term x segment) intervals: the kernel's run reduction
+# is imax-1 shifted passes, so many-term/many-segment queries would compile
+# huge programs — beyond this the host path scores instead
+MAX_DEVICE_INTERVALS = 32
 
 
 def _to_i64(h: int) -> int:
@@ -874,11 +878,13 @@ class FtsStore:
             n = self._dnums_sorted.size
             if n == 0:
                 return []
+            args = None
             if n >= self.device_min_docs:
                 # device path: no host-side posting materialization at all
+                # (None → host fallback: nothing selected OR too many
+                # intervals for the kernel's bounded run reduction)
                 args = self.device_query_args(query, boost_kind, limit)
-                if args is None:
-                    return []
+            if args is not None:
                 top_scores, top_pos = self._score_device(args, limit)
             else:
                 keys = np.unique(term_keys(query))
@@ -958,7 +964,7 @@ class FtsStore:
                         clen.append(min(CHUNK, rln - off))
                         cidf.append(t_idf)
                         off += CHUNK
-            if not cstart:
+            if not cstart or n_intervals > MAX_DEVICE_INTERVALS:
                 return None
             cpad = max(_pow2(len(cstart)), 8)
             cs_a = np.zeros(cpad, np.int32)

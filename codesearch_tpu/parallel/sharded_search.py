@@ -96,12 +96,6 @@ def _local_topk_int8(q, c_q, scale, v, kk: int):
     return _select_topk(_local_scores_int8(q, c_q, scale, v), kk)
 
 
-def _merge_local_topk(scores: jax.Array, k: int, shard_rows: int):
-    """Legacy entry: local top-k over materialized scores + gather merge."""
-    kk = min(k, shard_rows)
-    return _gather_merge(*_select_topk(scores, kk), k, shard_rows)
-
-
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_cosine_topk(
     queries: jax.Array,   # [Q, d] replicated

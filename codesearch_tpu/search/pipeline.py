@@ -44,6 +44,51 @@ OVERSAMPLE = 3                   # fetch limit×3 for fusion headroom
 RESPONSE_CACHE_MAX = 128         # fused responses kept per session
 
 
+class ResponseCache:
+    """Small LRU for fused search responses, keyed on query/options plus
+    store mutation counters. Values are stored and returned as copies deep
+    enough that caller mutation (rescoring hits, annotating timings,
+    appending to context lists) cannot poison the cache. Shared by
+    SearchSession and the MCP service."""
+
+    def __init__(self, max_entries: int = RESPONSE_CACHE_MAX):
+        self._d: OrderedDict = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _copy(value):
+        if isinstance(value, SearchResponse):
+            return dataclasses.replace(
+                value,
+                hits=[dataclasses.replace(h, context=list(h.context))
+                      for h in value.hits],
+                timings_ms=dict(value.timings_ms),
+            )
+        if isinstance(value, dict):   # MCP result dicts
+            return {**value,
+                    "results": [{**r} for r in value.get("results", [])]}
+        return value
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return self._copy(v)
+
+    def put(self, key, value) -> None:
+        self._d[key] = self._copy(value)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 @dataclass
 class SearchOptions:
     limit: int = 10
@@ -127,9 +172,15 @@ class SearchSession:
         # store mutation counters (any index change invalidates). Extends the
         # reference's query-embedding cache (embed/cache.rs:142-244 — which
         # we also have) to the full read plane.
-        self._resp_cache: OrderedDict[tuple, SearchResponse] = OrderedDict()
-        self.resp_cache_hits = 0
-        self.resp_cache_misses = 0
+        self._resp_cache = ResponseCache()
+
+    @property
+    def resp_cache_hits(self) -> int:
+        return self._resp_cache.hits
+
+    @property
+    def resp_cache_misses(self) -> int:
+        return self._resp_cache.misses
 
     def search(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
         # optional xprof trace (SURVEY §5 tracing parity): set
@@ -159,15 +210,8 @@ class SearchSession:
         key = self._cache_key(query, options)
         cached = self._resp_cache.get(key)
         if cached is not None:
-            self._resp_cache.move_to_end(key)
-            self.resp_cache_hits += 1
-            # callers may resort/rescore hits — hand out copies
-            return dataclasses.replace(
-                cached,
-                hits=[dataclasses.replace(h) for h in cached.hits],
-                timings_ms={**cached.timings_ms, "cached": True},
-            )
-        self.resp_cache_misses += 1
+            cached.timings_ms["cached"] = True
+            return cached
 
         t_all = time.time()
         timings: dict[str, float] = {}
@@ -308,7 +352,10 @@ class SearchSession:
             if self.reranker is None:
                 self.reranker = NeuralReranker()
             rerank_mode = self.reranker.model.mode
-            cands = hits[: options.rerank_top or max(100, options.limit)]
+            n_rerank = (max(options.rerank_top, 0)
+                        if options.rerank_top is not None
+                        else max(100, options.limit))
+            cands = hits[:n_rerank]
             reranked = self.reranker.rerank_and_blend(
                 query,
                 [(h.chunk_id, h.signature or h.content[:512]) for h in cands],
@@ -348,11 +395,7 @@ class SearchSession:
             db_path=str(self.db_path),
             rerank_mode=rerank_mode,
         )
-        self._resp_cache[key] = dataclasses.replace(
-            resp, hits=[dataclasses.replace(h) for h in hits]
-        )
-        while len(self._resp_cache) > RESPONSE_CACHE_MAX:
-            self._resp_cache.popitem(last=False)
+        self._resp_cache.put(key, resp)
         return resp
 
 

@@ -183,10 +183,10 @@ class CodesearchService:
         self._metadata = read_metadata(db_path)
         # fused-response LRU keyed on store mutation counters: agents repeat
         # queries, and on a tunnel-attached chip even the single fused
-        # dispatch pays ~1 RTT (mirrors SearchSession._resp_cache)
-        from collections import OrderedDict
+        # dispatch pays ~1 RTT (same cache class as SearchSession)
+        from ..search.pipeline import ResponseCache
 
-        self._resp_cache: OrderedDict[tuple, dict] = OrderedDict()
+        self._resp_cache = ResponseCache()
 
     # ------------------------------------------------------------------
     # tools
@@ -206,8 +206,7 @@ class CodesearchService:
         )
         cached = self._resp_cache.get(cache_key)
         if cached is not None:
-            self._resp_cache.move_to_end(cache_key)
-            return {**cached, "results": [{**r} for r in cached["results"]]}
+            return cached
 
         import numpy as np
 
@@ -281,9 +280,7 @@ class CodesearchService:
                     item["content"] = meta.content
                 items.append(item)
         resp = {"query": query, "results": items, "total": len(items)}
-        self._resp_cache[cache_key] = {**resp, "results": [{**r} for r in items]}
-        while len(self._resp_cache) > 128:
-            self._resp_cache.popitem(last=False)
+        self._resp_cache.put(cache_key, resp)
         return resp
 
     def find_references(self, args: dict) -> dict:

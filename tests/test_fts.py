@@ -192,6 +192,28 @@ class TestSegments:
             assert d.score == pytest.approx(h.score, rel=1e-4)
         assert host[0].chunk_id == dev[0].chunk_id
 
+    def test_many_interval_query_falls_back_to_host(self, tmp_path, monkeypatch):
+        """Queries whose (term × segment) interval count exceeds the device
+        cap must still return results via the host path (the kernel's run
+        reduction is bounded by imax — such queries would compile huge
+        programs)."""
+        import codesearch_tpu.fts.store as fstore
+
+        s = FtsStore(tmp_path / "fts")
+        words = [f"kw{i}" for i in range(12)]
+        # many segments: commit per small batch so each term spans segments
+        for b in range(6):
+            for i in range(40):
+                cid = b * 40 + i
+                s.add_chunk(cid, " ".join(words), f"f{cid}.rs")
+            s.commit()
+        q = " ".join(words)
+        expected = s.search(q, limit=5)
+        monkeypatch.setattr(fstore, "MAX_DEVICE_INTERVALS", 2)
+        s.device_min_docs = 1
+        got = s.search(q, limit=5)   # device args refused → host scoring
+        assert [r.chunk_id for r in got] == [r.chunk_id for r in expected]
+
     def test_deletes_purged_at_merge(self, tmp_path):
         s = FtsStore(tmp_path / "fts")
         for i in range(100):
