@@ -153,9 +153,37 @@ def make_server(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
         manager = IndexManager(root, db, stores, service)
         manager.start_background(initial_refresh=True)
     state = ServerState(root, db, stores, service, manager)
+    _start_http_warmup(state)
     httpd = ThreadingHTTPServer((host, port), _make_handler(state))
     state._writer_lock = writer_lock  # keep alive
     return httpd, state
+
+
+def _start_http_warmup(state: ServerState, timeout_s: float = 600.0) -> None:
+    """Background first-dispatch warmup (see server/mcp.start_search_warmup):
+    pre-pays jit compile + the tunneled-TPU first-transfer init so the first
+    client /search doesn't stall on them."""
+    import threading
+
+    def _warm():
+        try:
+            import numpy as np
+
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                with state.stores.lock:
+                    n = len(state.stores.store)
+                if n:
+                    break
+                time.sleep(1.0)
+            qvec = state.service.embed_query("warmup parse config entry")
+            with state.stores.lock:
+                state.stores.store.search(np.asarray(qvec), 3)
+            log.info("search warmup complete")
+        except Exception:
+            log.exception("search warmup failed")
+
+    threading.Thread(target=_warm, daemon=True, name="search-warmup").start()
 
 
 def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878) -> int:

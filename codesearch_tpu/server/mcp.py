@@ -471,6 +471,31 @@ def make_placeholder_db(db_path: Path, service: EmbeddingService) -> None:
     write_metadata(db_path, service, _S())
 
 
+def start_search_warmup(svc: CodesearchService, timeout_s: float = 600.0) -> None:
+    """Fire one throwaway search in the background so the fused-dispatch
+    compile (~20-40s first time) and the tunneled-TPU first-transfer init
+    happen BEFORE the agent's first real query, not during it. Waits for
+    the initial refresh to populate the stores; failures only log."""
+    import threading
+    import time as _time
+
+    def _warm():
+        try:
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline:
+                with svc.stores.lock:
+                    n = len(svc.stores.store)
+                if n:
+                    break
+                _time.sleep(1.0)
+            svc.semantic_search({"query": "warmup parse config entry", "limit": 3})
+            log.info("search warmup complete")
+        except Exception:
+            log.exception("search warmup failed")
+
+    threading.Thread(target=_warm, daemon=True, name="search-warmup").start()
+
+
 def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
     project_path = Path(project_path).resolve()
     db = find_best_database(project_path)
@@ -515,6 +540,7 @@ def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
         manager = IndexManager(root, db, stores, service)
         manager.start_background(initial_refresh=True)
     svc = CodesearchService(root, db, stores, service, manager)
+    start_search_warmup(svc)
     try:
         return serve_stdio(svc)
     finally:
