@@ -59,7 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="search the codebase")
     s.add_argument("query")
     s.add_argument("path", nargs="?", default=".")
-    s.add_argument("--limit", "-n", type=int, default=10)
+    # parity: the reference CLI shows 25 results by default (cli/mod.rs:89);
+    # SearchOptions (library/MCP) stays at 10 like its SearchOptions default
+    s.add_argument("--limit", "-n", "-m", type=int, default=25)
     s.add_argument("--vector-only", action="store_true", help="skip BM25/hybrid fusion")
     s.add_argument("--rerank", action="store_true", help="neural cross-encoder rerank")
     s.add_argument("--filter", dest="path_filter", default=None, help="substring path filter")

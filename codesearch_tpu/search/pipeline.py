@@ -40,7 +40,6 @@ log = get_logger("search")
 EARLY_TERMINATION_SCORE = 0.85   # top-5 similarity (ref: distance < 0.15)
 LANGUAGE_BOOST = 1.2
 KIND_BOOST = 1.15
-OVERSAMPLE = 3                   # fetch limit×3 for fusion headroom
 RESPONSE_CACHE_MAX = 128         # fused responses kept per session
 
 
@@ -225,7 +224,15 @@ class SearchSession:
         variants = [query] if options.no_expand else expand_query(query)
 
         # ---- embed + search all variants -------------------------------
-        fetch = max(options.limit * OVERSAMPLE, options.limit)
+        # adaptive retrieval limit (search/mod.rs:490-502): semantic queries
+        # need a deep candidate pool for good RRF fusion; identifier queries
+        # lean on exact matching; vector-only returns directly
+        if options.mode == "vector":
+            fetch = options.limit
+        elif identifiers:
+            fetch = max(options.limit * 3, 100)
+        else:
+            fetch = max(options.limit * 5, 200)
         hash_backend = getattr(self.service.backend, "model", None)
         fused_fts: list | None = None   # BM25 results from the fused dispatch
         t = time.time()
