@@ -255,30 +255,51 @@ class SearchSession:
                 bm_args = self.fts.device_query_args(
                     query, intent.value if intent else None, fetch
                 )
+            raw = None
             if bm_args is not None:
-                per_variant, bv, bi = self.store.hybrid_search_featurized(
-                    hash_backend.table, ids, ws, fetch, bm_args
+                raw, bv, bi = self.store.hybrid_search_featurized(
+                    hash_backend.table, ids, ws, fetch, bm_args, raw=True
                 )
                 if bv is not None:
                     fused_fts = self.fts.results_from_device(bv, bi, fetch)
             else:
-                per_variant = self.store.search_featurized(
-                    hash_backend.table, ids, ws, fetch
+                raw = self.store.search_featurized(
+                    hash_backend.table, ids, ws, fetch, raw=True
                 )
+            # vectorized best-score-per-chunk across variants
+            # (search/mod.rs:513-590): at the reference's fusion depth
+            # (≤9 variants × 256 candidates) per-result Python objects cost
+            # milliseconds on one host core — keep it all in numpy
+            cids, scores = raw
+            flat_i = cids.ravel()
+            flat_s = scores.ravel().astype(np.float64)
+            keep = flat_i >= 0
+            flat_i, flat_s = flat_i[keep], flat_s[keep]
+            if flat_i.size:
+                order = np.lexsort((-flat_s, flat_i))
+                fi, fs = flat_i[order], flat_s[order]
+                first = np.ones(len(fi), bool)
+                first[1:] = fi[1:] != fi[:-1]
+                bi_, bs_ = fi[first], fs[first]
+                top = np.argsort(-bs_, kind="stable")[:fetch]
+                vector_ranked = list(zip(bi_[top].tolist(), bs_[top].tolist()))
+            else:
+                vector_ranked = []
+            meta_of = {}
         else:
             qvecs = np.stack(self.service.embed_queries_batch(variants))
             timings["embed"] = (time.time() - t) * 1000
             t = time.time()
             per_variant = self.store.search_batch(qvecs, fetch)
-        # best score per chunk across variants (search/mod.rs:513-590)
-        best: dict[int, float] = {}
-        meta_of = {}
-        for results in per_variant:
-            for r in results:
-                if r.chunk_id not in best or r.score > best[r.chunk_id]:
-                    best[r.chunk_id] = r.score
-                meta_of[r.chunk_id] = r.metadata
-        vector_ranked = sorted(best.items(), key=lambda kv: -kv[1])[:fetch]
+            # best score per chunk across variants (search/mod.rs:513-590)
+            best: dict[int, float] = {}
+            meta_of = {}
+            for results in per_variant:
+                for r in results:
+                    if r.chunk_id not in best or r.score > best[r.chunk_id]:
+                        best[r.chunk_id] = r.score
+                    meta_of[r.chunk_id] = r.metadata
+            vector_ranked = sorted(best.items(), key=lambda kv: -kv[1])[:fetch]
         timings["vector"] = (time.time() - t) * 1000
 
         # ---- early termination (search/mod.rs:595-621) -------------------

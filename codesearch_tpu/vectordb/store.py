@@ -154,6 +154,10 @@ class VectorStore:
         # monotone content-change counter: any insert/delete/clear bumps it,
         # so higher layers (response caches) can key on store freshness
         self.mutation_count = 0
+        # numpy mirror of _id_of for vectorized row→chunk-id mapping
+        # (appends extend it; compaction/clear rebinds _id_of → rebuild)
+        self._id_np = np.zeros(0, np.int64)
+        self._id_np_src: list | None = None
 
         if self.db_path.exists():
             self._load()
@@ -668,6 +672,37 @@ class VectorStore:
                 vals, idx = cosine_topk(q, dev[1], dev[3], k)
         return self._materialize(vals, idx)
 
+    def _id_array(self) -> np.ndarray:
+        lst = self._id_of
+        if self._id_np_src is not lst:
+            self._id_np = np.asarray(lst, np.int64)
+            self._id_np_src = lst
+        elif len(self._id_np) < len(lst):
+            self._id_np = np.concatenate(
+                [self._id_np, np.asarray(lst[len(self._id_np):], np.int64)]
+            )
+        return self._id_np
+
+    def rows_to_ids(self, vals, idx) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized raw result mapping: device (scores, row indices) →
+        (chunk_ids [V,k] int64 with -1 for dead/padding, scores [V,k] f32).
+        Skips per-result SearchResult materialization — at the reference's
+        fusion depth (≤9 variants × 256 candidates) the object churn costs
+        milliseconds per query on one host core."""
+        import jax
+
+        vals, idx = jax.device_get((vals, idx))
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        with self._lock:
+            id_map = self._id_array()
+        n = len(id_map)
+        if n == 0:
+            return np.full(idx.shape, -1, np.int64), vals
+        cids = id_map[np.clip(idx, 0, n - 1)]
+        bad = (idx >= n) | (idx < 0) | (vals < -1e29)
+        return np.where(bad, -1, cids), vals
+
     def _materialize(self, vals, idx) -> list[list[SearchResult]]:
         # one device→host transfer for both results (tunnel roundtrips are
         # the latency floor on remote-attached TPUs)
@@ -692,10 +727,13 @@ class VectorStore:
         return out
 
     def search_featurized(
-        self, table, ids: np.ndarray, weights: np.ndarray, limit: int
-    ) -> list[list[SearchResult]]:
+        self, table, ids: np.ndarray, weights: np.ndarray, limit: int,
+        raw: bool = False,
+    ):
         """Single-dispatch path for hash-model queries: featurized inputs →
-        embed+top-k in ONE device call (halves tunnel roundtrips)."""
+        embed+top-k in ONE device call (halves tunnel roundtrips). With
+        ``raw`` the result is ``rows_to_ids`` arrays instead of
+        materialized SearchResults."""
         import jax.numpy as jnp
 
         from ..ops.query_pipeline import hash_embed_search, hash_embed_search_int8
@@ -703,6 +741,9 @@ class VectorStore:
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
             if n_valid == 0:
+                if raw:
+                    shape = (ids.shape[0], 0)
+                    return np.zeros(shape, np.int64), np.zeros(shape, np.float32)
                 return [[] for _ in range(ids.shape[0])]
             dev = self._ensure_device()
             k = min(limit, max(1, n_valid))
@@ -731,16 +772,21 @@ class VectorStore:
                 vals, idx = hash_embed_search(
                     table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[3], k
                 )
+        if raw:
+            return self.rows_to_ids(vals, idx)
         return self._materialize(vals, idx)
 
     def hybrid_search_featurized(
-        self, table, ids: np.ndarray, weights: np.ndarray, limit: int, bm_args
+        self, table, ids: np.ndarray, weights: np.ndarray, limit: int, bm_args,
+        raw: bool = False,
     ):
         """THE fused read plane (single device): variant hash-embedding +
         exact vector top-k + BM25 scatter top-k in ONE dispatch
         (ops/query_pipeline.hash_embed_hybrid_search). Returns
         (per-variant vector results, bm25 scores, bm25 dense positions);
-        the FTS store maps the latter back to chunks.
+        the FTS store maps the latter back to chunks. With ``raw`` the
+        vector results are ``rows_to_ids`` arrays, skipping SearchResult
+        materialization.
 
         ``bm_args`` comes from FtsStore.device_query_args()."""
         import jax
@@ -755,6 +801,10 @@ class VectorStore:
         with self._lock:
             n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
             if n_valid == 0:
+                if raw:
+                    shape = (ids.shape[0], 0)
+                    return (np.zeros(shape, np.int64),
+                            np.zeros(shape, np.float32)), None, None
                 return [[] for _ in range(ids.shape[0])], None, None
             dev = self._ensure_device()
             kv = min(limit, max(1, n_valid))
@@ -798,6 +848,8 @@ class VectorStore:
                     jnp.int32(kid), kb, imax,
                 )
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
+        if raw:
+            return self.rows_to_ids(vv, vi), bv, bi
         return self._materialize(vv, vi), bv, bi
 
     def search(self, query_vec: np.ndarray, limit: int) -> list[SearchResult]:
