@@ -359,8 +359,13 @@ def _cmd_index(args) -> int:
         f"in {stats.elapsed_s:.1f}s — db: {stats.db_path}"
     )
     # weights-free default model: repo-specific fine-tuning measurably lifts
-    # retrieval (benchmarks/trained_table.md: 7/9 -> 9/9 on the labeled set)
-    if (args.model or "code-hash-384").startswith("code-hash") \
+    # retrieval (benchmarks/trained_table.md: 7/9 -> 9/9 on the labeled set).
+    # Key on the model the index actually uses (existing metadata overrides
+    # the CLI default for incremental runs).
+    from ..index import read_metadata
+
+    used_model = read_metadata(stats.db_path).get("model", "")
+    if used_model.startswith("code-hash") \
             and stats.chunks_added > 0 \
             and not (stats.db_path / "hash_table.npz").exists():
         info_print("tip: `codesearch train` fine-tunes retrieval on this "

@@ -228,7 +228,10 @@ class SearchSession:
         # need a deep candidate pool for good RRF fusion; identifier queries
         # lean on exact matching; vector-only returns directly
         if options.mode == "vector":
-            fetch = options.limit
+            # keep 3× headroom: path/min-score/per-file filters prune AFTER
+            # retrieval (the reference under-fills here; we keep the old
+            # oversample so --vector-only --filter still fills `limit`)
+            fetch = max(options.limit * 3, options.limit)
         elif identifiers:
             fetch = max(options.limit * 3, 100)
         else:

@@ -159,43 +159,15 @@ def make_server(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
     return httpd, state
 
 
-def _start_http_warmup(state: ServerState, timeout_s: float = 600.0) -> None:
-    """Background first-dispatch warmup (see server/mcp.start_search_warmup):
-    pre-pays jit compile + the tunneled-TPU first-transfer init so the first
-    client /search doesn't stall on them."""
-    import threading
+def _start_http_warmup(state: ServerState) -> None:
+    """Background first-dispatch warmup (server/warmup.py) with the real
+    handler's shapes (limit 10 × 3) and no coarse lock held."""
+    from .warmup import start_search_warmup
 
-    def _warm():
-        try:
-            import numpy as np
+    def fire():
+        import numpy as np
 
-            deadline = time.time() + timeout_s
-            while time.time() < deadline:
-                with state.stores.lock:
-                    n = len(state.stores.store)
-                if n:
-                    break
-                time.sleep(1.0)
-            qvec = state.service.embed_query("warmup parse config entry")
-            with state.stores.lock:
-                state.stores.store.search(np.asarray(qvec), 3)
-            log.info("search warmup complete")
-        except Exception:
-            log.exception("search warmup failed")
+        qvec = state.service.embed_query("warmup parse config entry")
+        state.stores.store.search(np.asarray(qvec), 30)
 
-    threading.Thread(target=_warm, daemon=True, name="search-warmup").start()
-
-
-def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878) -> int:
-    init_logger(quiet=False)
-    httpd, state = make_server(project_path, host, port)
-    info_print(f"codesearch http server on http://{host}:{port} (db: {state.db})")
-    try:
-        httpd.serve_forever()
-    except KeyboardInterrupt:
-        pass
-    finally:
-        if state.manager is not None:
-            state.manager.stop()
-        httpd.server_close()
-    return 0
+    start_search_warmup(state.stores, fire)

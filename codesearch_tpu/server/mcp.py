@@ -471,29 +471,37 @@ def make_placeholder_db(db_path: Path, service: EmbeddingService) -> None:
     write_metadata(db_path, service, _S())
 
 
-def start_search_warmup(svc: CodesearchService, timeout_s: float = 600.0) -> None:
-    """Fire one throwaway search in the background so the fused-dispatch
-    compile (~20-40s first time) and the tunneled-TPU first-transfer init
-    happen BEFORE the agent's first real query, not during it. Waits for
-    the initial refresh to populate the stores; failures only log."""
-    import threading
-    import time as _time
+def start_search_warmup(svc: CodesearchService) -> None:
+    """Pre-pay the fused-dispatch compile + tunnel init (server/warmup.py)
+    with the SAME static shapes as a default real query (limit=10 →
+    fetch=30): k is a static argname on the jitted pipelines, so a
+    different k would compile a different executable and pre-pay nothing.
+    Runs WITHOUT the coarse stores lock — the stores' internal locks make
+    the dispatch safe, and tool calls must not block behind it."""
+    from .warmup import start_search_warmup as _start
 
-    def _warm():
-        try:
-            deadline = _time.time() + timeout_s
-            while _time.time() < deadline:
-                with svc.stores.lock:
-                    n = len(svc.stores.store)
-                if n:
-                    break
-                _time.sleep(1.0)
-            svc.semantic_search({"query": "warmup parse config entry", "limit": 3})
-            log.info("search warmup complete")
-        except Exception:
-            log.exception("search warmup failed")
+    def fire():
+        import numpy as np
 
-    threading.Thread(target=_warm, daemon=True, name="search-warmup").start()
+        query = "warmup parse config entry"
+        fetch = 30   # default limit 10 × 3 — the real tool-call shape
+        hb = getattr(svc.service.backend, "model", None)
+        if hb is not None and hasattr(hb, "table"):
+            from ..models.hash_embedder import batch_features
+
+            ids, ws = batch_features([svc.service.spec.query_prefix + query])
+            bm = svc.stores.fts.device_query_args(query, None, fetch)
+            if bm is not None:
+                svc.stores.store.hybrid_search_featurized(
+                    hb.table, ids, ws, fetch, bm
+                )
+            else:
+                svc.stores.store.search_featurized(hb.table, ids, ws, fetch)
+        else:
+            qvec = svc.service.embed_query(query)
+            svc.stores.store.search(np.asarray(qvec), fetch)
+
+    _start(svc.stores, fire)
 
 
 def run_mcp_server(project_path: Path, create_index: bool = True) -> int:
