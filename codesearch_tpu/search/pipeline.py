@@ -231,7 +231,7 @@ class SearchSession:
             # keep 3× headroom: path/min-score/per-file filters prune AFTER
             # retrieval (the reference under-fills here; we keep the old
             # oversample so --vector-only --filter still fills `limit`)
-            fetch = max(options.limit * 3, options.limit)
+            fetch = options.limit * 3
         elif identifiers:
             fetch = max(options.limit * 3, 100)
         else:

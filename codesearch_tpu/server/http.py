@@ -161,13 +161,40 @@ def make_server(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
 
 def _start_http_warmup(state: ServerState) -> None:
     """Background first-dispatch warmup (server/warmup.py) with the real
-    handler's shapes (limit 10 × 3) and no coarse lock held."""
+    handler's shapes (limit 10 × 3), after the initial refresh, with no
+    coarse lock held (transient donated-buffer races are retried)."""
     from .warmup import start_search_warmup
 
+    def ready() -> bool:
+        with state.stores.lock:
+            n = len(state.stores.store)
+        refreshed = state.manager is None or state.manager.status == "ready"
+        return n > 0 and refreshed
+
     def fire():
-        import numpy as np
+        for attempt in range(3):
+            try:
+                qvec = state.service.embed_query("warmup parse config entry")
+                state.stores.store.search(np.asarray(qvec), 30)
+                return
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(0.5)
 
-        qvec = state.service.embed_query("warmup parse config entry")
-        state.stores.store.search(np.asarray(qvec), 30)
+    start_search_warmup(ready, fire)
 
-    start_search_warmup(state.stores, fire)
+
+def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878) -> int:
+    init_logger(quiet=False)
+    httpd, state = make_server(project_path, host, port)
+    info_print(f"codesearch http server on http://{host}:{port} (db: {state.db})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if state.manager is not None:
+            state.manager.stop()
+        httpd.server_close()
+    return 0

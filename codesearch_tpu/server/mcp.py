@@ -192,6 +192,37 @@ class CodesearchService:
     # tools
     # ------------------------------------------------------------------
 
+    def _device_candidates(self, query: str, kind: str | None, fetch: int):
+        """The fused read plane for one query: embed + vector top-k + BM25
+        top-k in ONE device dispatch (same path as the CLI/session pipeline).
+        Returns (vector results, fts results or None). Used by
+        semantic_search (under stores.lock) AND the startup warmup — one
+        implementation so the warmup always compiles the same executables
+        as real tool calls."""
+        import numpy as np
+
+        hb = getattr(self.service.backend, "model", None)
+        fres = None
+        if hb is not None and hasattr(hb, "table"):
+            from ..models.hash_embedder import batch_features
+
+            ids, ws = batch_features([self.service.spec.query_prefix + query])
+            bm = self.stores.fts.device_query_args(query, kind, fetch)
+            if bm is not None:
+                per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
+                    hb.table, ids, ws, fetch, bm
+                )
+                vres = per_variant[0]
+                fres = self.stores.fts.results_from_device(bvv, bii, fetch)
+            else:
+                vres = self.stores.store.search_featurized(
+                    hb.table, ids, ws, fetch
+                )[0]
+        else:
+            qvec = self.service.embed_query(query)
+            vres = self.stores.store.search(np.asarray(qvec), fetch)
+        return vres, fres
+
     def semantic_search(self, args: dict) -> dict:
         query = str(args.get("query", "")).strip()
         if not query:
@@ -208,34 +239,11 @@ class CodesearchService:
         if cached is not None:
             return cached
 
-        import numpy as np
-
         intent = detect_structural_intent(query)
         kind = intent.value if intent else None
         vector_k, fts_k = adapt_rrf_k(query)
-        hb = getattr(self.service.backend, "model", None)
         with self.stores.lock:
-            fres = None
-            if hb is not None and hasattr(hb, "table"):
-                # fused read plane: embed + vector top-k + BM25 top-k in ONE
-                # device dispatch (same path as the CLI/session pipeline)
-                from ..models.hash_embedder import batch_features
-
-                ids, ws = batch_features([self.service.spec.query_prefix + query])
-                bm = self.stores.fts.device_query_args(query, kind, limit * 3)
-                if bm is not None:
-                    per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
-                        hb.table, ids, ws, limit * 3, bm
-                    )
-                    vres = per_variant[0]
-                    fres = self.stores.fts.results_from_device(bvv, bii, limit * 3)
-                else:
-                    vres = self.stores.store.search_featurized(
-                        hb.table, ids, ws, limit * 3
-                    )[0]
-            else:
-                qvec = self.service.embed_query(query)
-                vres = self.stores.store.search(np.asarray(qvec), limit * 3)
+            vres, fres = self._device_candidates(query, kind, limit * 3)
             if fres is None:
                 fres = self.stores.fts.search(query, limit * 3, boost_kind=kind)
             eres = []
@@ -474,34 +482,31 @@ def make_placeholder_db(db_path: Path, service: EmbeddingService) -> None:
 def start_search_warmup(svc: CodesearchService) -> None:
     """Pre-pay the fused-dispatch compile + tunnel init (server/warmup.py)
     with the SAME static shapes as a default real query (limit=10 →
-    fetch=30): k is a static argname on the jitted pipelines, so a
-    different k would compile a different executable and pre-pay nothing.
-    Runs WITHOUT the coarse stores lock — the stores' internal locks make
-    the dispatch safe, and tool calls must not block behind it."""
+    fetch=30), via the SAME dispatch method real tool calls use. Waits for
+    the initial refresh to finish so the corpus (and therefore the compiled
+    k shapes) match steady state; runs WITHOUT the coarse stores lock, so a
+    concurrent writer can donate device buffers mid-warmup — retried."""
     from .warmup import start_search_warmup as _start
 
+    def ready() -> bool:
+        with svc.stores.lock:
+            n = len(svc.stores.store)
+        refreshed = svc.manager is None or svc.manager.status == "ready"
+        return n > 0 and refreshed
+
     def fire():
-        import numpy as np
+        for attempt in range(3):
+            try:
+                svc._device_candidates("warmup parse config entry", None, 30)
+                return
+            except Exception:
+                if attempt == 2:
+                    raise
+                import time as _t
 
-        query = "warmup parse config entry"
-        fetch = 30   # default limit 10 × 3 — the real tool-call shape
-        hb = getattr(svc.service.backend, "model", None)
-        if hb is not None and hasattr(hb, "table"):
-            from ..models.hash_embedder import batch_features
+                _t.sleep(0.5)
 
-            ids, ws = batch_features([svc.service.spec.query_prefix + query])
-            bm = svc.stores.fts.device_query_args(query, None, fetch)
-            if bm is not None:
-                svc.stores.store.hybrid_search_featurized(
-                    hb.table, ids, ws, fetch, bm
-                )
-            else:
-                svc.stores.store.search_featurized(hb.table, ids, ws, fetch)
-        else:
-            qvec = svc.service.embed_query(query)
-            svc.stores.store.search(np.asarray(qvec), fetch)
-
-    _start(svc.stores, fire)
+    _start(ready, fire)
 
 
 def run_mcp_server(project_path: Path, create_index: bool = True) -> int:

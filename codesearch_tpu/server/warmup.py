@@ -2,16 +2,16 @@
 
 The first real query pays the fused-dispatch jit compile (~20-40s) plus the
 tunneled-TPU first-transfer init (minutes); both servers pre-pay them by
-firing one throwaway search once the initial refresh populates the stores.
+firing one throwaway search once the index reaches steady state.
 
 Discipline:
-- the store-population poll takes ``stores.lock`` only for the length peek —
-  the warmup dispatch itself runs WITHOUT the coarse stores lock (the stores'
-  internal RLocks make it safe), so /status and the background refresher are
-  never blocked behind a multi-minute tunnel init;
-- the caller's ``fire`` thunk must use the SAME static shapes (k, limits) as
-  a default real query — k is a static argname on the jitted pipelines, so
-  warming a different k compiles a different executable and pre-pays nothing.
+- ``ready()`` must only become true when the corpus is in the state real
+  queries will see (e.g. initial refresh complete) — k/kv/kb are static
+  argnames on the jitted pipelines, so firing against a half-built corpus
+  can compile a different executable and pre-pay nothing;
+- ``fire()`` must use the SAME dispatch helper and shapes as a default real
+  query, and runs WITHOUT coarse store locks (callers handle any transient
+  donated-buffer races with a retry).
 """
 
 from __future__ import annotations
@@ -24,17 +24,15 @@ from ..utils.logger import get_logger
 log = get_logger("warmup")
 
 
-def start_search_warmup(stores, fire, timeout_s: float = 600.0) -> threading.Thread:
-    """Run ``fire()`` on a daemon thread once ``stores.store`` has rows
+def start_search_warmup(ready, fire, timeout_s: float = 600.0) -> threading.Thread:
+    """Run ``fire()`` on a daemon thread once ``ready()`` returns true
     (or the timeout passes). Failures only log."""
 
     def _warm():
         try:
             deadline = time.time() + timeout_s
             while time.time() < deadline:
-                with stores.lock:
-                    n = len(stores.store)
-                if n:
+                if ready():
                     break
                 time.sleep(1.0)
             fire()

@@ -173,6 +173,7 @@ class TestStdoutDiscipline:
 
         roots = [
             Path("codesearch_tpu/server/mcp.py"),
+            Path("codesearch_tpu/server/warmup.py"),
             Path("codesearch_tpu/search/pipeline.py"),
             Path("codesearch_tpu/index/manager.py"),
         ]
