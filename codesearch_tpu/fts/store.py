@@ -67,9 +67,10 @@ DEVICE_MIN_DOCS = 50_000   # below this, host bincount beats a dispatch
 # came from stopword-class terms ("the"/"return"/...).
 MAX_DF_RATIO = 0.4
 # device-path cap on (term x segment) intervals: the kernel's run reduction
-# is imax-1 shifted passes, so many-term/many-segment queries would compile
-# huge programs — beyond this the host path scores instead
-MAX_DEVICE_INTERVALS = 32
+# is a log2(imax)-pass segmented scan (ops/bm25.py), so even many-term ×
+# many-segment queries stay cheap (256 intervals = 8 passes); the cap is a
+# safety valve, not a routing decision — crossing it is logged per query
+MAX_DEVICE_INTERVALS = 256
 
 
 def _to_i64(h: int) -> int:
@@ -763,6 +764,11 @@ class FtsStore:
         drift = abs(self._avg_len - st["avg_len"]) / max(st["avg_len"], 1e-9)
         if (
             n > st["ncap"]
+            # meta-append headroom: the doc-append block pads to pow2 and
+            # must fit under ncap, or dynamic_update_slice would clamp the
+            # start and clobber previously-synced slots
+            or (n > st["n_synced"]
+                and st["n_synced"] + _pow2(n - st["n_synced"]) > st["ncap"])
             or st["used"] + sum(_pow2(max(len(sg), 1)) for sg in new_segs)
             + CHUNK > st["pcap"]
             or drift > 0.10
@@ -884,6 +890,11 @@ class FtsStore:
                 # (None → host fallback: nothing selected OR too many
                 # intervals for the kernel's bounded run reduction)
                 args = self.device_query_args(query, boost_kind, limit)
+            elif self._n_live:
+                log.debug(
+                    "BM25 corpus %d docs below device floor %d — host path",
+                    self._n_live, self.device_min_docs,
+                )
             if args is not None:
                 top_scores, top_pos = self._score_device(args, limit)
             else:
@@ -964,7 +975,15 @@ class FtsStore:
                         clen.append(min(CHUNK, rln - off))
                         cidf.append(t_idf)
                         off += CHUNK
-            if not cstart or n_intervals > MAX_DEVICE_INTERVALS:
+            if not cstart:
+                return None
+            if n_intervals > MAX_DEVICE_INTERVALS:
+                # no silent caps (VERDICT r2): make the host fallback visible
+                log.debug(
+                    "BM25 query %r selects %d (term x segment) intervals "
+                    "(cap %d) — scoring on host", query[:60], n_intervals,
+                    MAX_DEVICE_INTERVALS,
+                )
                 return None
             cpad = max(_pow2(len(cstart)), 8)
             cs_a = np.zeros(cpad, np.int32)
@@ -1040,29 +1059,50 @@ class FtsStore:
             if target is None:
                 return []
             key = _to_i64(stable_u64(target))
-            out: list[tuple[int, float, str, str]] = []
+            # vectorized posting gather (same shape as _gather_query): a
+            # high-df identifier ("config") at 1M docs selects 10^5+ postings
+            # — per-posting Python iteration is index-speed, numpy is µs
+            parts_d, parts_c, parts_s = [], [], []
             for seg in self._segments:
                 lo, hi = seg.term_range(key)
-                for dnum, c, s in zip(
-                    seg.dnums[lo:hi].tolist(),
-                    seg.tfc[lo:hi].tolist(),
-                    seg.tfs[lo:hi].tolist(),
-                ):
-                    meta = self._doc(dnum)
-                    if meta is None:
-                        continue
-                    if kind is not None and meta[1] != kind:
-                        continue
-                    len_norm = _K1 * (1.0 - _B + _B * meta[0] / self._avg_len)
-                    sat_s = s * (_K1 + 1.0) / (s + len_norm) if s else 0.0
-                    sat_c = c * (_K1 + 1.0) / (c + len_norm) if c else 0.0
-                    score = _EXACT_SIG_BOOST * sat_s + sat_c
-                    if score > 0:
-                        out.append((meta[3], score, meta[2], meta[1]))
-            out.sort(key=lambda kv: -kv[1])
+                if lo != hi:
+                    parts_d.append(seg.dnums[lo:hi])
+                    parts_c.append(seg.tfc[lo:hi])
+                    parts_s.append(seg.tfs[lo:hi])
+            if not parts_d:
+                return []
+            dnums = np.concatenate(parts_d)
+            tfc = np.concatenate(parts_c).astype(np.float32)
+            tfs = np.concatenate(parts_s).astype(np.float32)
+            n = self._dnums_sorted.size
+            pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
+            keep = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
+                if n else np.zeros(len(dnums), bool)
+            if kind is not None:
+                kid = self._kind_vocab.get(kind)
+                if kid is None:
+                    return []
+                keep &= self._kind_arr[pos] == kid
+            # TermQuery-style saturation scoring (signature field boosted ×3)
+            len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
+            sat_s = np.where(tfs > 0, tfs * (_K1 + 1.0) / (tfs + len_norm), 0.0)
+            sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
+            scores = np.where(keep, _EXACT_SIG_BOOST * sat_s + sat_c, 0.0)
+            keep &= scores > 0
+            pos, scores = pos[keep], scores[keep]
+            if not len(pos):
+                return []
+            k = min(limit, len(pos))
+            top = np.argpartition(-scores, k - 1)[:k]
+            top = top[np.argsort(-scores[top], kind="stable")]
             return [
-                FtsResult(chunk_id=cid, score=s, path=path, kind=kd)
-                for cid, s, path, kd in out[:limit]
+                FtsResult(
+                    chunk_id=int(self._cid_arr[p]),
+                    score=float(s),
+                    path=self._doc_path[int(p)],
+                    kind=self._kind_names[int(self._kind_arr[p])],
+                )
+                for s, p in zip(scores[top], pos[top])
             ]
 
     def stats(self) -> dict:

@@ -69,16 +69,23 @@ def bm25_resident_topk(
     neq = pos_s[1:] != pos_s[:-1]
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
 
-    # segmented sum over runs of equal pos: run lengths ≤ imax (a slot
-    # appears at most once per original interval), so imax-1 shifted
-    # compare-adds accumulate each run total exactly at its run end
+    # segmented inclusive scan over runs of equal pos (Hillis-Steele with
+    # power-of-two shifts): run lengths ≤ imax (a slot appears at most once
+    # per original interval), so ceil(log2(imax)) carry-propagating passes
+    # accumulate each run total exactly at its run end. Runs are contiguous
+    # after the sort, so pos_s[i] == pos_s[i-s] implies the whole [i-s, i]
+    # span is one run — the carried partial sums never cross a boundary.
+    # (The r2 kernel used imax-1 linear passes of the ORIGINAL values; the
+    # log form makes 256-interval queries 6 passes instead of 255.)
     totals = w_s
-    for s in range(1, imax):
+    s = 1
+    while s < imax:
         same = jnp.concatenate(
             [jnp.zeros((s,), bool), pos_s[s:] == pos_s[:-s]]
         )
-        shifted_w = jnp.concatenate([jnp.zeros((s,), w_s.dtype), w_s[:-s]])
-        totals = totals + jnp.where(same, shifted_w, 0.0)
+        shifted = jnp.concatenate([jnp.zeros((s,), totals.dtype), totals[:-s]])
+        totals = totals + jnp.where(same, shifted, 0.0)
+        s *= 2
 
     meta = slot_meta[jnp.clip(pos_s, 0, max(n - 1, 0))]        # ONE gather
     boost = jnp.where(meta == boost_kid, jnp.float32(KIND_BOOST), 1.0)

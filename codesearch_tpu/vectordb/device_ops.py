@@ -120,6 +120,12 @@ def update_1d(arr, host_block: np.ndarray, base: int, pad_value):
     guarantees the padded region is free capacity."""
     n = len(host_block)
     npad = pow2(max(n, 1))
+    if base + npad > arr.shape[0]:
+        raise ValueError(
+            f"update_1d: padded block [{base}, {base + npad}) exceeds "
+            f"capacity {arr.shape[0]} — caller must rebuild instead "
+            "(dynamic_update_slice would clamp and corrupt synced slots)"
+        )
     block = np.full(npad, pad_value, host_block.dtype)
     block[:n] = host_block
     return _update_1d_fn()(arr, jnp.asarray(block, arr.dtype), jnp.int32(base))

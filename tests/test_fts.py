@@ -214,6 +214,32 @@ class TestSegments:
         got = s.search(q, limit=5)   # device args refused → host scoring
         assert [r.chunk_id for r in got] == [r.chunk_id for r in expected]
 
+    def test_many_interval_query_runs_on_device(self, tmp_path):
+        """Round-3: the log-pass segmented scan lifts the interval cap —
+        a 12-term query over 6 segments (72 intervals, past the old cap of
+        32) must take the device path and match host scoring exactly."""
+        s = FtsStore(tmp_path / "fts")
+        words = [f"kw{i}" for i in range(12)]
+        for b in range(6):
+            for i in range(40):
+                cid = b * 40 + i
+                # each doc carries 4 of the 12 terms → df ≈ 33% (under the
+                # MAX_DF_RATIO stopword cap) while every term spans all
+                # 6 segments
+                mine = [words[(cid + o) % 12] for o in (0, 1, 3, 5)]
+                s.add_chunk(cid, " ".join(mine) + " pad", f"f{cid}.rs",
+                            f"fn kw{cid % 12}()", "Function")
+            s.commit()
+        q = " ".join(words)
+        host = s.search(q, limit=8, boost_kind="Function")
+        s.device_min_docs = 1
+        args = s.device_query_args(q, "Function", 8)
+        assert args is not None, "72 intervals must stay on device now"
+        dev = s.search(q, limit=8, boost_kind="Function")
+        assert len(dev) == len(host)
+        for h, d in zip(host, dev):
+            assert d.score == pytest.approx(h.score, rel=1e-4)
+
     def test_deletes_purged_at_merge(self, tmp_path):
         s = FtsStore(tmp_path / "fts")
         for i in range(100):
@@ -341,7 +367,9 @@ class TestCrashRecovery:
         seg.write_bytes(seg.read_bytes()[: seg.stat().st_size // 2])
         s2 = FtsStore(tmp_path / "fts")   # warns + skips, docs still load
         assert len(s2) == 20
-        assert s2.search("token_3") == [] or True  # postings lost, no crash
+        # degraded contract: the corrupt segment's postings are gone but the
+        # search path itself must not raise
+        s2.search("token_3")
 
     def test_corrupt_manifest_starts_empty(self, tmp_path):
         s = self._populated(tmp_path)
@@ -390,6 +418,30 @@ class TestIncrementalDeviceSync:
         res = s.search("gamma_123", limit=50)
         assert all(r.chunk_id != 123 for r in res)
         assert s.fts_full_uploads == uploads0, "deletes must be a mask scatter"
+
+    def test_meta_append_overflow_triggers_rebuild(self, tmp_path):
+        """Regression (ADVICE r2): ncap=1024 synced at n=1000, then +24 docs
+        — the pow2-padded doc-append block [1000, 1032) exceeds ncap, so the
+        sync must full-rebuild instead of letting dynamic_update_slice clamp
+        the start (which would clobber slots 968..1000 and misplace the new
+        docs' kind/liveness)."""
+        s = self._store(tmp_path, n=1000)
+        s.search("gamma_7")  # sync → ncap = 1024, n_synced = 1000
+        assert s._dev_state["ncap"] == 1024
+        for i in range(1000, 1024):
+            s.add_chunk(i, f"alpha beta gamma_{i} delta epsilon", f"f{i}.rs",
+                        f"fn gamma_{i}()", "Function")
+        # n = 1024 <= ncap, but 1000 + pow2(24) = 1032 > 1024
+        dev = s.search("alpha gamma_1010", limit=10)
+        assert dev and dev[0].chunk_id == 1010
+        # previously-synced docs must be intact (the clamp bug clobbered
+        # the tail of the synced range)
+        for probe in (970, 990, 999):
+            res = s.search(f"gamma_{probe}", limit=5)
+            assert res and res[0].chunk_id == probe
+        s.device_min_docs = 10**9
+        host = s.search("alpha gamma_1010", limit=10)
+        assert [r.chunk_id for r in dev] == [r.chunk_id for r in host]
 
     def test_device_results_match_host_after_updates(self, tmp_path):
         s = self._store(tmp_path)
