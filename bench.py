@@ -31,15 +31,21 @@ BASELINE_QPS = 1000.0 / 75.0  # reference: ~75 ms/query hybrid, CPU
 # product bench: full SearchSession hybrid over a ≥1M-chunk synthetic index
 # (real expansion/fusion/materialization); 0 skips it
 PRODUCT_ROWS = int(os.environ.get("BENCH_PRODUCT_ROWS", 1 << 20))
+# second product row: a bge-small-arch (JAX encoder) index exercising the
+# model-agnostic fused read plane (VERDICT r3 item 1); 0 skips it
+PRODUCT_BERT_ROWS = int(os.environ.get("BENCH_PRODUCT_BERT_ROWS", 1 << 18))
 
 
-def bench_product(n_rows: int) -> dict:
+def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
     """The PRODUCT, not the kernel: build a synthetic n_rows-chunk index
     through the real write plane (prepare_text → tokenize/featurize → embed →
     store insert → FTS), then time full SearchSession.search() hybrid queries
     (expansion ≤9 variants, fused single-dispatch retrieval, 3-way RRF,
     boosts, metadata materialization). Numbers to beat: reference hybrid
-    ~75 ms/query, index 51 chunks/s (BASELINE.md rows 1-4)."""
+    ~75 ms/query, index 51 chunks/s (BASELINE.md rows 1-4). With a
+    BERT-family ``model`` the encoder forward fuses into the same single
+    dispatch (random-init weights in this zero-egress env — identical
+    compute/latency profile to real weights)."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -62,7 +68,7 @@ def bench_product(n_rows: int) -> dict:
 
     td = Path(tempfile.mkdtemp(prefix="codesearch-bench-"))
     try:
-        svc = EmbeddingService("code-hash-384", use_persistent_cache=False)
+        svc = EmbeddingService(model, use_persistent_cache=False)
         store = VectorStore(td / "db", dims=svc.dims)
         fts = FtsStore(td / "db" / "fts")
         t0 = time.time()
@@ -73,9 +79,14 @@ def bench_product(n_rows: int) -> dict:
             chunks = []
             for i in range(done, done + n):
                 v, o = verbs[i % 15], nouns[(i // 15) % 15]
+                # every 4th chunk references a shared snake-case identifier
+                # → df = n/4 for "common_util", probing search_exact's
+                # vectorized gather at realistic high-df scale
+                extra = "    common_util.sync(arg)\n" if i % 4 == 0 else ""
                 body = (
                     f"def {v}_{o}_{i}(arg):\n"
                     f'    """{v.capitalize()} the {o} and return the result."""\n'
+                    f"{extra}"
                     f"    return arg.{o} + {i}\n"
                 )
                 chunks.append(Chunk(
@@ -128,18 +139,35 @@ def bench_product(n_rows: int) -> dict:
             t1 = time.time()
             session.search(q + " now", SearchOptions(limit=10, mode="vector"))
             lat_v.append((time.time() - t1) * 1000)
+        # identifier-bearing queries: "common_util" has df = rows/4, driving
+        # search_exact's high-df gather (VERDICT r3 item 3 probe) on top of
+        # the fused dispatch
+        ident_queries = [
+            f"{v} the {o} with common_util" for v in verbs[:4] for o in nouns[:4]
+        ]
+        for q in ident_queries[:2]:
+            session.search(q, SearchOptions(limit=10))
+        lat_i = []
+        for q in ident_queries:
+            t1 = time.time()
+            session.search(q, SearchOptions(limit=10))
+            lat_i.append((time.time() - t1) * 1000)
         lat_h.sort()
         lat_v.sort()
+        lat_i.sort()
         p50_h = lat_h[len(lat_h) // 2]
         p50_v = lat_v[len(lat_v) // 2]
+        p50_i = lat_i[len(lat_i) // 2]
         return {
             "rows": n_rows,
+            "model": model,
             "index_chunks_per_s_e2e": round(index_cps, 0),
             "index_vs_cpu_onnx_51cps": round(index_cps / 51.0, 1),
             "hybrid_p50_ms": round(p50_h, 1),
             "hybrid_mean_ms": round(sum(lat_h) / len(lat_h), 1),
             "hybrid_qps_single_stream": round(1000.0 / max(p50_h, 1e-9), 1),
             "vector_p50_ms": round(p50_v, 1),
+            "hybrid_identifier_p50_ms": round(p50_i, 1),
             "hybrid_vs_baseline_75ms": round(75.0 / max(p50_h, 1e-9), 1),
         }
     finally:
@@ -270,6 +298,12 @@ def main() -> None:
     bert_cps_512 = bench_encode(256, 512)
 
     product = bench_product(PRODUCT_ROWS) if PRODUCT_ROWS else None
+    # second product row: the model-agnostic fused read plane with a real
+    # encoder forward in the dispatch (bge-small arch, 12L/384H)
+    product_bert = (
+        bench_product(PRODUCT_BERT_ROWS, model="bge-small")
+        if PRODUCT_BERT_ROWS else None
+    )
 
     print(
         json.dumps(
@@ -293,6 +327,7 @@ def main() -> None:
                     "embed_seq512_vs_cpu_onnx_51cps": round(bert_cps_512 / 51.0, 1),
                     "setup_s": round(setup_s, 1),
                     "product": product,
+                    "product_bert": product_bert,
                 },
             }
         )

@@ -157,6 +157,21 @@ class _BertBackend:
             b *= 2
         return min(b, 512)
 
+    def featurize_queries(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Host tokenization for the fused read plane: query variant texts →
+        ([Q, T] ids, [Q, T] mask) padded to a power-of-two token bucket so
+        XLA compiles O(log) shapes. The device work (encode + top-k + BM25)
+        happens in one jit via VectorStore.{search,hybrid_search}_encoded."""
+        encs = [self.tokenizer.encode(t) for t in texts]
+        max_len = self._bucket(max((len(e.ids) for e in encs), default=1))
+        ids = np.zeros((len(texts), max_len), np.int32)
+        mask = np.zeros((len(texts), max_len), np.int32)
+        for row, e in enumerate(encs):
+            L = min(len(e.ids), max_len)
+            ids[row, :L] = e.ids[:L]
+            mask[row, :L] = 1
+        return ids, mask
+
     def embed(self, texts: list[str]) -> np.ndarray:
         import jax.numpy as jnp
 

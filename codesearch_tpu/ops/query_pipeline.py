@@ -88,6 +88,111 @@ def hash_embed_hybrid_search(
     return v_vals, v_idx, b_vals, b_idx
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def bert_embed_search(
+    params: dict,          # encoder pytree (replicated)
+    ids: jax.Array,        # [Q, T] token ids for the query variants
+    mask: jax.Array,       # [Q, T] attention mask
+    cfg,                   # ArchConfig (static)
+    corpus: jax.Array,     # [N, d] bf16
+    valid: jax.Array,      # [N] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-dispatch read plane for BERT-family models: the full encoder
+    forward (12-layer trunk + pooling + L2 norm) and the exact corpus top-k
+    run in ONE jit — same one-RTT discipline as the hash path above, for
+    real model weights (model-agnostic parity with search/mod.rs:409-691)."""
+    from ..models.encoder import encode
+    from .topk import cosine_topk
+
+    q = encode(params, ids, mask, cfg)              # [Q, d] (nested jit ok)
+    return cosine_topk(q, corpus, valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def bert_embed_search_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,   # [N, d] int8
+    row_scale: jax.Array,  # [N]
+    valid: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    from ..models.encoder import encode
+    from .topk import cosine_topk_int8
+
+    q = encode(params, ids, mask, cfg)
+    return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax"))
+def bert_embed_hybrid_search(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """THE hybrid query for BERT-family backends: encoder forward + exact
+    vector top-k + resident-postings BM25 top-k fused into ONE dispatch —
+    with real weights the whole read plane still costs one tunnel RTT."""
+    from ..models.encoder import encode
+    from .bm25 import bm25_resident_topk
+    from .topk import cosine_topk
+
+    q = encode(params, ids, mask, cfg)
+    v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax"))
+def bert_embed_hybrid_search_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.encoder import encode
+    from .bm25 import bm25_resident_topk
+    from .topk import cosine_topk_int8
+
+    q = encode(params, ids, mask, cfg)
+    v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
 @functools.partial(jax.jit, static_argnames=("kv", "kb", "imax"))
 def hash_embed_hybrid_search_int8(
     table: jax.Array,

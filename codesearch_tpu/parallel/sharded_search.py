@@ -256,6 +256,151 @@ def sharded_hash_embed_hybrid_int8(
     return v_vals, v_idx, b_vals, b_idx
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "mesh"))
+def sharded_bert_embed_search(
+    params: dict,         # encoder pytree, replicated
+    ids: jax.Array,       # [Q, T] replicated
+    mask: jax.Array,      # [Q, T] replicated
+    cfg,                  # ArchConfig (static)
+    corpus: jax.Array,    # [N, d] bf16, sharded over "data"
+    valid: jax.Array,     # [N] bool, sharded
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Multi-chip single-dispatch read plane for BERT-family models: the
+    encoder forward runs on replicated inputs (XLA keeps it replicated),
+    then the sharded local-topk + all_gather merge consumes the embeddings
+    inside the SAME jit — one dispatch end to end."""
+    from ..models.encoder import encode
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, v):
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_bf16(qq, c, v, kk), k, shard_rows)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "mesh"))
+def sharded_bert_embed_search_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    from ..models.encoder import encode
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, s, v):
+        kk = min(k, shard_rows)
+        return _gather_merge(*_local_topk_int8(qq, c, s, v, kk), k, shard_rows)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus_q, row_scale, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax", "mesh"))
+def sharded_bert_embed_hybrid(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,      # FTS resident postings, replicated over the mesh
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip fused hybrid for BERT-family backends: encoder forward +
+    sharded vector top-k + replicated BM25 reduction in ONE jit (the
+    model-agnostic twin of sharded_hash_embed_hybrid)."""
+    from ..models.encoder import encode
+    from ..ops.bm25 import bm25_resident_topk
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, v):
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_bf16(qq, c, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus, valid)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax", "mesh"))
+def sharded_bert_embed_hybrid_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.encoder import encode
+    from ..ops.bm25 import bm25_resident_topk
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, s, v):
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_int8(qq, c, s, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus_q, row_scale, valid)
+    b_vals, b_idx = bm25_resident_topk(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
 def sharded_hash_embed_search_int8(
     table: jax.Array,

@@ -236,17 +236,27 @@ class SearchSession:
             fetch = max(options.limit * 3, 100)
         else:
             fetch = max(options.limit * 5, 200)
-        hash_backend = getattr(self.service.backend, "model", None)
+        backend = self.service.backend
+        hash_model = getattr(backend, "model", None)
+        if hash_model is not None and hasattr(hash_model, "table"):
+            fused_kind = "hash"
+        elif hasattr(backend, "featurize_queries"):
+            fused_kind = "bert"   # JAX encoder backend — same one-RTT plane
+        else:
+            fused_kind = None
         fused_fts: list | None = None   # BM25 results from the fused dispatch
         t = time.time()
-        if hash_backend is not None and hasattr(hash_backend, "table"):
-            # single-dispatch fast path: featurize on host, embed+top-k in
-            # one device call (saves a tunnel roundtrip per query)
-            from ..models.hash_embedder import batch_features
+        if fused_kind is not None:
+            # single-dispatch fast path: featurize/tokenize on host, then
+            # embed + vector top-k (+ BM25) in ONE device call — saves 2-3
+            # tunnel roundtrips per query, for ANY model family
+            prefixed = [self.service.spec.query_prefix + v for v in variants]
+            if fused_kind == "hash":
+                from ..models.hash_embedder import batch_features
 
-            ids, ws = batch_features(
-                [self.service.spec.query_prefix + v for v in variants]
-            )
+                feats = batch_features(prefixed)
+            else:
+                feats = backend.featurize_queries(prefixed)
             timings["embed"] = (time.time() - t) * 1000
             t = time.time()
             bm_args = None
@@ -260,14 +270,26 @@ class SearchSession:
                 )
             raw = None
             if bm_args is not None:
-                raw, bv, bi = self.store.hybrid_search_featurized(
-                    hash_backend.table, ids, ws, fetch, bm_args, raw=True
-                )
+                if fused_kind == "hash":
+                    raw, bv, bi = self.store.hybrid_search_featurized(
+                        hash_model.table, feats[0], feats[1], fetch, bm_args,
+                        raw=True,
+                    )
+                else:
+                    raw, bv, bi = self.store.hybrid_search_encoded(
+                        backend.params, backend.cfg, feats[0], feats[1],
+                        fetch, bm_args, raw=True,
+                    )
                 if bv is not None:
                     fused_fts = self.fts.results_from_device(bv, bi, fetch)
-            else:
+            elif fused_kind == "hash":
                 raw = self.store.search_featurized(
-                    hash_backend.table, ids, ws, fetch, raw=True
+                    hash_model.table, feats[0], feats[1], fetch, raw=True
+                )
+            else:
+                raw = self.store.search_encoded(
+                    backend.params, backend.cfg, feats[0], feats[1], fetch,
+                    raw=True,
                 )
             # vectorized best-score-per-chunk across variants
             # (search/mod.rs:513-590): at the reference's fusion depth

@@ -201,22 +201,42 @@ class CodesearchService:
         as real tool calls."""
         import numpy as np
 
-        hb = getattr(self.service.backend, "model", None)
-        fres = None
+        backend = self.service.backend
+        hb = getattr(backend, "model", None)
         if hb is not None and hasattr(hb, "table"):
-            from ..models.hash_embedder import batch_features
+            fused_kind = "hash"
+        elif hasattr(backend, "featurize_queries"):
+            fused_kind = "bert"
+        else:
+            fused_kind = None
+        fres = None
+        if fused_kind is not None:
+            prefixed = [self.service.spec.query_prefix + query]
+            if fused_kind == "hash":
+                from ..models.hash_embedder import batch_features
 
-            ids, ws = batch_features([self.service.spec.query_prefix + query])
+                feats = batch_features(prefixed)
+            else:
+                feats = backend.featurize_queries(prefixed)
             bm = self.stores.fts.device_query_args(query, kind, fetch)
             if bm is not None:
-                per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
-                    hb.table, ids, ws, fetch, bm
-                )
+                if fused_kind == "hash":
+                    per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
+                        hb.table, feats[0], feats[1], fetch, bm
+                    )
+                else:
+                    per_variant, bvv, bii = self.stores.store.hybrid_search_encoded(
+                        backend.params, backend.cfg, feats[0], feats[1], fetch, bm
+                    )
                 vres = per_variant[0]
                 fres = self.stores.fts.results_from_device(bvv, bii, fetch)
-            else:
+            elif fused_kind == "hash":
                 vres = self.stores.store.search_featurized(
-                    hb.table, ids, ws, fetch
+                    hb.table, feats[0], feats[1], fetch
+                )[0]
+            else:
+                vres = self.stores.store.search_encoded(
+                    backend.params, backend.cfg, feats[0], feats[1], fetch
                 )[0]
         else:
             qvec = self.service.embed_query(query)

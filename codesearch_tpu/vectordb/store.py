@@ -852,6 +852,128 @@ class VectorStore:
             return self.rows_to_ids(vv, vi), bv, bi
         return self._materialize(vv, vi), bv, bi
 
+    def search_encoded(
+        self, params: dict, cfg, ids: np.ndarray, mask: np.ndarray, limit: int,
+        raw: bool = False,
+    ):
+        """Single-dispatch path for BERT-family models: tokenized query
+        variants → encoder forward + exact top-k in ONE device call (the
+        model-agnostic twin of search_featurized)."""
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import bert_embed_search, bert_embed_search_int8
+
+        with self._lock:
+            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            if n_valid == 0:
+                if raw:
+                    shape = (ids.shape[0], 0)
+                    return np.zeros(shape, np.int64), np.zeros(shape, np.float32)
+                return [[] for _ in range(ids.shape[0])]
+            dev = self._ensure_device()
+            k = min(limit, max(1, n_valid))
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_bert_embed_search,
+                    sharded_bert_embed_search_int8,
+                )
+
+                if dev[0] == "int8":
+                    vals, idx = sharded_bert_embed_search_int8(
+                        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                        dev[1], dev[2], dev[3], k, mesh,
+                    )
+                else:
+                    vals, idx = sharded_bert_embed_search(
+                        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                        dev[1], dev[3], k, mesh,
+                    )
+            elif dev[0] == "int8":
+                vals, idx = bert_embed_search_int8(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[2], dev[3], k,
+                )
+            else:
+                vals, idx = bert_embed_search(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[3], k,
+                )
+        if raw:
+            return self.rows_to_ids(vals, idx)
+        return self._materialize(vals, idx)
+
+    def hybrid_search_encoded(
+        self, params: dict, cfg, ids: np.ndarray, mask: np.ndarray, limit: int,
+        bm_args, raw: bool = False,
+    ):
+        """THE fused read plane for BERT-family models: encoder forward +
+        exact vector top-k + BM25 top-k in ONE dispatch (single device or
+        sharded over the corpus mesh). Same contract as
+        hybrid_search_featurized; ``bm_args`` from FtsStore.device_query_args."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import (
+            bert_embed_hybrid_search,
+            bert_embed_hybrid_search_int8,
+        )
+
+        fts_dev, cs, cl, ci, kid, kb, imax = bm_args
+        with self._lock:
+            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            if n_valid == 0:
+                if raw:
+                    shape = (ids.shape[0], 0)
+                    return (np.zeros(shape, np.int64),
+                            np.zeros(shape, np.float32)), None, None
+                return [[] for _ in range(ids.shape[0])], None, None
+            dev = self._ensure_device()
+            kv = min(limit, max(1, n_valid))
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_bert_embed_hybrid,
+                    sharded_bert_embed_hybrid_int8,
+                )
+
+                if dev[0] == "int8":
+                    vv, vi, bv, bi = sharded_bert_embed_hybrid_int8(
+                        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                        dev[1], dev[2], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.int32(kid), kb, imax, mesh,
+                    )
+                else:
+                    vv, vi, bv, bi = sharded_bert_embed_hybrid(
+                        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                        dev[1], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.int32(kid), kb, imax, mesh,
+                    )
+            elif dev[0] == "int8":
+                vv, vi, bv, bi = bert_embed_hybrid_search_int8(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[2], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.int32(kid), kb, imax,
+                )
+            else:
+                vv, vi, bv, bi = bert_embed_hybrid_search(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.int32(kid), kb, imax,
+                )
+        vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
+        if raw:
+            return self.rows_to_ids(vv, vi), bv, bi
+        return self._materialize(vv, vi), bv, bi
+
     def search(self, query_vec: np.ndarray, limit: int) -> list[SearchResult]:
         return self.search_batch(query_vec, limit)[0]
 
