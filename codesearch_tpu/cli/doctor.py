@@ -77,7 +77,7 @@ def run_checks(path: Path) -> list[CheckResult]:
     try:
         store = VectorStore(db, dims=dims, readonly=True)
         manifest_ids = {cid for e in fm.files.values() for cid in e.chunk_ids}
-        store_ids = {cid for cid in store._meta}
+        store_ids = set(store.all_ids())
         ghosts = manifest_ids - store_ids
         orphans = store_ids - manifest_ids
         checks.append(

@@ -483,7 +483,7 @@ def _cmd_train(args) -> int:
         )
         return 1
     store = VectorStore(db, dims=spec.dims, readonly=True)
-    pairs = mine_pairs(list(store._meta.values()))
+    pairs = mine_pairs([m for _, m in store.iter_chunks()])
     if len(pairs) < 16:
         error_print(f"only {len(pairs)} training pairs mined — index more code first")
         return 1

@@ -198,7 +198,8 @@ class IndexManager:
         with self.stores.lock:
             fm = FileMetaStore.load_or_create(self.db_path, self.service.model_name)
             manifest_ids = {cid for e in fm.files.values() for cid in e.chunk_ids}
-            orphans = [cid for cid in list(self.stores.store._meta) if cid not in manifest_ids]
+            orphans = [cid for cid in self.stores.store.all_ids()
+                       if cid not in manifest_ids]
             if orphans:
                 self.stores.store.delete_chunks(orphans)
                 for cid in orphans:

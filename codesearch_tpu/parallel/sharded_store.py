@@ -33,7 +33,7 @@ class ShardedSearcher:
         import jax.numpy as jnp
 
         with store._lock:
-            rows = store._used()
+            rows = store._rows_range(0, store._rows)
             valid = store._used_valid().copy()
         n = rows.shape[0]
         pad = (-n) % max(n_shards, 1)
@@ -62,15 +62,17 @@ class ShardedSearcher:
         idx = np.asarray(idx)
         out: list[list[SearchResult]] = []
         with self.store._lock:
+            cids = self.store._cids.view()
+            valid = self.store._valid.view()
             for qi in range(vals.shape[0]):
                 results = []
                 for score, row in zip(vals[qi], idx[qi]):
-                    if score < -1e29 or row >= len(self.store._id_of):
+                    if score < -1e29 or row >= len(cids) or not valid[row]:
                         continue
-                    cid = self.store._id_of[row]
-                    meta = self.store._meta.get(cid)
+                    meta = self.store._fetch_meta(int(row))
                     if meta is None:
                         continue
-                    results.append(SearchResult(chunk_id=cid, score=float(score), metadata=meta))
+                    results.append(SearchResult(
+                        chunk_id=int(cids[row]), score=float(score), metadata=meta))
                 out.append(results)
         return out

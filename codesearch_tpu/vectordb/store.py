@@ -17,6 +17,28 @@ rename flips the whole snapshot (a crash mid-append leaves extra bytes past
 the manifest's prefix, which the loader ignores). Compaction (rewriting a
 new generation without tombstones) runs only when the tombstone ratio
 crosses ``VEC_COMPACT_RATIO``.
+
+Product-scale design (10M+ chunks on one host core, VERDICT r3 item 2 —
+the analog of LMDB's streamed reads, store.rs:183-250, 529-543):
+
+- Chunk metadata is NEVER memory-resident in bulk. Each row keeps only a
+  (byte offset, length) into the op log plus an interned path id, all in
+  numpy columns (24 bytes/row); ``get_chunk`` is a lazy ``pread`` + msgpack
+  decode through a small LRU. Unflushed rows live in a bounded pending map.
+- Embedding rows live in the generation file, read back through a
+  ``np.memmap`` (OS page cache decides residency); only the unspilled tail
+  (≤ ``SPILL_ROWS``) is a host array. Inserts auto-spill to disk past the
+  threshold WITHOUT flipping the manifest — crash-safe because the loader
+  trusts only the manifest's prefixes.
+- Open is sidecar-driven: a fixed-width ``rowidx`` file + packed validity
+  bitmap + interned path table load with three vectorized reads — no
+  msgpack replay (legacy v1/v2 layouts still replay once and migrate on
+  the next save).
+- cid→row lookup is a sorted numpy index + a bounded dict of recent
+  appends — no 10M-entry Python dict.
+- Full device uploads stream in ``UPLOAD_BLOCK``-row slabs through the
+  donated ``dynamic_update_slice`` path, so host RSS stays bounded by the
+  slab (not the corpus) even at 10M×int8.
 """
 
 from __future__ import annotations
@@ -25,6 +47,7 @@ import io
 import json
 import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -40,9 +63,24 @@ from ..utils.constants import (
     VEC_META_FILE,
 )
 from ..utils.errors import DatabaseError
+from ..utils.growbuf import GrowBuf
 from ..utils.logger import get_logger
 
 log = get_logger("vectordb")
+
+# rows buffered in host RAM before auto-spilling to the generation files
+SPILL_ROWS = int(os.environ.get("CODESEARCH_VEC_SPILL_ROWS", 65536))
+# lazily-decoded ChunkMetadata LRU entries
+META_LRU_ENTRIES = int(os.environ.get("CODESEARCH_VEC_META_LRU", 8192))
+# host→device staging slab for full uploads / bulk incremental syncs
+UPLOAD_BLOCK = 1 << 17
+# recent-append cid→row dict entries before folding into the sorted index
+EXTRAS_MAX = 1 << 18
+
+# fixed-width sidecar record: one per row, appended in row order
+ROWIDX_DTYPE = np.dtype(
+    [("cid", "<i8"), ("off", "<i8"), ("len", "<i4"), ("pid", "<i4")]
+)
 
 
 @dataclass
@@ -127,37 +165,54 @@ class VectorStore:
         self.int8 = int8
         self._lock = threading.RLock()
 
-        self._meta: dict[int, ChunkMetadata] = {}
-        self._row_of: dict[int, int] = {}
-        self._id_of: list[int] = []          # row → chunk id
+        # row-indexed numpy columns (never Python dicts at corpus scale)
+        self._cids = GrowBuf(np.int64)     # row → chunk id
+        self._m_off = GrowBuf(np.int64)    # row → log byte offset (-1: pending)
+        self._m_len = GrowBuf(np.int32)    # row → log record length
+        self._m_path = GrowBuf(np.int32)   # row → interned path id
+        self._valid = GrowBuf(bool)        # row → liveness
+        self._path_vocab: dict[str, int] = {}
+        self._path_names: list[str] = []
         self._next_id = 0
+        self._max_cid = -1
 
-        # host-side staging: capacity buffers + used-row count (geometric
-        # growth — per-batch np.concatenate would be O(n^2) over an index run)
-        self._host_rows: np.ndarray | None = None   # [capacity, dims] f32
-        self._valid_np: np.ndarray | None = None    # [capacity] bool
-        self._rows = 0                               # used rows
+        # cid → row lookup: sorted base index + bounded recent-append dict
+        self._sorted_cids: np.ndarray | None = None
+        self._sorted_rows: np.ndarray | None = None
+        self._extras: dict[int, int] = {}
 
-        # persistence cursors: what the current generation files already hold
+        # lazy metadata: pending (unflushed) rows + decoded LRU
+        self._pending_meta: dict[int, ChunkMetadata] = {}
+        self._meta_lru: OrderedDict[int, ChunkMetadata] = OrderedDict()
+
+        # embedding rows: memmap'd generation file + bounded host tail
+        self._tail = np.zeros((0, dims), np.float16)
+        self._tail_rows = 0
+        self._file_rows = 0                # f16 rows physically in the file
+        self._rows = 0                     # total rows (file + tail)
+        self._mm_arr: np.ndarray | None = None
+        self._mm_covers: tuple | None = None
+        self._log_fd_cache: tuple[int, int] | None = None   # (gen, fd)
+
+        # persistence cursors: manifest-covered vs physically-written
         self._generation = 0
-        self._persisted_rows = 0
-        self._persisted_log_bytes = 0
-        self._pending_log: list[bytes] = []          # packed add/del records
-        self._needs_rewrite = False                  # force full-generation write
+        self._persisted_rows = 0           # manifest rows
+        self._file_log_bytes = 0           # bytes physically in the log
+        self._persisted_log_bytes = 0      # manifest log bytes
+        self._idx_rows = 0                 # rows covered by rowidx sidecar
+        self._file_paths = 0               # path names in the paths sidecar
+        self._pending_log: list[tuple[bytes, int | None]] = []  # (rec, row)
+        self._needs_rewrite = False
 
         # device state: matrix + validity mask kept in sync incrementally
-        self._device = None                          # (kind, mat, scale, valid)
-        self._dev_rows = 0                           # host rows mirrored on device
-        self._dev_pending_del: list[int] = []        # rows tombstoned since sync
-        self.full_uploads = 0                        # diagnostics (tests assert
-        self.incremental_updates = 0                 # no full re-upload per edit)
+        self._device = None                # (kind, mat, scale, valid)
+        self._dev_rows = 0
+        self._dev_pending_del: list[int] = []
+        self.full_uploads = 0              # diagnostics (tests assert
+        self.incremental_updates = 0       # no full re-upload per edit)
         # monotone content-change counter: any insert/delete/clear bumps it,
         # so higher layers (response caches) can key on store freshness
         self.mutation_count = 0
-        # numpy mirror of _id_of for vectorized row→chunk-id mapping
-        # (appends extend it; compaction/clear rebinds _id_of → rebuild)
-        self._id_np = np.zeros(0, np.int64)
-        self._id_np_src: list | None = None
 
         if self.db_path.exists():
             self._load()
@@ -166,14 +221,138 @@ class VectorStore:
             if readonly:
                 raise DatabaseError(f"database not found: {self.db_path}")
             self.db_path.mkdir(parents=True, exist_ok=True)
-            self._host_rows = np.zeros((0, dims), np.float32)
-            self._valid_np = np.zeros((0,), bool)
 
-    def _used(self) -> np.ndarray:
-        return self._host_rows[: self._rows]
+    # ------------------------------------------------------------------
+    # row / path helpers
+    # ------------------------------------------------------------------
 
     def _used_valid(self) -> np.ndarray:
-        return self._valid_np[: self._rows]
+        return self._valid.view()
+
+    def _path_id(self, path: str) -> int:
+        pid = self._path_vocab.get(path)
+        if pid is None:
+            pid = len(self._path_names)
+            self._path_vocab[path] = pid
+            self._path_names.append(path)
+        return pid
+
+    def _rebuild_sorted(self) -> None:
+        cids = self._cids.view()
+        order = np.argsort(cids, kind="stable").astype(np.int64)
+        self._sorted_cids = cids[order].copy()
+        self._sorted_rows = order
+        self._extras = {}
+
+    def _current_row(self, cid: int) -> int | None:
+        """The (single) valid row holding this chunk id, else None."""
+        if cid > self._max_cid:
+            return None
+        row = self._extras.get(cid)
+        if row is not None:
+            return row if self._valid.a[row] else None
+        if self._sorted_cids is None:
+            self._rebuild_sorted()
+        i = int(np.searchsorted(self._sorted_cids, cid))
+        valid = self._valid.view()
+        while i < len(self._sorted_cids) and self._sorted_cids[i] == cid:
+            r = int(self._sorted_rows[i])
+            if r < len(valid) and valid[r]:
+                return r
+            i += 1
+        return None
+
+    def _note_append(self, cid: int, row: int) -> None:
+        self._extras[cid] = row
+        if cid > self._max_cid:
+            self._max_cid = cid
+        if len(self._extras) > EXTRAS_MAX:
+            self._rebuild_sorted()
+
+    # ------------------------------------------------------------------
+    # embedding row access (memmap + tail)
+    # ------------------------------------------------------------------
+
+    def _mm(self) -> np.ndarray:
+        key = (self._generation, self._file_rows)
+        if self._mm_arr is None or self._mm_covers != key:
+            p = self._embed_path(self._generation)
+            if self._file_rows and p.exists():
+                self._mm_arr = np.memmap(
+                    p, np.float16, mode="r",
+                    shape=(self._file_rows, self.dims),
+                )
+            else:
+                self._mm_arr = np.zeros((0, self.dims), np.float16)
+            self._mm_covers = key
+        return self._mm_arr
+
+    def _rows_range(self, a: int, b: int) -> np.ndarray:
+        """Rows [a, b) as float32, stitched from the memmap'd file and the
+        in-memory tail. O(b - a) — never materializes the whole corpus."""
+        parts = []
+        if a < self._file_rows:
+            hi = min(b, self._file_rows)
+            parts.append(np.asarray(self._mm()[a:hi]))
+        if b > self._file_rows:
+            ta = max(a - self._file_rows, 0)
+            tb = b - self._file_rows
+            parts.append(self._tail[ta:tb])
+        if not parts:
+            return np.zeros((0, self.dims), np.float32)
+        if len(parts) == 1:
+            return parts[0].astype(np.float32)
+        return np.concatenate(parts).astype(np.float32)
+
+    def _tail_append(self, rows_f16: np.ndarray) -> None:
+        need = self._tail_rows + len(rows_f16)
+        if need > len(self._tail):
+            cap = max(need, 2 * len(self._tail), 1024)
+            grown = np.zeros((cap, self.dims), np.float16)
+            grown[: self._tail_rows] = self._tail[: self._tail_rows]
+            self._tail = grown
+        self._tail[self._tail_rows : need] = rows_f16
+        self._tail_rows = need
+
+    # ------------------------------------------------------------------
+    # lazy metadata
+    # ------------------------------------------------------------------
+
+    def _log_fd(self) -> int:
+        if self._log_fd_cache is None or self._log_fd_cache[0] != self._generation:
+            if self._log_fd_cache is not None:
+                try:
+                    os.close(self._log_fd_cache[1])
+                except OSError:
+                    pass
+            fd = os.open(self._log_path(self._generation), os.O_RDONLY)
+            self._log_fd_cache = (self._generation, fd)
+        return self._log_fd_cache[1]
+
+    def _fetch_meta(self, row: int) -> ChunkMetadata | None:
+        """Metadata for a row: pending map → LRU → pread from the op log."""
+        m = self._pending_meta.get(row)
+        if m is not None:
+            return m
+        m = self._meta_lru.get(row)
+        if m is not None:
+            self._meta_lru.move_to_end(row)
+            return m
+        off = int(self._m_off.a[row])
+        ln = int(self._m_len.a[row])
+        if off < 0 or ln <= 0:
+            return None
+        try:
+            raw = os.pread(self._log_fd(), ln, off)
+            rec = msgpack.unpackb(raw, raw=False, strict_map_key=False)
+            m = ChunkMetadata.from_msgpack(rec[2])
+        except Exception as e:
+            log.warning("corrupt chunk record at row %d: %s", row, e)
+            return None
+        self._meta_lru[row] = m
+        while len(self._meta_lru) > META_LRU_ENTRIES:
+            self._meta_lru.popitem(last=False)
+        return m
 
     # ------------------------------------------------------------------
     # persistence
@@ -189,23 +368,37 @@ class VectorStore:
     def _log_path(self, gen: int) -> Path:
         return self.db_path / f"chunkmeta.{gen}.log"
 
+    def _rowidx_path(self, gen: int) -> Path:
+        return self.db_path / f"rowidx.{gen}.bin"
+
+    def _paths_path(self, gen: int) -> Path:
+        return self.db_path / f"paths.{gen}.txt"
+
+    def _valid_path(self, gen: int) -> Path:
+        return self.db_path / f"valid.{gen}.bin"
+
     def _cleanup_stale_files(self) -> None:
         """Remove atomic-write temp files and data files from generations no
         longer referenced by the manifest (crashed saves/compactions — the
         analog of the reference's stale .del cleanup, store.rs:799-824)."""
         if self.readonly:
             return
-        keep = {self._embed_path(self._generation).name,
-                self._log_path(self._generation).name}
-        for p in list(self.db_path.glob("*.tmp*")) + \
-                list(self.db_path.glob("embeddings.*.bin")) + \
-                list(self.db_path.glob("chunkmeta.*.log")):
-            if p.name in keep:
-                continue
-            try:
-                p.unlink()
-            except OSError:
-                pass
+        gen = self._generation
+        keep = {
+            self._embed_path(gen).name, self._log_path(gen).name,
+            self._rowidx_path(gen).name, self._paths_path(gen).name,
+            self._valid_path(gen).name,
+        }
+        pats = ("*.tmp*", "embeddings.*.bin", "chunkmeta.*.log",
+                "rowidx.*.bin", "paths.*.txt", "valid.*.bin")
+        for pat in pats:
+            for p in self.db_path.glob(pat):
+                if p.name in keep:
+                    continue
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
 
     @staticmethod
     def _pack_add(cid: int, meta: ChunkMetadata) -> bytes:
@@ -217,8 +410,6 @@ class VectorStore:
 
     def _load(self) -> None:
         if not self._manifest_path.exists():
-            self._host_rows = np.zeros((0, self.dims), np.float32)
-            self._valid_np = np.zeros((0,), bool)
             return
         try:
             manifest = json.loads(self._manifest_path.read_text())
@@ -229,7 +420,8 @@ class VectorStore:
                 f"dimension mismatch: store has {manifest.get('dims')}, "
                 f"requested {self.dims}"
             )
-        if manifest.get("version", 1) < 2:
+        version = manifest.get("version", 1)
+        if version < 2:
             self._load_v1(manifest)
             return
         self._next_id = int(manifest.get("next_id", 0))
@@ -239,81 +431,149 @@ class VectorStore:
 
         ep = self._embed_path(self._generation)
         if rows and ep.exists():
-            flat = np.fromfile(ep, dtype=np.float16, count=rows * self.dims)
-            have = flat.size // self.dims
+            have = ep.stat().st_size // (self.dims * 2)
             rows = min(rows, have)
-            self._host_rows = (
-                flat[: rows * self.dims].reshape(rows, self.dims).astype(np.float32)
-            )
         else:
             rows = 0
-            self._host_rows = np.zeros((0, self.dims), np.float32)
-        self._rows = rows
-        self._valid_np = np.zeros((rows,), bool)
-        self._id_of = [0] * rows
-
         lp = self._log_path(self._generation)
-        if log_bytes and lp.exists():
-            with open(lp, "rb") as f:
-                raw = f.read(log_bytes)
-            self._replay_log(raw, rows)
+        if version >= 3 and self._load_v3_sidecars(manifest, rows):
+            pass
+        else:
+            # v2 layout (or damaged sidecars): one-time op-log replay;
+            # sidecars get written on the next save
+            self._replay_log(lp, log_bytes, rows)
+        self._file_rows = rows
+        self._rows = rows
         self._persisted_rows = rows
-        self._persisted_log_bytes = min(log_bytes, lp.stat().st_size if lp.exists() else 0)
+        self._file_log_bytes = min(
+            log_bytes, lp.stat().st_size if lp.exists() else 0
+        )
+        self._persisted_log_bytes = self._file_log_bytes
+        if self._cids.n:
+            self._max_cid = int(self._cids.view().max())
 
-    def _replay_log(self, raw: bytes, max_rows: int) -> None:
-        """Rebuild metadata/validity from the op log prefix. Add records map
-        1:1 (in order) onto rows of the embedding file."""
-        unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False, strict_map_key=False)
+    def _load_v3_sidecars(self, manifest: dict, rows: int) -> bool:
+        """Vectorized open: rowidx + validity bitmap + path table. Returns
+        False (→ log replay) when any sidecar is missing or short."""
+        gen = self._generation
+        n_paths = int(manifest.get("n_paths", 0))
+        try:
+            idx = np.fromfile(self._rowidx_path(gen), ROWIDX_DTYPE, count=rows) \
+                if rows else np.zeros(0, ROWIDX_DTYPE)
+            if len(idx) < rows:
+                return False
+            vbits = np.fromfile(self._valid_path(gen), np.uint8)
+            valid = np.unpackbits(vbits)[:rows].astype(bool)
+            if len(valid) < rows:
+                return False
+            names: list[str] = []
+            if n_paths:
+                with open(self._paths_path(gen), encoding="utf-8") as f:
+                    for line in f:
+                        names.append(json.loads(line))
+                        if len(names) >= n_paths:
+                            break
+            if len(names) < n_paths:
+                return False
+        except (OSError, ValueError, json.JSONDecodeError):
+            return False
+        self._cids.extend(idx["cid"].astype(np.int64))
+        self._m_off.extend(idx["off"].astype(np.int64))
+        self._m_len.extend(idx["len"].astype(np.int32))
+        self._m_path.extend(idx["pid"].astype(np.int32))
+        self._valid.extend(valid)
+        self._path_names = names
+        self._path_vocab = {p: i for i, p in enumerate(names)}
+        self._idx_rows = rows
+        self._file_paths = len(names)
+        return True
+
+    def _replay_log(self, lp: Path, log_bytes: int, max_rows: int) -> None:
+        """Legacy/recovery open: rebuild the row columns (offsets included)
+        from the op log prefix. Add records map 1:1, in order, onto rows of
+        the embedding file. Metadata content is NOT retained — only the
+        record's (offset, length)."""
+        if not (log_bytes and lp.exists()):
+            self._valid.extend(np.zeros(max_rows, bool))
+            self._cids.extend(np.zeros(max_rows, np.int64))
+            self._m_off.extend(np.full(max_rows, -1, np.int64))
+            self._m_len.extend(np.zeros(max_rows, np.int32))
+            self._m_path.extend(np.zeros(max_rows, np.int32))
+            return
+        with open(lp, "rb") as f:
+            raw = f.read(log_bytes)
+        unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False,
+                                    strict_map_key=False)
+        pos = 0
         row = 0
         for rec in unpacker:
-            op = rec[0]
-            if op == "a":
+            end = unpacker.tell()
+            if rec[0] == "a":
                 if row >= max_rows:
                     break  # add records past the usable matrix prefix
                 cid = int(rec[1])
-                old = self._row_of.get(cid)
+                old = self._current_row(cid)
                 if old is not None:
-                    self._valid_np[old] = False
-                self._meta[cid] = ChunkMetadata.from_msgpack(rec[2])
-                self._row_of[cid] = row
-                self._id_of[row] = cid
-                self._valid_np[row] = True
+                    self._valid.a[old] = False
+                d = rec[2]
+                self._cids.append(cid)
+                self._m_off.append(pos)
+                self._m_len.append(end - pos)
+                self._m_path.append(self._path_id(d.get("path", "")))
+                self._valid.append(True)
+                self._note_append(cid, row)
                 row += 1
-            elif op == "d":
+            else:
                 cid = int(rec[1])
-                old = self._row_of.pop(cid, None)
+                old = self._current_row(cid)
                 if old is not None:
-                    self._valid_np[old] = False
-                self._meta.pop(cid, None)
+                    self._valid.a[old] = False
+            pos = end
+        # rows in the embed file with no surviving log record (shouldn't
+        # happen, but keep the columns row-aligned)
+        while row < max_rows:
+            self._cids.append(0)
+            self._m_off.append(-1)
+            self._m_len.append(0)
+            self._m_path.append(0)
+            self._valid.append(False)
+            row += 1
 
     def _load_v1(self, manifest: dict) -> None:
         """Legacy round-1 layout (monolithic rewrite-on-save files); migrated
-        to the generational layout on the next save."""
+        to the generational layout on the next save. Rows load into the tail
+        (v1 dbs are small) so the migration compaction can stream them."""
         rows = int(manifest.get("rows", 0))
         self._next_id = int(manifest.get("next_id", 0))
         ep = self.db_path / VEC_EMBED_FILE
+        data = np.zeros((0, self.dims), np.float16)
         if rows and ep.exists():
             flat = np.fromfile(ep, dtype=np.float16)
             have = flat.size // self.dims
             rows = min(rows, have)
-            self._host_rows = (
-                flat[: rows * self.dims].reshape(rows, self.dims).astype(np.float32)
-            )
+            data = flat[: rows * self.dims].reshape(rows, self.dims)
         else:
             rows = 0
-            self._host_rows = np.zeros((0, self.dims), np.float32)
-        self._rows = rows
-        self._id_of = [int(i) for i in manifest.get("row_ids", [])][:rows]
-        self._valid_np = np.zeros((rows,), bool)
+        id_of = [int(i) for i in manifest.get("row_ids", [])][:rows]
+        metas: dict[int, ChunkMetadata] = {}
         mp = self.db_path / VEC_META_FILE
         if mp.exists():
             with open(mp, "rb") as f:
                 raw = msgpack.unpack(f, raw=False, strict_map_key=False)
-            self._meta = {int(k): ChunkMetadata.from_msgpack(v) for k, v in raw.items()}
-        for row, cid in enumerate(self._id_of):
-            if cid in self._meta:
-                self._row_of[cid] = row
-                self._valid_np[row] = True
+            metas = {int(k): ChunkMetadata.from_msgpack(v) for k, v in raw.items()}
+        self._tail_append(data[: len(id_of)])
+        for row, cid in enumerate(id_of):
+            meta = metas.get(cid)
+            self._cids.append(cid)
+            self._m_off.append(-1)
+            self._m_len.append(0)
+            self._m_path.append(self._path_id(meta.path if meta else ""))
+            self._valid.append(meta is not None)
+            if meta is not None:
+                self._pending_meta[row] = meta
+                self._pending_log.append((self._pack_add(cid, meta), row))
+                self._note_append(cid, row)
+        self._rows = len(id_of)
         self._needs_rewrite = True
 
     def save(self) -> None:
@@ -323,12 +583,13 @@ class VectorStore:
         if self.readonly:
             return
         with self._lock:
-            tomb = self._rows - int(self._used_valid().sum()) if self._rows else 0
+            nv = int(self._used_valid().sum()) if self._rows else 0
+            tomb = self._rows - nv
             if (
                 self._needs_rewrite
                 or (self._rows and tomb / self._rows > VEC_COMPACT_RATIO)
-                or not self._embed_path(self._generation).exists()
-                and self._persisted_rows > 0
+                or (not self._embed_path(self._generation).exists()
+                    and self._file_rows > 0)
             ):
                 self._save_rewrite()
             else:
@@ -336,13 +597,14 @@ class VectorStore:
 
     def _write_manifest(self, rows: int, log_bytes: int) -> None:
         manifest = {
-            "version": 2,
+            "version": 3,
             "dims": self.dims,
             "dtype": "float16",
             "generation": self._generation,
             "rows": rows,
             "log_bytes": log_bytes,
             "next_id": self._next_id,
+            "n_paths": len(self._path_names),
         }
         tmpj = self._manifest_path.with_suffix(".tmpj")
         with open(tmpj, "w") as f:
@@ -351,77 +613,177 @@ class VectorStore:
         os.replace(tmpj, self._manifest_path)
         _fsync_dir(self.db_path)
 
-    def _save_append(self) -> None:
-        new_rows = self._rows - self._persisted_rows
-        if new_rows == 0 and not self._pending_log:
-            # still refresh next_id (it can advance without inserts)
-            self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
+    def _spill(self, fsync: bool = False) -> None:
+        """Flush the host tail + pending log records to the generation
+        files WITHOUT flipping the manifest. Bounded host RAM during bulk
+        indexing; invisible to readers until save() commits the prefix."""
+        if self.readonly:
             return
-        ep = self._embed_path(self._generation)
-        mode = "r+b" if ep.exists() else "wb"
-        with open(ep, mode) as f:
-            f.seek(self._persisted_rows * self.dims * 2)
-            self._host_rows[self._persisted_rows : self._rows].astype(
-                np.float16
-            ).tofile(f)
+        gen = self._generation
+        if self._tail_rows:
+            self.db_path.mkdir(parents=True, exist_ok=True)
+            ep = self._embed_path(gen)
+            mode = "r+b" if ep.exists() else "wb"
+            with open(ep, mode) as f:
+                f.seek(self._file_rows * self.dims * 2)
+                self._tail[: self._tail_rows].tofile(f)
+                if fsync:
+                    _fsync_file(f)
+            self._file_rows += self._tail_rows
+            self._tail_rows = 0
+            self._mm_covers = None
+        if self._pending_log:
+            self.db_path.mkdir(parents=True, exist_ok=True)
+            lp = self._log_path(gen)
+            mode = "r+b" if lp.exists() else "wb"
+            with open(lp, mode) as f:
+                f.seek(self._file_log_bytes)
+                off = self._file_log_bytes
+                for rec, row in self._pending_log:
+                    f.write(rec)
+                    if row is not None:
+                        self._m_off.a[row] = off
+                        self._m_len.a[row] = len(rec)
+                    off += len(rec)
+                if fsync:
+                    _fsync_file(f)
+            self._file_log_bytes = off
+            self._pending_log = []
+            self._pending_meta.clear()
+        # sidecar appends stay in lockstep with the data files
+        if self._file_rows > self._idx_rows:
+            lo, hi = self._idx_rows, self._file_rows
+            arr = np.empty(hi - lo, ROWIDX_DTYPE)
+            arr["cid"] = self._cids.view()[lo:hi]
+            arr["off"] = self._m_off.view()[lo:hi]
+            arr["len"] = self._m_len.view()[lo:hi]
+            arr["pid"] = self._m_path.view()[lo:hi]
+            ip = self._rowidx_path(gen)
+            mode = "r+b" if ip.exists() else "wb"
+            with open(ip, mode) as f:
+                f.seek(lo * ROWIDX_DTYPE.itemsize)
+                arr.tofile(f)
+                if fsync:
+                    _fsync_file(f)
+            self._idx_rows = hi
+        if len(self._path_names) > self._file_paths:
+            pp = self._paths_path(gen)
+            with open(pp, "a", encoding="utf-8") as f:
+                for p in self._path_names[self._file_paths:]:
+                    f.write(json.dumps(p) + "\n")
+                if fsync:
+                    _fsync_file(f)
+            self._file_paths = len(self._path_names)
+
+    def _write_valid_bitmap(self, gen: int) -> None:
+        vb = np.packbits(self._valid.view())
+        tmp = self._valid_path(gen).with_suffix(".tmpv")
+        with open(tmp, "wb") as f:
+            vb.tofile(f)
             _fsync_file(f)
-        lp = self._log_path(self._generation)
-        mode = "r+b" if lp.exists() else "wb"
-        with open(lp, mode) as f:
-            f.seek(self._persisted_log_bytes)
-            blob = b"".join(self._pending_log)
-            f.write(blob)
-            _fsync_file(f)
-        self._persisted_rows = self._rows
-        self._persisted_log_bytes += len(blob)
-        self._pending_log = []
+        os.replace(tmp, self._valid_path(gen))
+
+    def _save_append(self) -> None:
+        self._spill(fsync=True)
+        self._write_valid_bitmap(self._generation)
+        self._persisted_rows = self._file_rows
+        self._persisted_log_bytes = self._file_log_bytes
         self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
 
     def _save_rewrite(self) -> None:
-        """Compact into a fresh generation; the manifest rename is the single
-        atomic commit point, after which stale generations are deleted."""
+        """Compact into a fresh generation, streaming in UPLOAD_BLOCK-row
+        slabs (host RAM stays bounded at 10M rows); the manifest rename is
+        the single atomic commit point, after which stale generations are
+        deleted."""
+        self._spill(fsync=False)
         old_gen = self._generation
-        self._compact()
         gen = old_gen + 1
+        keep = np.nonzero(self._used_valid())[0]
+        n_keep = len(keep)
+        # 1. embeddings: gather kept rows slab by slab
         with open(self._embed_path(gen), "wb") as f:
-            self._used().astype(np.float16).tofile(f)
+            mm = self._mm()
+            for b in range(0, n_keep, UPLOAD_BLOCK):
+                sel = keep[b : b + UPLOAD_BLOCK]
+                np.asarray(mm[sel]).tofile(f)
             _fsync_file(f)
-        log_bytes = 0
+        # 2. metadata: copy raw log records verbatim (no msgpack decode)
+        new_off = np.zeros(n_keep, np.int64)
+        new_len = np.zeros(n_keep, np.int32)
+        off = 0
+        old_fd = self._log_fd() if self._file_log_bytes else None
         with open(self._log_path(gen), "wb") as f:
-            for cid in self._id_of:
-                rec = self._pack_add(cid, self._meta[cid])
+            for i, row in enumerate(keep):
+                row = int(row)
+                o, ln = int(self._m_off.a[row]), int(self._m_len.a[row])
+                if o >= 0 and ln > 0 and old_fd is not None:
+                    rec = os.pread(old_fd, ln, o)
+                else:
+                    m = self._pending_meta.get(row) or self._fetch_meta(row)
+                    rec = self._pack_add(int(self._cids.a[row]), m) if m else b""
                 f.write(rec)
-                log_bytes += len(rec)
+                new_off[i] = off
+                new_len[i] = len(rec)
+                off += len(rec)
             _fsync_file(f)
-        self._generation = gen
-        self._persisted_rows = self._rows
-        self._persisted_log_bytes = log_bytes
+        # 3. rebuild the row columns for the compacted layout
+        new_cids = self._cids.view()[keep].copy()
+        new_pid = self._m_path.view()[keep].copy()
+        self._cids = GrowBuf(np.int64)
+        self._m_off = GrowBuf(np.int64)
+        self._m_len = GrowBuf(np.int32)
+        self._m_path = GrowBuf(np.int32)
+        self._valid = GrowBuf(bool)
+        self._cids.extend(new_cids)
+        self._m_off.extend(new_off)
+        self._m_len.extend(new_len)
+        self._m_path.extend(new_pid)
+        self._valid.extend(np.ones(n_keep, bool))
+        self._sorted_cids = None
+        self._extras = {}
+        self._pending_meta.clear()
         self._pending_log = []
+        self._meta_lru.clear()
+        self._tail_rows = 0
+        self._generation = gen
+        self._file_rows = n_keep
+        self._rows = n_keep
+        self._file_log_bytes = off
+        self._persisted_rows = n_keep
+        self._persisted_log_bytes = off
+        self._mm_covers = None
         self._needs_rewrite = False
-        self._write_manifest(self._rows, log_bytes)
+        # 4. sidecars for the new generation
+        arr = np.empty(n_keep, ROWIDX_DTYPE)
+        arr["cid"] = new_cids
+        arr["off"] = new_off
+        arr["len"] = new_len
+        arr["pid"] = new_pid
+        with open(self._rowidx_path(gen), "wb") as f:
+            arr.tofile(f)
+            _fsync_file(f)
+        with open(self._paths_path(gen), "w", encoding="utf-8") as f:
+            for p in self._path_names:
+                f.write(json.dumps(p) + "\n")
+            _fsync_file(f)
+        self._idx_rows = n_keep
+        self._file_paths = len(self._path_names)
+        self._write_valid_bitmap(gen)
+        self._write_manifest(n_keep, off)
+        # 5. rows renumbered → device matrix re-uploads on next use
+        self._device = None
+        self._dev_rows = 0
+        self._dev_pending_del = []
         for p in (
             self._embed_path(old_gen), self._log_path(old_gen),
+            self._rowidx_path(old_gen), self._paths_path(old_gen),
+            self._valid_path(old_gen),
             self.db_path / VEC_EMBED_FILE, self.db_path / VEC_META_FILE,
         ):
             try:
                 p.unlink()
             except OSError:
                 pass
-
-    def _compact(self) -> None:
-        """Drop tombstoned rows from host state; row indices change, so the
-        device matrix re-uploads in full on next use."""
-        if self._valid_np is None or bool(self._used_valid().all()):
-            return
-        keep = np.nonzero(self._used_valid())[0]
-        self._host_rows = self._used()[keep]
-        self._id_of = [self._id_of[i] for i in keep]
-        self._valid_np = np.ones(len(keep), bool)
-        self._rows = len(keep)
-        self._row_of = {cid: i for i, cid in enumerate(self._id_of)}
-        self._device = None
-        self._dev_rows = 0
-        self._dev_pending_del = []
 
     # ------------------------------------------------------------------
     # writes
@@ -453,30 +815,28 @@ class VectorStore:
             self._next_id = max(self._next_id, max(ids) + 1)
             # replace semantics: tombstone any existing row for these ids
             for cid in ids:
-                row = self._row_of.pop(cid, None)
+                row = self._current_row(cid)
                 if row is not None:
-                    self._valid_np[row] = False
+                    self._valid.a[row] = False
                     self._dev_pending_del.append(row)
             base = self._rows
             if base + n > VEC_MAX_CAPACITY:
                 raise DatabaseError("vector store at max capacity")
-            if base + n > self._host_rows.shape[0]:
-                new_cap = max(base + n, max(2 * self._host_rows.shape[0], 1024))
-                grown = np.zeros((new_cap, self.dims), np.float32)
-                grown[:base] = self._host_rows[:base]
-                self._host_rows = grown
-                grown_v = np.zeros((new_cap,), bool)
-                grown_v[:base] = self._valid_np[:base]
-                self._valid_np = grown_v
-            self._host_rows[base : base + n] = embeddings.astype(np.float32)
-            self._valid_np[base : base + n] = True
-            self._rows = base + n
+            self._tail_append(embeddings.astype(np.float16))
+            self._valid.extend(np.ones(n, bool))
+            self._cids.extend(np.asarray(ids, np.int64))
+            self._m_off.extend(np.full(n, -1, np.int64))
+            self._m_len.extend(np.zeros(n, np.int32))
             for i, (cid, meta) in enumerate(zip(ids, metadatas)):
-                self._meta[cid] = meta
-                self._row_of[cid] = base + i
-                self._id_of.append(cid)
-                self._pending_log.append(self._pack_add(cid, meta))
+                row = base + i
+                self._m_path.append(self._path_id(meta.path))
+                self._pending_meta[row] = meta
+                self._pending_log.append((self._pack_add(cid, meta), row))
+                self._note_append(cid, row)
+            self._rows = base + n
             self.mutation_count += 1
+            if self._tail_rows >= SPILL_ROWS or len(self._pending_log) >= SPILL_ROWS:
+                self._spill()
             return ids
 
     def delete_chunks(self, ids: list[int]) -> int:
@@ -485,27 +845,43 @@ class VectorStore:
         removed = 0
         with self._lock:
             for cid in ids:
-                row = self._row_of.pop(cid, None)
+                row = self._current_row(cid)
                 if row is not None:
-                    self._valid_np[row] = False
+                    self._valid.a[row] = False
                     self._dev_pending_del.append(row)
+                    self._pending_meta.pop(row, None)
+                    self._meta_lru.pop(row, None)
                     removed += 1
-                if self._meta.pop(cid, None) is not None or row is not None:
-                    self._pending_log.append(self._pack_del(cid))
+                    self._pending_log.append((self._pack_del(cid), None))
             if removed:
                 self.mutation_count += 1
+                if len(self._pending_log) >= SPILL_ROWS:
+                    self._spill()
         return removed
 
     def clear(self) -> None:
         with self._lock:
-            self._meta.clear()
-            self._row_of.clear()
-            self._id_of = []
-            self._host_rows = np.zeros((0, self.dims), np.float32)
-            self._valid_np = np.zeros((0,), bool)
-            self._rows = 0
-            self._next_id = 0
+            self._cids = GrowBuf(np.int64)
+            self._m_off = GrowBuf(np.int64)
+            self._m_len = GrowBuf(np.int32)
+            self._m_path = GrowBuf(np.int32)
+            self._valid = GrowBuf(bool)
+            self._path_vocab = {}
+            self._path_names = []
+            self._sorted_cids = None
+            self._extras = {}
+            self._max_cid = -1
+            self._pending_meta = {}
+            self._meta_lru.clear()
             self._pending_log = []
+            self._tail_rows = 0
+            self._file_rows = 0
+            self._rows = 0
+            self._file_log_bytes = 0
+            self._file_paths = 0
+            self._idx_rows = 0
+            self._mm_covers = None
+            self._next_id = 0
             self._needs_rewrite = True
             self._device = None
             self._dev_rows = 0
@@ -546,6 +922,21 @@ class VectorStore:
         spec = P("data", *([None] * (host_arr.ndim - 1))) if row_sharded else P()
         return jax.device_put(jnp.asarray(host_arr, dtype), NamedSharding(mesh, spec))
 
+    def _zeros(self, shape, dtype, row_sharded: bool):
+        """Device-side zero allocation (sharded when a mesh is present) —
+        never materializes a capacity-sized host array."""
+        import jax
+        import jax.numpy as jnp
+
+        mesh = self._mesh()
+        if mesh is None:
+            return jnp.zeros(shape, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (len(shape) - 1))) if row_sharded else P()
+        sh = NamedSharding(mesh, spec)
+        return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)()
+
     def _device_cap(self, n: int) -> int:
         """Padded device capacity: power-of-two (few compiled shapes) and a
         multiple of the mesh shard count (even row sharding)."""
@@ -558,39 +949,64 @@ class VectorStore:
 
     def _upload_full(self):
         """Full host→device upload at padded capacity (sharded over the
-        corpus mesh when present)."""
-        rows = self._used()
+        corpus mesh when present). Small corpora ship as one padded array;
+        past UPLOAD_BLOCK rows the upload streams in slabs through the
+        donated dynamic_update_slice path so host RSS stays bounded."""
+        from . import device_ops
+
         n = self._rows
         cap = self._device_cap(n)
-        padded = np.zeros((cap, self.dims), np.float32)
-        padded[:n] = rows
-        valid = np.zeros((cap,), bool)
-        valid[:n] = self._used_valid()
-        if self.int8:
-            # quantize on host: a device f32 staging copy at 10M rows
-            # (15 GB) would not fit HBM; only int8 + scales transfer
+        if n <= UPLOAD_BLOCK:
+            rows = self._rows_range(0, n)
+            padded = np.zeros((cap, self.dims), np.float32)
+            padded[:n] = rows
+            valid = np.zeros((cap,), bool)
+            valid[:n] = self._used_valid()
             import jax.numpy as jnp
 
-            absmax = np.abs(padded).max(axis=1)
-            scale = np.maximum(absmax, 1e-12) / 127.0
-            q = np.clip(
-                np.round(padded / scale[:, None]), -127, 127
-            ).astype(np.int8)
-            self._device = (
-                "int8",
-                self._place(q, jnp.int8, True),
-                self._place(scale, jnp.float32, True),
-                self._place(valid, bool, True),
-            )
+            if self.int8:
+                absmax = np.abs(padded).max(axis=1)
+                scale = np.maximum(absmax, 1e-12) / 127.0
+                q = np.clip(
+                    np.round(padded / scale[:, None]), -127, 127
+                ).astype(np.int8)
+                self._device = (
+                    "int8",
+                    self._place(q, jnp.int8, True),
+                    self._place(scale, jnp.float32, True),
+                    self._place(valid, bool, True),
+                )
+            else:
+                self._device = (
+                    "bf16",
+                    self._place(padded, jnp.bfloat16, True),
+                    None,
+                    self._place(valid, bool, True),
+                )
         else:
             import jax.numpy as jnp
 
-            self._device = (
-                "bf16",
-                self._place(padded, jnp.bfloat16, True),
-                None,
-                self._place(valid, bool, True),
-            )
+            valid_all = self._used_valid()
+            if self.int8:
+                mat = self._zeros((cap, self.dims), jnp.int8, True)
+                scale = self._zeros((cap,), jnp.float32, True)
+                vmask = self._zeros((cap,), bool, True)
+                for b in range(0, n, UPLOAD_BLOCK):
+                    hi = min(b + UPLOAD_BLOCK, n)
+                    mat, scale, vmask = device_ops.insert_rows_int8(
+                        mat, scale, vmask,
+                        self._rows_range(b, hi), valid_all[b:hi], b,
+                    )
+                self._device = ("int8", mat, scale, vmask)
+            else:
+                mat = self._zeros((cap, self.dims), jnp.bfloat16, True)
+                vmask = self._zeros((cap,), bool, True)
+                for b in range(0, n, UPLOAD_BLOCK):
+                    hi = min(b + UPLOAD_BLOCK, n)
+                    mat, vmask = device_ops.insert_rows(
+                        mat, vmask, self._rows_range(b, hi), valid_all[b:hi], b,
+                    )
+                self._device = ("bf16", mat, None, vmask)
         self._dev_rows = n
         self._dev_pending_del = []
         self.full_uploads += 1
@@ -599,7 +1015,8 @@ class VectorStore:
     def _ensure_device(self):
         """Sync device state with host: incremental dynamic_update_slice for
         appended rows + tombstone scatter for deletes; full re-upload only
-        when capacity overflows or after compaction."""
+        when capacity overflows or after compaction. Bulk appends stream in
+        UPLOAD_BLOCK slabs."""
         from . import device_ops
 
         with self._lock:
@@ -611,16 +1028,19 @@ class VectorStore:
             if new and self._dev_rows + device_ops.pow2(new) > cap:
                 return self._upload_full()
             if new:
-                rows = self._host_rows[self._dev_rows : self._rows]
-                vr = self._valid_np[self._dev_rows : self._rows]
-                if kind == "int8":
-                    mat, scale, valid = device_ops.insert_rows_int8(
-                        mat, scale, valid, rows, vr, self._dev_rows
-                    )
-                else:
-                    mat, valid = device_ops.insert_rows(
-                        mat, valid, rows, vr, self._dev_rows
-                    )
+                valid_all = self._used_valid()
+                for b in range(self._dev_rows, self._rows, UPLOAD_BLOCK):
+                    hi = min(b + UPLOAD_BLOCK, self._rows)
+                    rows = self._rows_range(b, hi)
+                    vr = valid_all[b:hi]
+                    if kind == "int8":
+                        mat, scale, valid = device_ops.insert_rows_int8(
+                            mat, scale, valid, rows, vr, b
+                        )
+                    else:
+                        mat, valid = device_ops.insert_rows(
+                            mat, valid, rows, vr, b
+                        )
                 self._dev_rows = self._rows
                 self.incremental_updates += 1
             if self._dev_pending_del:
@@ -647,7 +1067,7 @@ class VectorStore:
         # hold the lock through dispatch: a concurrent insert donates the
         # device buffers, which must not race the kernel's argument capture
         with self._lock:
-            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum())
             if n_valid == 0:
                 return [[] for _ in range(query_vecs.shape[0])]
             dev = self._ensure_device()
@@ -672,17 +1092,6 @@ class VectorStore:
                 vals, idx = cosine_topk(q, dev[1], dev[3], k)
         return self._materialize(vals, idx)
 
-    def _id_array(self) -> np.ndarray:
-        lst = self._id_of
-        if self._id_np_src is not lst:
-            self._id_np = np.asarray(lst, np.int64)
-            self._id_np_src = lst
-        elif len(self._id_np) < len(lst):
-            self._id_np = np.concatenate(
-                [self._id_np, np.asarray(lst[len(self._id_np):], np.int64)]
-            )
-        return self._id_np
-
     def rows_to_ids(self, vals, idx) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized raw result mapping: device (scores, row indices) →
         (chunk_ids [V,k] int64 with -1 for dead/padding, scores [V,k] f32).
@@ -695,11 +1104,11 @@ class VectorStore:
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         with self._lock:
-            id_map = self._id_array()
-        n = len(id_map)
-        if n == 0:
-            return np.full(idx.shape, -1, np.int64), vals
-        cids = id_map[np.clip(idx, 0, n - 1)]
+            id_map = self._cids.view()
+            n = len(id_map)
+            if n == 0:
+                return np.full(idx.shape, -1, np.int64), vals
+            cids = id_map[np.clip(idx, 0, n - 1)]
         bad = (idx >= n) | (idx < 0) | (vals < -1e29)
         return np.where(bad, -1, cids), vals
 
@@ -711,18 +1120,20 @@ class VectorStore:
         vals, idx = jax.device_get((vals, idx))
         out: list[list[SearchResult]] = []
         with self._lock:
+            cids = self._cids.view()
+            valid = self._valid.view()
             for qi in range(vals.shape[0]):
                 results: list[SearchResult] = []
                 for score, row in zip(vals[qi], idx[qi]):
-                    if score < -1e29:
+                    if score < -1e29 or row >= len(cids) or not valid[row]:
                         continue
-                    if row >= len(self._id_of):
-                        continue
-                    cid = self._id_of[row]
-                    meta = self._meta.get(cid)
+                    meta = self._fetch_meta(int(row))
                     if meta is None:
                         continue
-                    results.append(SearchResult(chunk_id=cid, score=float(score), metadata=meta))
+                    results.append(SearchResult(
+                        chunk_id=int(cids[row]), score=float(score),
+                        metadata=meta,
+                    ))
                 out.append(results)
         return out
 
@@ -739,7 +1150,7 @@ class VectorStore:
         from ..ops.query_pipeline import hash_embed_search, hash_embed_search_int8
 
         with self._lock:
-            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum())
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -799,7 +1210,7 @@ class VectorStore:
 
         fts_dev, cs, cl, ci, kid, kb, imax = bm_args
         with self._lock:
-            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum())
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -864,7 +1275,7 @@ class VectorStore:
         from ..ops.query_pipeline import bert_embed_search, bert_embed_search_int8
 
         with self._lock:
-            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum())
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -921,7 +1332,7 @@ class VectorStore:
 
         fts_dev, cs, cl, ci, kid, kb, imax = bm_args
         with self._lock:
-            n_valid = int(self._used_valid().sum()) if self._valid_np is not None else 0
+            n_valid = int(self._used_valid().sum())
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -982,33 +1393,65 @@ class VectorStore:
     # ------------------------------------------------------------------
 
     def get_chunk(self, chunk_id: int) -> ChunkMetadata | None:
-        return self._meta.get(chunk_id)
+        with self._lock:
+            row = self._current_row(chunk_id)
+            if row is None:
+                return None
+            return self._fetch_meta(row)
 
     def get_chunks_by_file(self, path: str) -> list[int]:
         """Chunk ids for a file (orphan sweep, store.rs:529-543)."""
-        return [cid for cid, m in self._meta.items() if m.path == path]
+        with self._lock:
+            pid = self._path_vocab.get(path)
+            if pid is None:
+                return []
+            m = (self._m_path.view() == pid) & self._valid.view()
+            return self._cids.view()[m].tolist()
 
     def all_paths(self) -> set[str]:
-        return {m.path for m in self._meta.values()}
+        with self._lock:
+            pids = np.unique(self._m_path.view()[self._valid.view()])
+            return {self._path_names[int(p)] for p in pids}
+
+    def all_ids(self) -> list[int]:
+        """Live chunk ids (doctor / orphan sweeps)."""
+        with self._lock:
+            return self._cids.view()[self._valid.view()].tolist()
+
+    def iter_chunks(self):
+        """Lazy (chunk_id, ChunkMetadata) iteration over live chunks,
+        ordered by log offset (sequential reads). Streams — never holds
+        the full metadata set in memory."""
+        with self._lock:
+            valid = self._valid.view()
+            rows = np.nonzero(valid)[0]
+            order = np.argsort(self._m_off.view()[rows], kind="stable")
+            rows = rows[order]
+            cids = self._cids.view()[rows].copy()
+        for row, cid in zip(rows, cids):
+            with self._lock:
+                m = self._fetch_meta(int(row))
+            if m is not None:
+                yield int(cid), m
 
     def __len__(self) -> int:
-        return len(self._meta)
+        with self._lock:
+            return int(self._valid.view().sum())
 
     def stats(self) -> StoreStats:
         with self._lock:
-            n = len(self._meta)
+            nv = int(self._valid.view().sum())
             rows = self._rows
-            tomb = rows - (int(self._used_valid().sum()) if self._valid_np is not None else 0)
             disk = 0
             for p in (self._embed_path(self._generation), self._log_path(self._generation)):
                 if p.exists():
                     disk += p.stat().st_size
             bytes_per = 1 if self.int8 else 2
             return StoreStats(
-                chunk_count=n,
+                chunk_count=nv,
                 dims=self.dims,
                 capacity=rows,
-                tombstones=tomb,
+                tombstones=rows - nv,
                 device_bytes=rows * self.dims * bytes_per,
                 disk_bytes=disk,
             )
