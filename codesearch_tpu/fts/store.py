@@ -58,9 +58,22 @@ _SIG_BOOST = 2.0
 _KIND_BOOST = 3.0
 _EXACT_SIG_BOOST = 3.0
 
-MAX_SEGMENTS = 12          # hard cap — beyond it the two smallest merge
+MAX_SEGMENTS = 12          # cap on the UNSEALED pool — past it the two smallest merge
 MERGE_RATIO = 2.0          # similar-size segments merge eagerly
+# segments at/above this posting count are SEALED: they never merge again,
+# bounding merge transients to ~2×MERGE_MAX postings (~0.5 GB) regardless of
+# corpus size — the 10M-doc configuration would otherwise concatenate+argsort
+# 100M+ postings in one merge (tantivy's log-structured levels, same idea)
+MERGE_MAX_POSTINGS = int(os.environ.get("CODESEARCH_FTS_MERGE_MAX", 1 << 23))
 DEVICE_MIN_DOCS = 50_000   # below this, host bincount beats a dispatch
+# recent-append cid→slot dict entries before folding into the sorted index
+EXTRAS_MAX = 1 << 18
+
+# fixed-width doc-store sidecar record, one per slot, appended in slot order
+DOCIDX_DTYPE = np.dtype(
+    [("dnum", "<i8"), ("cid", "<i8"), ("len", "<i4"), ("kid", "<i2"),
+     ("pid", "<i4")]
+)
 # Terms matching more than this fraction of the corpus are skipped: their
 # idf is ~log(1 + (N-df)/df) ≈ 0 (zero ranking signal) while their postings
 # dominate gather cost — measured 3.1M of 3.3M selected postings at 1M docs
@@ -104,34 +117,7 @@ class FtsResult:
     kind: str
 
 
-class _GrowBuf:
-    """Geometric-growth 1D numpy buffer."""
-
-    def __init__(self, dtype):
-        self.a = np.zeros(1024, dtype)
-        self.n = 0
-
-    def extend(self, values: np.ndarray) -> None:
-        need = self.n + len(values)
-        if need > len(self.a):
-            cap = max(need, 2 * len(self.a))
-            grown = np.zeros(cap, self.a.dtype)
-            grown[: self.n] = self.a[: self.n]
-            self.a = grown
-        self.a[self.n : need] = values
-        self.n = need
-
-    def append(self, v) -> int:
-        if self.n + 1 > len(self.a):
-            grown = np.zeros(2 * len(self.a), self.a.dtype)
-            grown[: self.n] = self.a[: self.n]
-            self.a = grown
-        self.a[self.n] = v
-        self.n += 1
-        return self.n - 1
-
-    def view(self) -> np.ndarray:
-        return self.a[: self.n]
+from ..utils.growbuf import GrowBuf as _GrowBuf  # noqa: E402  (shared impl)
 
 
 class Segment:
@@ -165,6 +151,13 @@ class Segment:
         tfc, tfs = tfc[order], tfs[order]
         uniq, counts = np.unique(terms, return_counts=True)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        # compact posting dtypes (10M-doc scale: 16 B/posting instead of 24):
+        # dnums fit int32 (dnum space is bounded by total adds), tf saturates
+        # in BM25 anyway so int16 loses nothing
+        if len(dnums) and int(dnums.max()) < (1 << 31):
+            dnums = dnums.astype(np.int32)
+        tfc = np.clip(tfc, 0, 32767).astype(np.int16)
+        tfs = np.clip(tfs, 0, 32767).astype(np.int16)
         return cls(uniq, offsets, dnums, tfc, tfs)
 
     def flat_terms(self) -> np.ndarray:
@@ -173,23 +166,32 @@ class Segment:
 
 class FtsStore:
     MANIFEST_FILE = "fts.json"
-    DOCLOG_FILE = "docs.log"
-    # legacy (round-1) layout, auto-migrated on first commit
-    LEGACY_INDEX_FILE = "index.msgpack"
+    DOCIDX_FILE = "docidx.bin"
+    DOCVALID_FILE = "docvalid.bin"
+    PATHS_FILE = "paths.txt"
+    # legacy layouts, auto-migrated on first commit
+    DOCLOG_FILE = "docs.log"               # v3 (round-2): msgpack doc log
+    LEGACY_INDEX_FILE = "index.msgpack"    # v2 (round-1)
     LEGACY_POSTINGS_FILE = "postings.npz"
 
     def __init__(self, directory: str | Path, readonly: bool = False):
         self.dir = Path(directory)
         self.readonly = readonly
         self._lock = threading.RLock()
-        # columnar doc store, indexed by slot (append-only; len -1 = dead)
+        # columnar doc store, indexed by slot (append-only; len -1 = dead).
+        # Scale discipline (10M docs): NO per-doc Python objects — paths are
+        # interned ids, cid→slot is a sorted index + bounded append overlay,
+        # dnum→slot is a searchsorted on the (monotone) dnum column.
         self._doc_dnum = _GrowBuf(np.int64)
         self._doc_len = _GrowBuf(np.int32)
         self._doc_kid = _GrowBuf(np.int32)
         self._doc_cid = _GrowBuf(np.int64)
-        self._doc_path: list[str] = []
-        self._slot_of: dict[int, int] = {}     # live dnum → slot
-        self._c2d: dict[int, int] = {}         # chunk id → live dnum
+        self._doc_pid = _GrowBuf(np.int32)     # interned path id
+        self._path_vocab: dict[str, int] = {}
+        self._path_names: list[str] = []
+        self._sorted_cids: np.ndarray | None = None
+        self._sorted_slots: np.ndarray | None = None
+        self._extras: dict[int, int] = {}      # recent cid → slot
         self._n_live = 0
         self._kind_vocab: dict[str, int] = {}
         self._kind_names: list[str] = []
@@ -202,11 +204,9 @@ class FtsStore:
         self._new_tfc = _GrowBuf(np.int32)
         self._new_tfs = _GrowBuf(np.int32)
         self._dead_since_flush: set[int] = set()
-        # persistence cursors
-        self._pending_doclog: list[bytes] = []
-        self._persisted_log_bytes = 0
-        self._log_dead = 0             # "d" records in the persisted log
-        self._needs_rewrite = False
+        # persistence cursors (sidecar-covered prefixes)
+        self._idx_slots = 0                    # slots in docidx.bin
+        self._file_paths = 0                   # names in paths.txt
         # dense scoring view: SLOT-indexed (append-only, never compacted —
         # slot positions are stable so resident device postings stay valid
         # across doc adds/deletes; liveness is a mask)
@@ -246,23 +246,67 @@ class FtsStore:
             self._kind_names.append(kind)
         return kid
 
+    def _path_id(self, path: str) -> int:
+        pid = self._path_vocab.get(path)
+        if pid is None:
+            pid = len(self._path_names)
+            self._path_vocab[path] = pid
+            self._path_names.append(path)
+        return pid
+
+    def _path_of_slot(self, slot: int) -> str:
+        return self._path_names[int(self._doc_pid.a[slot])]
+
+    def _slot_of_dnum(self, dnum: int) -> int | None:
+        """dnums are assigned monotonically and appended in order, so the
+        dnum column IS sorted — slot lookup is one bisect, no dict."""
+        v = self._doc_dnum.view()
+        i = int(np.searchsorted(v, dnum))
+        if i < len(v) and v[i] == dnum:
+            return i
+        return None
+
+    def _rebuild_sorted(self) -> None:
+        cids = self._doc_cid.view()
+        order = np.argsort(cids, kind="stable").astype(np.int64)
+        self._sorted_cids = cids[order].copy()
+        self._sorted_slots = order
+        self._extras = {}
+
+    def _current_slot(self, cid: int) -> int | None:
+        """The (single) LIVE slot holding this chunk id, else None."""
+        slot = self._extras.get(cid)
+        if slot is not None:
+            return slot if self._doc_len.a[slot] >= 0 else None
+        if self._sorted_cids is None:
+            self._rebuild_sorted()
+        i = int(np.searchsorted(self._sorted_cids, cid))
+        lens = self._doc_len.view()
+        while i < len(self._sorted_cids) and self._sorted_cids[i] == cid:
+            s = int(self._sorted_slots[i])
+            if s < len(lens) and lens[s] >= 0:
+                return s
+            i += 1
+        return None
+
     def _add_doc(self, dnum: int, cid: int, length: int, kind: str, path: str) -> None:
-        old = self._c2d.pop(cid, None)
+        old = self._current_slot(cid)
         if old is not None:
-            self._kill_dnum(old)
+            self._kill_dnum(int(self._doc_dnum.a[old]))
         slot = self._doc_dnum.append(dnum)
         self._doc_len.append(length)
         self._doc_kid.append(self._kind_id(kind))
         self._doc_cid.append(cid)
-        self._doc_path.append(path)
-        self._slot_of[dnum] = slot
-        self._c2d[cid] = dnum
+        self._doc_pid.append(self._path_id(path))
+        self._extras[cid] = slot
+        if len(self._extras) > EXTRAS_MAX:
+            self._rebuild_sorted()
         self._n_live += 1
         self._dense_dirty = True
 
     def _kill_dnum(self, dnum: int) -> None:
-        slot = self._slot_of.pop(dnum, None)
-        if slot is not None:
+        slot = self._slot_of_dnum(dnum)
+        if slot is not None and self._doc_len.a[slot] >= 0:
             self._doc_len.a[slot] = -1
             self._n_live -= 1
             self._dead_since_flush.add(dnum)
@@ -271,13 +315,13 @@ class FtsStore:
 
     def _doc(self, dnum: int):
         """(len, kind, path, chunk_id) for a live dnum, else None."""
-        slot = self._slot_of.get(dnum)
-        if slot is None:
+        slot = self._slot_of_dnum(dnum)
+        if slot is None or self._doc_len.a[slot] < 0:
             return None
         return (
             int(self._doc_len.a[slot]),
             self._kind_names[int(self._doc_kid.a[slot])],
-            self._doc_path[slot],
+            self._path_of_slot(slot),
             int(self._doc_cid.a[slot]),
         )
 
@@ -301,10 +345,6 @@ class FtsStore:
             doc_len = max(len(c_keys) + len(s_keys), 1)
             self._add_doc(dnum, chunk_id, doc_len, kind, path)
             self.mutation_count += 1
-            self._pending_doclog.append(
-                msgpack.packb(("a", dnum, chunk_id, doc_len, kind, path),
-                              use_bin_type=True)
-            )
             all_keys = np.concatenate([c_keys, s_keys]) if len(s_keys) else c_keys
             if len(all_keys):
                 uniq, inv = np.unique(all_keys, return_inverse=True)
@@ -342,10 +382,6 @@ class FtsStore:
                 doc_len = max(len(c_keys) + len(s_keys), 1)
                 self._add_doc(dnum, cid, doc_len, kind, path)
                 self.mutation_count += 1
-                self._pending_doclog.append(
-                    msgpack.packb(("a", dnum, cid, doc_len, kind, path),
-                                  use_bin_type=True)
-                )
                 if len(c_keys):
                     key_parts.append(c_keys)
                     dnum_parts.append(np.full(len(c_keys), dnum, np.int64))
@@ -374,20 +410,16 @@ class FtsStore:
 
     def delete_chunk(self, chunk_id: int) -> None:
         with self._lock:
-            dnum = self._c2d.pop(chunk_id, None)
-            if dnum is None:
+            slot = self._current_slot(chunk_id)
+            if slot is None:
                 return
-            self._kill_dnum(dnum)
+            self._kill_dnum(int(self._doc_dnum.a[slot]))
             self.mutation_count += 1
-            self._pending_doclog.append(
-                msgpack.packb(("d", dnum), use_bin_type=True)
-            )
 
     def clear(self) -> None:
         with self._lock:
             self.__init_empty()
             self.mutation_count += 1
-            self._needs_rewrite = True
             self.commit()
 
     def __init_empty(self) -> None:
@@ -395,9 +427,12 @@ class FtsStore:
         self._doc_len = _GrowBuf(np.int32)
         self._doc_kid = _GrowBuf(np.int32)
         self._doc_cid = _GrowBuf(np.int64)
-        self._doc_path = []
-        self._slot_of = {}
-        self._c2d = {}
+        self._doc_pid = _GrowBuf(np.int32)
+        self._path_vocab = {}
+        self._path_names = []
+        self._sorted_cids = None
+        self._sorted_slots = None
+        self._extras = {}
         self._n_live = 0
         self._segments = []
         self._new_terms = _GrowBuf(np.int64)
@@ -405,7 +440,8 @@ class FtsStore:
         self._new_tfc = _GrowBuf(np.int32)
         self._new_tfs = _GrowBuf(np.int32)
         self._dead_since_flush = set()
-        self._pending_doclog = []
+        self._idx_slots = 0
+        self._file_paths = 0
         self._dense_dirty = True
         self._dev = None
         self._dev_state = None
@@ -463,15 +499,25 @@ class FtsStore:
 
     def _maybe_merge(self) -> None:
         """Geometric merge policy: similar-sized segments merge (ratio 2),
-        and the two smallest always merge past the hard cap — amortized
+        and the two smallest always merge past the pool cap — amortized
         O(n log n) over any insert sequence (replaces tantivy's background
-        merge machinery, tantivy_store.rs:154-189, minus the crashy thread)."""
-        while len(self._segments) > 1:
-            self._segments.sort(key=len, reverse=True)
-            s1, s2 = self._segments[-1], self._segments[-2]
-            if len(self._segments) > MAX_SEGMENTS or len(s1) * MERGE_RATIO >= len(s2):
+        merge machinery, tantivy_store.rs:154-189, minus the crashy thread).
+        Segments at MERGE_MAX_POSTINGS are SEALED and leave the merge pool:
+        merge transients stay bounded (~2×MERGE_MAX postings) at any corpus
+        size; queries bisect a few more segments, which is noise."""
+        while True:
+            pool = sorted(
+                (s for s in self._segments if len(s) < MERGE_MAX_POSTINGS),
+                key=len, reverse=True,
+            )
+            if len(pool) < 2:
+                break
+            s1, s2 = pool[-1], pool[-2]
+            if len(pool) > MAX_SEGMENTS or len(s1) * MERGE_RATIO >= len(s2):
                 merged = self._adopt(self._merge_segments([s2, s1]))
-                self._segments = self._segments[:-2] + [merged]
+                self._segments = [
+                    s for s in self._segments if s is not s1 and s is not s2
+                ] + [merged]
             else:
                 break
 
@@ -487,68 +533,119 @@ class FtsStore:
     def _doclog_path(self) -> Path:
         return self.dir / self.DOCLOG_FILE
 
+    _SEG_ARRAYS = ("terms", "offsets", "dnums", "tfc", "tfs")
+
+    def _write_segment(self, seg: Segment) -> None:
+        """Persist one immutable segment as a set of .npy files (one per
+        array) so reopening can memory-map the posting bulk instead of
+        loading it — at 10M docs the postings are GBs that should live in
+        page cache, not the heap."""
+        for arr_name in self._SEG_ARRAYS:
+            tmp = self.dir / f"{seg.name}.{arr_name}.tmp.npy"
+            np.save(tmp, np.ascontiguousarray(getattr(seg, arr_name)))
+            os.replace(tmp, self.dir / f"{seg.name}.{arr_name}.npy")
+
+    def _mmap_segment(self, seg: Segment) -> None:
+        """Swap the posting bulk (dnums/tfc/tfs) for read-only memmaps of
+        the just-written files; terms/offsets stay in memory (bisect-hot,
+        comparatively tiny)."""
+        try:
+            seg.dnums = np.load(self.dir / f"{seg.name}.dnums.npy", mmap_mode="r")
+            seg.tfc = np.load(self.dir / f"{seg.name}.tfc.npy", mmap_mode="r")
+            seg.tfs = np.load(self.dir / f"{seg.name}.tfs.npy", mmap_mode="r")
+        except OSError:
+            pass  # keep the in-memory arrays (still correct)
+
+    def _load_segment(self, name: str) -> Segment | None:
+        if name.endswith(".npz"):
+            p = self.dir / name
+            if not p.exists():
+                return None
+            data = np.load(p)
+            return Segment(data["terms"], data["offsets"], data["dnums"],
+                           data["tfc"], data["tfs"], name=name)
+        paths = {a: self.dir / f"{name}.{a}.npy" for a in self._SEG_ARRAYS}
+        if not all(p.exists() for p in paths.values()):
+            return None
+        seg = Segment(
+            np.load(paths["terms"]), np.load(paths["offsets"]),
+            np.load(paths["dnums"], mmap_mode="r"),
+            np.load(paths["tfc"], mmap_mode="r"),
+            np.load(paths["tfs"], mmap_mode="r"),
+            name=name,
+        )
+        return seg
+
     def commit(self) -> None:
         """Flush new postings to a segment, run the merge policy, persist
-        changed segments + doc-log delta, flip the manifest atomically."""
+        changed segments + doc-store sidecar deltas, flip the manifest
+        atomically. Doc metadata persists as vectorized sidecars (fixed-
+        width docidx + packed liveness bitmap + interned path table) — NO
+        per-record msgpack, so reopening a 10M-doc store is three
+        np.fromfile calls."""
         if self.readonly:
             return
         with self._lock:
             self._flush_mem()
             self._maybe_merge()
             self.dir.mkdir(parents=True, exist_ok=True)
-            # 1. write any memory-only segments
+            # 1. write any memory-only segments, then mmap their bulk
             for seg in self._segments:
                 if seg.name is None:
-                    seg.name = f"seg-{self._next_seg}.npz"
+                    seg.name = f"seg-{self._next_seg}"
                     self._next_seg += 1
-                    tmp = self.dir / (seg.name + ".tmp.npz")
-                    np.savez(tmp, terms=seg.terms, offsets=seg.offsets,
-                             dnums=seg.dnums, tfc=seg.tfc, tfs=seg.tfs)
-                    os.replace(tmp, self.dir / seg.name)
-            # 2. doc log: append, or rewrite when dead records dominate
-            if self._needs_rewrite or (
-                self._log_dead > 0.25 * max(self._n_live, 64)
-            ):
-                self._ensure_dense()
-                parts = []
-                for slot in np.nonzero(self._live_arr)[0]:
-                    slot = int(slot)
-                    parts.append(msgpack.packb(
-                        ("a", int(self._dnums_sorted[slot]), int(self._cid_arr[slot]),
-                         int(self._len_arr[slot]),
-                         self._kind_names[int(self._kind_arr[slot])],
-                         self._doc_path[slot]),
-                        use_bin_type=True,
-                    ))
-                blob = b"".join(parts)
-                tmp = self._doclog_path.with_suffix(".tmp")
-                with open(tmp, "wb") as f:
-                    f.write(blob)
+                    self._write_segment(seg)
+                    self._mmap_segment(seg)
+            # 2. docidx append (slot order; crash-safe: the manifest's slot
+            # count is the valid prefix, stale bytes get overwritten)
+            n = self._doc_dnum.n
+            if n < self._idx_slots:
+                self._idx_slots = 0  # store shrank (clear) — rewrite prefix
+            if n > self._idx_slots:
+                lo, hi = self._idx_slots, n
+                arr = np.empty(hi - lo, DOCIDX_DTYPE)
+                arr["dnum"] = self._doc_dnum.view()[lo:hi]
+                arr["cid"] = self._doc_cid.view()[lo:hi]
+                # record the ORIGINAL length even for already-dead docs
+                # (liveness is the bitmap's job; -1 would poison len stats)
+                arr["len"] = np.abs(self._doc_len.view()[lo:hi])
+                arr["kid"] = np.clip(self._doc_kid.view()[lo:hi], 0, 32767)
+                arr["pid"] = self._doc_pid.view()[lo:hi]
+                ip = self.dir / self.DOCIDX_FILE
+                mode = "r+b" if ip.exists() else "wb"
+                with open(ip, mode) as f:
+                    f.seek(lo * DOCIDX_DTYPE.itemsize)
+                    arr.tofile(f)
                     f.flush()
                     os.fsync(f.fileno())
-                os.replace(tmp, self._doclog_path)
-                self._persisted_log_bytes = len(blob)
-                self._log_dead = 0
-                self._pending_doclog = []
-                self._needs_rewrite = False
-            elif self._pending_doclog:
-                blob = b"".join(self._pending_doclog)
-                mode = "r+b" if self._doclog_path.exists() else "wb"
-                with open(self._doclog_path, mode) as f:
-                    f.seek(self._persisted_log_bytes)
-                    f.write(blob)
+                self._idx_slots = n
+            # 3. liveness bitmap (full rewrite — 10M docs = 1.25 MB)
+            vb = np.packbits(self._doc_len.view() >= 0)
+            tmpv = self.dir / (self.DOCVALID_FILE + ".tmpv")
+            with open(tmpv, "wb") as f:
+                vb.tofile(f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmpv, self.dir / self.DOCVALID_FILE)
+            # 4. path table append (json-lines, id = line number)
+            if self._file_paths > len(self._path_names):
+                self._file_paths = 0
+                with contextlib.suppress(OSError):
+                    (self.dir / self.PATHS_FILE).unlink()
+            if len(self._path_names) > self._file_paths:
+                with open(self.dir / self.PATHS_FILE, "a", encoding="utf-8") as f:
+                    for p in self._path_names[self._file_paths:]:
+                        f.write(json.dumps(p) + "\n")
                     f.flush()
                     os.fsync(f.fileno())
-                self._log_dead += sum(
-                    1 for r in self._pending_doclog if r.startswith(b"\x92\xa1d")
-                )
-                self._persisted_log_bytes += len(blob)
-                self._pending_doclog = []
-            # 3. manifest rename = the commit point
+                self._file_paths = len(self._path_names)
+            # 5. manifest rename = the commit point
             manifest = {
-                "version": 3,
+                "version": 4,
                 "segments": [s.name for s in self._segments],
-                "log_bytes": self._persisted_log_bytes,
+                "slots": n,
+                "n_paths": len(self._path_names),
+                "kind_names": self._kind_names,
                 "next_dnum": self._next_dnum,
                 "next_seg": self._next_seg,
             }
@@ -558,14 +655,20 @@ class FtsStore:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmpj, self._manifest_path)
-            # 4. prune files no longer referenced (merged-away segments,
-            # legacy layout, crashed tmp files)
-            keep = {s.name for s in self._segments}
-            for p in self.dir.glob("seg-*.npz"):
+            # 6. prune files no longer referenced (merged-away segments,
+            # legacy layouts, crashed tmp files)
+            keep = set()
+            for s in self._segments:
+                if s.name.endswith(".npz"):
+                    keep.add(s.name)
+                else:
+                    keep.update(f"{s.name}.{a}.npy" for a in self._SEG_ARRAYS)
+            for p in list(self.dir.glob("seg-*.npz")) + list(self.dir.glob("seg-*.npy")):
                 if p.name not in keep:
                     with contextlib.suppress(OSError):
                         p.unlink()
-            for name in (self.LEGACY_INDEX_FILE, self.LEGACY_POSTINGS_FILE):
+            for name in (self.LEGACY_INDEX_FILE, self.LEGACY_POSTINGS_FILE,
+                         self.DOCLOG_FILE):
                 with contextlib.suppress(OSError):
                     (self.dir / name).unlink()
             for p in self.dir.glob("*.tmp*"):
@@ -583,39 +686,19 @@ class FtsStore:
             self._next_dnum = int(manifest.get("next_dnum", 0))
             self._next_seg = int(manifest.get("next_seg", 0))
             for name in manifest.get("segments", []):
-                p = self.dir / name
-                if not p.exists():
-                    log.warning("missing fts segment %s — skipped", name)
-                    continue
                 try:
-                    data = np.load(p)
-                    self._segments.append(self._adopt(Segment(
-                        data["terms"], data["offsets"], data["dnums"],
-                        data["tfc"], data["tfs"], name=name,
-                    )))
+                    seg = self._load_segment(name)
                 except Exception as e:
                     log.warning("corrupt fts segment %s — skipped: %s", name, e)
-            log_bytes = int(manifest.get("log_bytes", 0))
-            lp = self._doclog_path
-            if log_bytes and lp.exists():
-                with open(lp, "rb") as f:
-                    raw = f.read(log_bytes)
-                unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False,
-                                            strict_map_key=False)
-                for rec in unpacker:
-                    if rec[0] == "a":
-                        _, dnum, cid, ln, kind, path = rec
-                        self._add_doc(int(dnum), int(cid), int(ln), kind, path)
-                    else:
-                        dnum = int(rec[1])
-                        entry = self._doc(dnum)
-                        if entry is not None:
-                            self._c2d.pop(entry[3], None)
-                        self._kill_dnum(dnum)
-                        self._log_dead += 1
-                self._persisted_log_bytes = min(
-                    log_bytes, lp.stat().st_size if lp.exists() else 0
-                )
+                    continue
+                if seg is None:
+                    log.warning("missing fts segment %s — skipped", name)
+                    continue
+                self._segments.append(self._adopt(seg))
+            if int(manifest.get("version", 3)) >= 4:
+                self._load_doc_sidecars(manifest)
+            else:
+                self._load_doclog_v3(manifest)
             self._dead_since_flush.clear()
             return
         # ---- legacy round-1 layout (single CSR npz + msgpack doc dict) ----
@@ -629,7 +712,10 @@ class FtsStore:
                     for cid in sorted(int(c) for c in raw["docs"]):
                         v = raw["docs"][cid] if cid in raw["docs"] else raw["docs"][str(cid)]
                         self._add_doc(cid, cid, int(v[0]), v[1], v[2])
-                    self._next_dnum = (max(self._c2d.values()) + 1) if self._c2d else 0
+                    self._next_dnum = (
+                        int(self._doc_dnum.view().max()) + 1
+                        if self._doc_dnum.n else 0
+                    )
             except Exception as e:
                 log.warning("corrupt legacy fts doc store, starting empty: %s", e)
         pz = self.dir / self.LEGACY_POSTINGS_FILE
@@ -643,7 +729,70 @@ class FtsStore:
             except Exception as e:
                 log.warning("corrupt legacy fts postings, starting empty: %s", e)
         self._dead_since_flush.clear()
-        self._needs_rewrite = True
+
+    def _load_doc_sidecars(self, manifest: dict) -> None:
+        """v4 open: three vectorized reads — fixed-width docidx, packed
+        liveness bitmap, json-lines path table. No per-record decode."""
+        slots = int(manifest.get("slots", 0))
+        n_paths = int(manifest.get("n_paths", 0))
+        self._kind_names = list(manifest.get("kind_names", []))
+        self._kind_vocab = {k: i for i, k in enumerate(self._kind_names)}
+        if not slots:
+            self._file_paths = 0
+            return
+        try:
+            idx = np.fromfile(self.dir / self.DOCIDX_FILE, DOCIDX_DTYPE,
+                              count=slots)
+            vbits = np.fromfile(self.dir / self.DOCVALID_FILE, np.uint8)
+            live = np.unpackbits(vbits)[:slots].astype(bool)
+            if len(idx) < slots or len(live) < slots:
+                raise ValueError("short doc sidecars")
+            names: list[str] = []
+            if n_paths:
+                with open(self.dir / self.PATHS_FILE, encoding="utf-8") as f:
+                    for line in f:
+                        names.append(json.loads(line))
+                        if len(names) >= n_paths:
+                            break
+            if len(names) < n_paths:
+                raise ValueError("short path table")
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            log.warning("corrupt fts doc sidecars, starting empty: %s", e)
+            self.__init_empty()
+            return
+        self._doc_dnum.extend(idx["dnum"].astype(np.int64))
+        # dead docs reload with the -1 sentinel (liveness is authoritative)
+        self._doc_len.extend(
+            np.where(live, idx["len"].astype(np.int32), -1)
+        )
+        self._doc_kid.extend(idx["kid"].astype(np.int32))
+        self._doc_cid.extend(idx["cid"].astype(np.int64))
+        self._doc_pid.extend(idx["pid"].astype(np.int32))
+        self._path_names = names
+        self._path_vocab = {p: i for i, p in enumerate(names)}
+        self._n_live = int(live.sum())
+        self._idx_slots = slots
+        self._file_paths = n_paths
+        self._dense_dirty = True
+
+    def _load_doclog_v3(self, manifest: dict) -> None:
+        """Legacy v3 (round-2) msgpack doc-log replay — one-time migration;
+        the next commit writes the v4 sidecars and deletes the log."""
+        log_bytes = int(manifest.get("log_bytes", 0))
+        lp = self._doclog_path
+        if not (log_bytes and lp.exists()):
+            return
+        with open(lp, "rb") as f:
+            raw = f.read(log_bytes)
+        unpacker = msgpack.Unpacker(io.BytesIO(raw), raw=False,
+                                    strict_map_key=False)
+        for rec in unpacker:
+            if rec[0] == "a":
+                _, dnum, cid, ln, kind, path = rec
+                self._add_doc(int(dnum), int(cid), int(ln), kind, path)
+            else:
+                self._kill_dnum(int(rec[1]))
+        self._idx_slots = 0   # force a full docidx write at next commit
 
     # ------------------------------------------------------------------
     # dense view + device state
@@ -913,7 +1062,7 @@ class FtsStore:
                 out.append(FtsResult(
                     chunk_id=int(self._cid_arr[p]),
                     score=float(s),
-                    path=self._doc_path[int(p)],
+                    path=self._path_of_slot(int(p)),
                     kind=self._kind_names[int(self._kind_arr[p])],
                 ))
             return out
@@ -1009,7 +1158,7 @@ class FtsStore:
                 out.append(FtsResult(
                     chunk_id=int(self._cid_arr[p]),
                     score=float(s),
-                    path=self._doc_path[int(p)],
+                    path=self._path_of_slot(int(p)),
                     kind=self._kind_names[int(self._kind_arr[p])],
                 ))
             return out
@@ -1099,7 +1248,7 @@ class FtsStore:
                 FtsResult(
                     chunk_id=int(self._cid_arr[p]),
                     score=float(s),
-                    path=self._doc_path[int(p)],
+                    path=self._path_of_slot(int(p)),
                     kind=self._kind_names[int(self._kind_arr[p])],
                 )
                 for s, p in zip(scores[top], pos[top])
@@ -1108,7 +1257,10 @@ class FtsStore:
     def stats(self) -> dict:
         with self._lock:
             disk = 0
-            for f in list(self.dir.glob("seg-*.npz")) + [self._doclog_path]:
+            extra = [self.dir / self.DOCIDX_FILE, self.dir / self.DOCVALID_FILE,
+                     self.dir / self.PATHS_FILE, self._doclog_path]
+            for f in (list(self.dir.glob("seg-*.npz"))
+                      + list(self.dir.glob("seg-*.npy")) + extra):
                 if f.exists():
                     disk += f.stat().st_size
             terms = int(sum(len(s.terms) for s in self._segments))

@@ -161,17 +161,22 @@ class TestSegments:
         assert len(s2) == 300
         assert s2.search("gamma_7")[0].chunk_id == 7
 
-    def test_doclog_appends_between_commits(self, tmp_path):
+    def test_docidx_appends_between_commits(self, tmp_path):
+        from codesearch_tpu.fts.store import DOCIDX_DTYPE
+
         s = FtsStore(tmp_path / "fts")
         for i in range(100):
             s.add_chunk(i, f"content token_{i}", f"f{i}.rs")
         s.commit()
-        log0 = (s.dir / "docs.log").stat().st_size
+        idx0 = (s.dir / "docidx.bin").stat().st_size
+        assert idx0 == 100 * DOCIDX_DTYPE.itemsize
         s.add_chunk(100, "one more doc", "g.rs")
         s.commit()
-        assert (s.dir / "docs.log").stat().st_size > log0
-        # the log grew by ~1 record, not a rewrite of 101 records
-        assert (s.dir / "docs.log").stat().st_size < log0 + 120
+        # exactly 1 fixed-width record appended, not a rewrite of 101
+        assert (s.dir / "docidx.bin").stat().st_size == idx0 + DOCIDX_DTYPE.itemsize
+        s2 = FtsStore(tmp_path / "fts")
+        assert len(s2) == 101
+        assert s2.search("token_42")[0].chunk_id == 42
 
     def test_device_path_matches_host(self, tmp_path):
         s = FtsStore(tmp_path / "fts")
@@ -341,6 +346,49 @@ class TestCrashRecovery:
         s.commit()
         return s
 
+    def test_v3_doclog_layout_migrates(self, tmp_path):
+        """Round-2 (v3) stores — msgpack doc log + npz segments — must load
+        via replay and migrate to the v4 sidecar layout on the next commit."""
+        import json
+
+        import msgpack
+
+        d = tmp_path / "fts"
+        d.mkdir()
+        recs = []
+        for i in range(5):
+            recs.append(msgpack.packb(("a", i, 100 + i, 4, "Function", f"f{i}.rs"),
+                                      use_bin_type=True))
+        recs.append(msgpack.packb(("d", 3), use_bin_type=True))
+        blob = b"".join(recs)
+        (d / "docs.log").write_bytes(blob)
+        # one npz segment: term "hello" in docs 0..4 (content tf 1)
+        from codesearch_tpu.fts.store import term_keys
+
+        key = term_keys("hello")[0]
+        np.savez(d / "seg-0.npz",
+                 terms=np.asarray([key], np.int64),
+                 offsets=np.asarray([0, 5], np.int64),
+                 dnums=np.arange(5, dtype=np.int64),
+                 tfc=np.ones(5, np.int32), tfs=np.zeros(5, np.int32))
+        (d / "fts.json").write_text(json.dumps({
+            "version": 3, "segments": ["seg-0.npz"], "log_bytes": len(blob),
+            "next_dnum": 5, "next_seg": 1,
+        }))
+        s = FtsStore(d)
+        assert len(s) == 4                       # doc 3 deleted in the log
+        res = s.search("hello", limit=10)
+        assert sorted(r.chunk_id for r in res) == [100, 101, 102, 104]
+        assert res[0].path.endswith(".rs")
+        s.add_chunk(200, "hello fresh", "g.rs")
+        s.commit()                               # migrates to v4 sidecars
+        assert (d / "docidx.bin").exists()
+        assert not (d / "docs.log").exists()
+        s2 = FtsStore(d)
+        assert len(s2) == 5
+        res2 = s2.search("hello", limit=10)
+        assert sorted(r.chunk_id for r in res2) == [100, 101, 102, 104, 200]
+
     def test_doclog_tail_beyond_manifest_ignored(self, tmp_path):
         s = self._populated(tmp_path)
         # crash between doclog append and manifest flip: extra bytes exist
@@ -363,7 +411,7 @@ class TestCrashRecovery:
 
     def test_corrupt_segment_skipped(self, tmp_path):
         s = self._populated(tmp_path)
-        seg = next(s.dir.glob("seg-*.npz"))
+        seg = next(s.dir.glob("seg-*.terms.npy"))
         seg.write_bytes(seg.read_bytes()[: seg.stat().st_size // 2])
         s2 = FtsStore(tmp_path / "fts")   # warns + skips, docs still load
         assert len(s2) == 20
