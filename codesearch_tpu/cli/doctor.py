@@ -71,7 +71,10 @@ def run_checks(path: Path) -> list[CheckResult]:
         )
     )
 
-    # 5+6. file/chunk integrity: manifest ↔ store agreement
+    # 5+6. file/chunk integrity — full doctor.rs:230-353 depth: disk walk
+    # with the REAL FileWalker + per-file check_file (the exact code path
+    # `codesearch index` uses), stale detection, manifest ↔ store id
+    # agreement, and a sampled stored-content-hash verification
     dims = int(meta.get("dimensions", 384))
     fm = FileMetaStore.load_or_create(db)
     try:
@@ -80,19 +83,55 @@ def run_checks(path: Path) -> list[CheckResult]:
         store_ids = set(store.all_ids())
         ghosts = manifest_ids - store_ids
         orphans = store_ids - manifest_ids
+        from ..fileio.walker import FileWalker
+        from ..index.file_meta import normalize_path
+
+        project_root = db.parent
+        try:
+            disk_files, _ = FileWalker(project_root).walk()
+        except OSError:
+            disk_files = []
+        stale = fm.find_deleted_files({str(f.path) for f in disk_files})
+        unindexed = up_to_date = outdated = 0
+        for f in disk_files:
+            chk = fm.check_file(Path(f.path))
+            if not chk.changed:
+                up_to_date += 1
+            elif normalize_path(f.path) in fm.files:
+                outdated += 1     # tracked but content changed — not an error
+            else:
+                unindexed += 1
+        file_ok = not ghosts and not stale and not unindexed
         checks.append(
             CheckResult(
                 "file_integrity",
-                not ghosts,
-                f"{len(fm.files)} files tracked; {len(ghosts)} ghost chunk refs",
-                fixable=bool(ghosts),
+                file_ok,
+                f"{len(fm.files)} files tracked; {up_to_date} up to date, "
+                f"{outdated} outdated, {unindexed} unindexed, "
+                f"{len(stale)} stale (deleted from disk), "
+                f"{len(ghosts)} ghost chunk refs",
+                fixable=not file_ok,
             )
         )
+        # sampled content-hash spot check: decode a handful of stored
+        # chunks and verify sha256(content) matches the recorded chunk
+        # hash (detects on-disk metadata corruption)
+        from ..utils.hashing import sha256_hex
+
+        sample_ids = sorted(store_ids)[:: max(len(store_ids) // 8, 1)][:8]
+        bad_hash = 0
+        for cid in sample_ids:
+            m = store.get_chunk(cid)
+            if m is None or (m.hash and sha256_hex(m.content) != m.hash):
+                bad_hash += 1
+        chunk_ok = not orphans and bad_hash == 0
         checks.append(
             CheckResult(
                 "chunk_integrity",
-                not orphans,
-                f"{len(store_ids)} chunks; {len(orphans)} orphans (not in manifest)",
+                chunk_ok,
+                f"{len(store_ids)} chunks; {len(orphans)} orphans (not in "
+                f"manifest); {len(sample_ids) - bad_hash}/{len(sample_ids)} "
+                "sampled content hashes verified",
                 fixable=bool(orphans),
             )
         )

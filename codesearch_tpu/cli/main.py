@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("path", nargs="?", default=".")
     t.add_argument("--epochs", type=int, default=15)
     t.add_argument("--lr", type=float, default=0.3)
+    t.add_argument("--cross-encoder", action="store_true", dest="cross_encoder",
+                   help="train a small local cross-encoder reranker on mined "
+                        "pairs (activates --rerank's real cross-encoder mode "
+                        "with zero downloads)")
 
     cache = sub.add_parser("cache", help="embedding cache management")
     cache_sub = cache.add_subparsers(dest="cache_command")
@@ -475,6 +479,8 @@ def _cmd_train(args) -> int:
         error_print(msg)
         return 1
     meta = read_metadata(db)
+    if getattr(args, "cross_encoder", False):
+        return _cmd_train_cross_encoder(args, db, meta)
     spec = parse_model(meta.get("model", "code-hash-384"))
     if spec is None or spec.kind != "hash":
         error_print(
@@ -505,6 +511,38 @@ def _cmd_train(args) -> int:
         f"re-indexed {stats.files_indexed} files ({stats.chunks_added} chunks) "
         f"with the trained table"
     )
+    return 0
+
+
+def _cmd_train_cross_encoder(args, db: Path, meta: dict) -> int:
+    """`codesearch train --cross-encoder`: train + install the local
+    reranker so `search --rerank` runs a real cross-encoder zero-egress."""
+    from ..models.registry import parse_model
+    from ..train.data import mine_pairs
+    from ..train.cross_encoder_train import train_and_export
+    from ..utils.constants import get_global_models_cache_dir
+    from ..vectordb import VectorStore
+
+    spec = parse_model(meta.get("model", "code-hash-384"))
+    dims = int(meta.get("dimensions", spec.dims if spec else 384))
+    store = VectorStore(db, dims=dims, readonly=True,
+                        int8=bool(meta.get("int8", False)))
+    pairs = mine_pairs([m for _, m in store.iter_chunks()])
+    if len(pairs) < 16:
+        error_print(f"only {len(pairs)} training pairs mined — index more code first")
+        return 1
+    epochs = max(1, min(args.epochs, 10))
+    info_print(f"training local cross-encoder on {len(pairs)} mined pairs "
+               f"({epochs} epochs)")
+    out, losses = train_and_export(
+        pairs, get_global_models_cache_dir(), epochs=epochs,
+    )
+    if not losses:
+        error_print("training produced no steps")
+        return 1
+    info_print(f"loss {losses[0]:.4f} → {losses[-1]:.4f}; installed at {out}")
+    info_print("`codesearch search --rerank ...` now runs the real "
+               "cross-encoder (rerank_mode=cross-encoder)")
     return 0
 
 

@@ -72,6 +72,15 @@ class CrossEncoder:
         self.name = name
         model_dir = (models_dir / name) if models_dir is not None else None
         st = model_dir / "model.safetensors" if model_dir is not None else None
+        if (st is None or not st.exists()) and models_dir is not None:
+            # zero-egress fallback chain: a cross-encoder trained locally on
+            # mined pairs (`codesearch train --cross-encoder`) ranks above
+            # the bi-encoder proxy; a downloaded checkpoint still wins
+            local = models_dir / "local-cross-encoder"
+            if (local / "model.safetensors").exists():
+                model_dir = local
+                st = local / "model.safetensors"
+                self.name = "local-cross-encoder"
         if st is not None and st.exists():
             try:
                 cfg = arch_from_hf_config(model_dir)

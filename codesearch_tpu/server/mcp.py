@@ -112,11 +112,12 @@ TOOLS = [
     {
         "name": "semantic_search",
         "description": (
-            "Search code semantically using natural language. Returns compact "
-            "metadata by default (path, line numbers, kind, signature, score). "
-            "Use the read tool with the returned line numbers to view actual "
-            "code. Set compact=false only when you need full content inline. "
-            "Use filter_path to narrow results to a specific directory."
+            "Meaning-based code retrieval: describe what the code does in "
+            "plain English and get ranked matching chunks. Each hit carries "
+            "location metadata only (path, line span, kind, signature, "
+            "score) — open the file at those lines to see the code itself; "
+            "pass compact=false if you truly need chunk text embedded in "
+            "the response. filter_path restricts hits to one subtree."
         ),
         "inputSchema": {
             "type": "object",
@@ -132,16 +133,17 @@ TOOLS = [
     {
         "name": "find_references",
         "description": (
-            "Find all references/usages of a symbol (function, class, method, "
-            "variable) across the codebase. USE THIS INSTEAD OF GREP when you "
-            "need to find where a symbol is used — for refactoring, impact "
-            "analysis, or understanding call sites."
+            "Locate every chunk that mentions a named symbol (function, "
+            "type, method, variable) — the indexed, ranked replacement for "
+            "a repo-wide grep. Reach for it before text search whenever the "
+            "question is \"who calls/uses this?\": rename planning, blast-"
+            "radius checks, tracing callers."
         ),
         "inputSchema": {
             "type": "object",
             "properties": {
                 "symbol": {"type": "string", "description": "Symbol name, e.g. authenticate, User, Config"},
-                "limit": {"type": "integer", "description": "Maximum references (default 20)"},
+                "limit": {"type": "integer", "description": "Maximum references (default 50)"},
             },
             "required": ["symbol"],
         },
@@ -315,7 +317,8 @@ class CodesearchService:
         symbol = str(args.get("symbol", "")).strip()
         if not symbol:
             return {"error": "empty symbol"}
-        limit = int(args.get("limit") or 20)
+        # default 50 — parity with the reference (mcp/mod.rs:811)
+        limit = int(args.get("limit") or 50)
         with self.stores.lock:
             hits = self.stores.fts.search(symbol, limit)
             refs = []
@@ -515,16 +518,26 @@ def start_search_warmup(svc: CodesearchService) -> None:
         return n > 0 and refreshed
 
     def fire():
-        for attempt in range(3):
+        import time as _t
+
+        # donated-buffer races during a long initial refresh burst can
+        # outlast a fixed short retry window (ADVICE r2) — back off
+        # exponentially (0.5 → 16 s, ~30 s total) and wait for ready()
+        # again between attempts so the warmup lands once the writer
+        # quiesces instead of silently degrading to a no-op
+        delay = 0.5
+        for attempt in range(7):
             try:
                 svc._device_candidates("warmup parse config entry", None, 30)
                 return
             except Exception:
-                if attempt == 2:
+                if attempt == 6:
                     raise
-                import time as _t
-
-                _t.sleep(0.5)
+                _t.sleep(delay)
+                delay = min(delay * 2, 16.0)
+                deadline = _t.time() + delay
+                while not ready() and _t.time() < deadline:
+                    _t.sleep(0.2)
 
     _start(ready, fire)
 

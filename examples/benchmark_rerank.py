@@ -1,0 +1,136 @@
+"""Reranking accuracy benchmark (VERDICT r3 item 6).
+
+Measures top-1/top-3 accuracy on the labeled reference-corpus query set
+(examples/benchmark_models.py) across three read-plane configurations:
+
+1. hybrid retrieval, no rerank (the default pipeline),
+2. hybrid + proxy bi-encoder rerank (the zero-egress --rerank default),
+3. hybrid + a REAL cross-encoder trained locally on mined pairs
+   (`codesearch train --cross-encoder` path, rerank_mode=cross-encoder).
+
+Writes benchmarks/rerank.md. The reference documents rerank behavior and
+latency (~1.8 s/query on CPU, README.md:693, rerank/neural.rs:77-122) but
+never measures its accuracy delta; this harness does both.
+
+Usage: python examples/benchmark_rerank.py [--corpus /root/reference]
+       [--platform cpu] [--out benchmarks/rerank.md] [--epochs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from examples.benchmark_models import REFERENCE_QUERIES, SELF_QUERIES  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=Path, default=Path("/root/reference"))
+    ap.add_argument("--queries", choices=["self", "reference"], default="reference")
+    ap.add_argument("--out", type=Path, default=REPO / "benchmarks" / "rerank.md")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import tempfile
+
+    from codesearch_tpu.index.pipeline import IndexOptions, index
+    from codesearch_tpu.models.cross_encoder import CrossEncoder
+    from codesearch_tpu.rerank.neural import NeuralReranker
+    from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+    from codesearch_tpu.train.cross_encoder_train import train_and_export
+    from codesearch_tpu.train.data import mine_pairs
+    from codesearch_tpu.vectordb import VectorStore
+
+    queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
+
+    work = Path(tempfile.mkdtemp(prefix="codesearch-rerank-bench-"))
+    print(f"indexing {args.corpus} ...")
+    stats = index(args.corpus, IndexOptions(
+        quiet=True, store_path=work / "db", model="code-hash-384",
+    ))
+    print(f"  {stats.chunks_added} chunks")
+
+    def accuracy(session: SearchSession, rerank: bool) -> tuple[int, int, float]:
+        """(top1 hits, top3 hits, mean latency ms) over the labeled set."""
+        top1 = top3 = 0
+        lats = []
+        for q, expected in queries:
+            t0 = time.time()
+            resp = session.search(q, SearchOptions(limit=5, rerank=rerank))
+            lats.append((time.time() - t0) * 1000)
+            paths = [h.path for h in resp.hits]
+            if paths and expected in paths[0]:
+                top1 += 1
+            if any(expected in p for p in paths[:3]):
+                top3 += 1
+        return top1, top3, sum(lats) / max(len(lats), 1)
+
+    rows = []
+
+    session = SearchSession(stats.db_path, readonly=True)
+    t1, t3, ms = accuracy(session, rerank=False)
+    rows.append(("hybrid (no rerank)", "—", t1, t3, ms))
+    print(f"no-rerank: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
+
+    session = SearchSession(stats.db_path, readonly=True)
+    session.reranker = NeuralReranker(CrossEncoder(work / "empty-models"))
+    t1, t3, ms = accuracy(session, rerank=True)
+    rows.append(("hybrid + proxy rerank", session.reranker.model.mode, t1, t3, ms))
+    print(f"proxy: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
+
+    print("training local cross-encoder on mined pairs ...")
+    store = VectorStore(stats.db_path, dims=384, readonly=True)
+    pairs = mine_pairs([m for _, m in store.iter_chunks()])
+    print(f"  {len(pairs)} pairs")
+    t0 = time.time()
+    out, losses = train_and_export(pairs, work / "models", epochs=args.epochs)
+    train_s = time.time() - t0
+    print(f"  loss {losses[0]:.4f} → {losses[-1]:.4f} in {train_s:.0f}s")
+
+    session = SearchSession(stats.db_path, readonly=True)
+    session.reranker = NeuralReranker(CrossEncoder(work / "models"))
+    assert session.reranker.model.mode == "cross-encoder"
+    t1, t3, ms = accuracy(session, rerank=True)
+    rows.append(("hybrid + trained cross-encoder", "cross-encoder", t1, t3, ms))
+    print(f"trained: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
+
+    n = len(queries)
+    lines = [
+        "# Reranking benchmark",
+        "",
+        f"corpus: `{args.corpus}` — {stats.chunks_added} chunks, "
+        f"{n} labeled queries ({args.queries} set)",
+        "",
+        f"Local cross-encoder: trained zero-egress on {len(pairs)} mined "
+        f"pairs in {train_s:.0f}s ({args.epochs} epochs, loss "
+        f"{losses[0]:.3f} → {losses[-1]:.3f}).",
+        "",
+        "| configuration | rerank_mode | top-1 | top-3 | mean query ms |",
+        "|---|---|---|---|---|",
+    ]
+    for name, mode, t1, t3, ms in rows:
+        lines.append(f"| {name} | {mode} | {t1}/{n} ({100 * t1 // n}%) "
+                     f"| {t3}/{n} ({100 * t3 // n}%) | {ms:.1f} |")
+    lines.append("")
+    lines.append("Reference baseline: rerank adds ~1.7 s/query on CPU "
+                 "(README.md:693); accuracy delta is not published.")
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    args.out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
