@@ -238,6 +238,7 @@ def _cmd_search(args) -> int:
         rrf_k=args.rrf_k,
         rerank_top=args.rerank_top,
         per_file=args.max_per_file,
+        store_path=args.store,
     )
     if args.files_only and (args.json_out or args.compact):
         error_print("--files-only cannot combine with --json/--compact")

@@ -191,6 +191,43 @@ def alibi_bias(heads: int, seq: int) -> jax.Array:
     return -slopes[:, None, None] * dist[None]
 
 
+def _dispatch_attention(q, k, v, mask) -> jax.Array:
+    s = q.shape[2]
+    if _default_backend() == "tpu" and s % 128 == 0 and s > 128:
+        if s <= 1024:
+            # whole-sequence VMEM kernel: at seq 512 the XLA composition
+            # spills the [S,S] scores to HBM (measured 1196 → 1509 chunks/s
+            # end-to-end on bge-small shapes); ≤128 the scores are small
+            # enough that XLA's fusion wins (7.7k vs 4.9k chunks/s)
+            return pallas_attention_full(q, k, v, mask)
+        return pallas_attention(q, k, v, mask)
+    return reference_attention(q, k, v, mask)
+
+
+@jax.custom_vjp
+def _fused_attention(q, k, v, mask):
+    return _dispatch_attention(q, k, v, mask)
+
+
+def _fused_attention_fwd(q, k, v, mask):
+    return _dispatch_attention(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_attention_bwd(res, g):
+    # the Pallas kernels have no autodiff rule — backward recomputes the
+    # forward through the XLA reference and differentiates that (standard
+    # rematerialized flash-attention backward; training pays one extra
+    # forward, inference pays nothing)
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: reference_attention(q_, k_, v_, mask),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(mask)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def fused_encoder_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
     window: int = 0, bias2d: jax.Array | None = None,
@@ -200,16 +237,10 @@ def fused_encoder_attention(
     sequence lengths those score matmuls are already cheap.
 
     Backend is decided at trace time (jax.default_backend()), never from
-    array values — safe under jit.
+    array values — safe under jit. Differentiable everywhere: the Pallas
+    forward carries a custom VJP that recomputes through the XLA reference,
+    so contrastive/cross-encoder training runs on TPU too.
     """
-    s = q.shape[2]
-    if (window == 0 and bias2d is None
-            and _default_backend() == "tpu" and s % 128 == 0 and s > 128):
-        if s <= 1024:
-            # whole-sequence VMEM kernel: at seq 512 the XLA composition
-            # spills the [S,S] scores to HBM (measured 1196 → 1509 chunks/s
-            # end-to-end on bge-small shapes); ≤128 the scores are small
-            # enough that XLA's fusion wins (7.7k vs 4.9k chunks/s)
-            return pallas_attention_full(q, k, v, mask)
-        return pallas_attention(q, k, v, mask)
+    if window == 0 and bias2d is None:
+        return _fused_attention(q, k, v, mask)
     return reference_attention(q, k, v, mask, window=window, bias2d=bias2d)

@@ -103,6 +103,9 @@ class SearchOptions:
     rrf_k: float | None = None      # fixed RRF k override (search/mod.rs:640)
     rerank_top: int | None = None   # candidates to rerank (search/mod.rs:712)
     per_file: int | None = None     # max hits per file (search/mod.rs:1007)
+    # explicit db location (the global --store flag; skips discovery —
+    # the reference declares the flag but never consumes it, cli/mod.rs:71)
+    store_path: Path | None = None
 
 
 @dataclass
@@ -459,6 +462,12 @@ def search(
 ) -> SearchResponse:
     """One-shot CLI search: resolve db (optionally auto-create/sync), query."""
     options = options or SearchOptions()
+    if options.store_path is not None:
+        db = Path(options.store_path)
+        if not (db / "metadata.json").exists():
+            raise SearchError(f"--store {db} is not a codesearch database")
+        session = SearchSession(db, model=options.model, readonly=True)
+        return session.search(query, options)
     db, message = resolve_database_with_message(Path(path))
     if db is None:
         if options.create_index:

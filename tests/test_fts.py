@@ -504,3 +504,54 @@ class TestIncrementalDeviceSync:
         assert [r.chunk_id for r in dev][:3] == [r.chunk_id for r in host][:3]
         for d, h in zip(dev, host):
             assert d.score == pytest.approx(h.score, rel=2e-3)
+
+
+class TestSealedSegments:
+    """Round-3: segments past MERGE_MAX_POSTINGS leave the merge pool —
+    correctness must hold across many sealed segments and query results
+    must match a single-segment store."""
+
+    def test_sealed_segments_stay_correct(self, tmp_path, monkeypatch):
+        import codesearch_tpu.fts.store as fstore
+
+        monkeypatch.setattr(fstore, "MERGE_MAX_POSTINGS", 200)
+        s = FtsStore(tmp_path / "fts")
+        for b in range(10):
+            for i in range(30):
+                cid = b * 30 + i
+                s.add_chunk(cid, f"alpha beta gamma_{cid} delta", f"f{cid}.rs",
+                            f"fn gamma_{cid}()", "Function")
+            s.commit()
+        st = s.stats()
+        assert st["segments"] > 1, "seal cap should prevent full merges"
+        # reference store without sealing
+        ref = FtsStore(tmp_path / "ref")
+        for cid in range(300):
+            ref.add_chunk(cid, f"alpha beta gamma_{cid} delta", f"f{cid}.rs",
+                          f"fn gamma_{cid}()", "Function")
+        ref.commit()
+        for probe in (0, 123, 299):
+            got = s.search(f"gamma_{probe}", limit=5)
+            want = ref.search(f"gamma_{probe}", limit=5)
+            assert got[0].chunk_id == want[0].chunk_id == probe
+            assert got[0].score == pytest.approx(want[0].score, rel=1e-5)
+        # reload keeps sealed layout + correctness (mmapped posting bulk)
+        s2 = FtsStore(tmp_path / "fts")
+        assert s2.search("gamma_200")[0].chunk_id == 200
+
+    def test_mmapped_segments_after_reload(self, tmp_path):
+        s = FtsStore(tmp_path / "fts")
+        for cid in range(50):
+            s.add_chunk(cid, f"omega tok_{cid}", f"f{cid}.rs")
+        s.commit()
+        s2 = FtsStore(tmp_path / "fts")
+        seg = s2._segments[0]
+        assert isinstance(seg.dnums, np.memmap)
+        assert s2.search("tok_42")[0].chunk_id == 42
+        # deletes + merges over mmapped inputs still work
+        s2.delete_chunk(42)
+        for cid in range(50, 80):
+            s2.add_chunk(cid, f"omega tok_{cid}", f"f{cid}.rs")
+        s2.commit()
+        assert s2.search("tok_42") == []
+        assert s2.search("tok_77")[0].chunk_id == 77

@@ -275,3 +275,90 @@ class TestIncrementalPersistence:
         assert not (db / "embeddings.bin").exists()
         s2 = VectorStore(db, dims=4)
         assert len(s2) == 2 and s2.next_id() == 2
+
+
+class TestScalePaths:
+    """Round-3: the 10M-scale mechanisms must be exercised at test size by
+    shrinking their thresholds — auto-spill, blockwise device upload, and
+    lazy metadata reads through the sidecar open path."""
+
+    def test_auto_spill_bounds_host_state(self, tmp_path, monkeypatch):
+        import codesearch_tpu.vectordb.store as vstore
+
+        monkeypatch.setattr(vstore, "SPILL_ROWS", 16)
+        s = VectorStore(tmp_path / "db", dims=4)
+        rng = np.random.default_rng(0)
+        for batch in range(5):
+            embs = _norm(rng.normal(size=(10, 4)).astype(np.float32))
+            s.insert_chunks_with_ids(
+                embs, [_meta(content=f"c{batch}-{i}") for i in range(10)]
+            )
+        # spill ran (50 rows > 16): data files exist BEFORE any save
+        assert s._file_rows >= 16
+        ep = s._embed_path(s._generation)
+        assert ep.exists() and ep.stat().st_size == s._file_rows * 4 * 2
+        # a reader opening now sees only the committed (manifest) prefix
+        # — nothing, since save never ran
+        with np.testing.assert_raises(Exception):
+            VectorStore(tmp_path / "nope", dims=4, readonly=True)
+        # searches see everything (memmap + tail stitched)
+        q = _norm(np.asarray(s._rows_range(37, 38)[0], np.float32))
+        res = s.search(q, 1)
+        assert res[0].metadata.content == "c3-7"
+        s.save()
+        s2 = VectorStore(tmp_path / "db", dims=4)
+        assert len(s2) == 50
+        assert s2.get_chunk(res[0].chunk_id).content == "c3-7"
+
+    def test_blockwise_full_upload_matches(self, tmp_path, monkeypatch):
+        import codesearch_tpu.vectordb.store as vstore
+
+        rng = np.random.default_rng(1)
+        embs = _norm(rng.normal(size=(70, 4)).astype(np.float32))
+        metas = [_meta(content=f"c{i}") for i in range(70)]
+
+        s1 = VectorStore(tmp_path / "a", dims=4)
+        s1.insert_chunks_with_ids(embs, metas)
+        r1 = s1.search(_norm(embs[33:34])[0], 5)
+
+        monkeypatch.setattr(vstore, "UPLOAD_BLOCK", 16)
+        s2 = VectorStore(tmp_path / "b", dims=4)
+        s2.insert_chunks_with_ids(embs, metas)
+        r2 = s2.search(_norm(embs[33:34])[0], 5)
+        assert [r.chunk_id for r in r1] == [r.chunk_id for r in r2]
+        assert r2[0].chunk_id == 33
+
+    def test_blockwise_full_upload_matches_int8(self, tmp_path, monkeypatch):
+        import codesearch_tpu.vectordb.store as vstore
+
+        rng = np.random.default_rng(2)
+        embs = _norm(rng.normal(size=(70, 4)).astype(np.float32))
+        metas = [_meta(content=f"c{i}") for i in range(70)]
+        monkeypatch.setattr(vstore, "UPLOAD_BLOCK", 16)
+        s = VectorStore(tmp_path / "db", dims=4, int8=True)
+        s.insert_chunks_with_ids(embs, metas)
+        res = s.search(_norm(embs[17:18])[0], 3)
+        assert res[0].chunk_id == 17
+
+    def test_lazy_metadata_lru_and_sidecar_open(self, tmp_path, monkeypatch):
+        import codesearch_tpu.vectordb.store as vstore
+
+        monkeypatch.setattr(vstore, "META_LRU_ENTRIES", 4)
+        s = VectorStore(tmp_path / "db", dims=4)
+        rng = np.random.default_rng(3)
+        s.insert_chunks_with_ids(
+            _norm(rng.normal(size=(30, 4)).astype(np.float32)),
+            [_meta(content=f"body-{i}", path=f"f{i % 3}.rs") for i in range(30)],
+        )
+        s.save()
+        s2 = VectorStore(tmp_path / "db", dims=4, readonly=True)
+        # sidecar open: no pending metadata in memory
+        assert not s2._pending_meta
+        for i in (0, 7, 14, 21, 28, 3, 29):
+            assert s2.get_chunk(i).content == f"body-{i}"
+        assert len(s2._meta_lru) <= 4
+        assert sorted(s2.get_chunks_by_file("f1.rs")) == list(range(1, 30, 3))
+        assert s2.all_paths() == {"f0.rs", "f1.rs", "f2.rs"}
+        # iter_chunks streams all live chunks
+        seen = {cid: m.content for cid, m in s2.iter_chunks()}
+        assert len(seen) == 30 and seen[11] == "body-11"
