@@ -358,16 +358,50 @@ class SearchSession:
             fused = vector_only(vector_ranked)
         timings["fusion"] = (time.time() - t) * 1000
 
-        # ---- materialize hits (incl. FTS-only chunks) --------------------
+        # ---- materialize hits (incl. FTS-only chunks), boosts inline -----
+        # Metadata reads are lazy preads at corpus scale (vectordb/store.py)
+        # — materializing EVERY fused candidate (200-400) costs real ms on
+        # one host core. Candidates arrive sorted by rrf_score, and the
+        # language ×1.2 / kind ×1.15 boosts (search/mod.rs:789-806, 238-252)
+        # can inflate a score at most ×1.38 — so once the `need`-th best
+        # boosted score exceeds remaining_rrf × 1.38, no later candidate can
+        # enter the result and materialization stops, EXACTLY. Post-filters
+        # (path/min-score/per-file) prune after retrieval, so their presence
+        # disables the early exit (they need the full pool to refill from).
+        import heapq
+
+        primary = self.metadata.get("primary_language")
+        boost_cap = LANGUAGE_BOOST * KIND_BOOST
+        unbounded = bool(
+            options.path_filter or options.min_score is not None
+            or (options.per_file or 0) > 0
+        )
+        if options.rerank:
+            need = max(options.rerank_top if options.rerank_top is not None
+                       else 0, 100, options.limit)
+        else:
+            need = options.limit
+        top_scores: list[float] = []   # min-heap of the best `need` scores
         hits: list[SearchHit] = []
         for f in fused:
+            if (
+                not unbounded
+                and len(top_scores) >= need
+                and f.rrf_score * boost_cap < top_scores[0]
+            ):
+                break
             meta = meta_of.get(f.chunk_id) or self.store.get_chunk(f.chunk_id)
             if meta is None:
                 continue
+            score = f.rrf_score
+            if primary and meta.language == primary:
+                score *= LANGUAGE_BOOST
+            if intent is not None and meta.kind == intent.value:
+                score *= KIND_BOOST
             hits.append(
                 SearchHit(
                     chunk_id=f.chunk_id,
-                    score=f.rrf_score,
+                    score=score,
                     path=meta.path,
                     start_line=meta.start_line,
                     end_line=meta.end_line,
@@ -381,24 +415,16 @@ class SearchSession:
                     fts_score=f.fts_score,
                 )
             )
+            if len(top_scores) < need:
+                heapq.heappush(top_scores, score)
+            elif score > top_scores[0]:
+                heapq.heapreplace(top_scores, score)
 
         # ---- path filter (pre-rerank, search/mod.rs:698-745) -------------
         if options.path_filter:
             needle = options.path_filter
             hits = [h for h in hits if needle in h.path]
 
-        # ---- language boost ×1.2 (search/mod.rs:789-806) -----------------
-        primary = self.metadata.get("primary_language")
-        if primary:
-            for h in hits:
-                if h.language == primary:
-                    h.score *= LANGUAGE_BOOST
-
-        # ---- kind boost ×1.15 + resort (search/mod.rs:238-252) -----------
-        if intent is not None:
-            for h in hits:
-                if h.kind == intent.value:
-                    h.score *= KIND_BOOST
         hits.sort(key=lambda h: -h.score)
 
         # ---- neural rerank blend (search/mod.rs:829-866) -----------------

@@ -1,7 +1,10 @@
 """HTTP server (parity with src/server/mod.rs): GET /health, GET /status,
-POST /search. Search over HTTP is vector-only with 200-char truncated
-snippets and project-relative paths (server/mod.rs:484-596); CLI/MCP carry
-the full hybrid pipeline. Runs its own watcher loop via IndexManager."""
+POST /search. Search over HTTP defaults to vector-only with 200-char
+truncated snippets (server/mod.rs:484-596 — the reference's HTTP surface
+never grew the hybrid pipeline); passing ``"mode": "hybrid"`` runs the
+full fused read plane + RRF + boosts via the same shared implementation
+as the MCP server (server/readplane.py). Runs its own watcher loop via
+IndexManager."""
 
 from __future__ import annotations
 
@@ -90,29 +93,58 @@ def _make_handler(state: ServerState):
                 return
             limit = int(body.get("limit") or 10)
             path_filter = body.get("path")
+            # "vector" (reference parity, server/mod.rs:525) is the default;
+            # "hybrid" runs the full fused read plane + 3-way RRF + boosts —
+            # the same shared implementation the MCP server uses
+            mode = str(body.get("mode") or "vector")
+            if mode not in ("vector", "hybrid"):
+                self._reply(400, {"error": f"unknown mode {mode!r}"})
+                return
             t0 = time.time()
-            qvec = state.service.embed_query(query)
-            with state.stores.lock:
-                results = state.stores.store.search(np.asarray(qvec), limit * 3)
             out = []
-            for r in results:
-                if path_filter and path_filter not in r.metadata.path:
-                    continue
-                out.append(
-                    {
-                        "path": r.metadata.path,
-                        "start_line": r.metadata.start_line + 1,
-                        "end_line": r.metadata.end_line,
-                        "kind": r.metadata.kind,
-                        "score": round(r.score, 4),
-                        "snippet": r.metadata.content[:SNIPPET_CHARS],
-                    }
-                )
-                if len(out) >= limit:
-                    break
+            if mode == "hybrid":
+                from .readplane import ranked_chunks
+
+                meta_json = read_metadata(state.db)
+                with state.stores.lock:
+                    scored = ranked_chunks(
+                        state.stores, state.service, meta_json, query, limit,
+                        filter_path=path_filter,
+                    )
+                for score, _cid, meta in scored:
+                    out.append(
+                        {
+                            "path": meta.path,
+                            "start_line": meta.start_line + 1,
+                            "end_line": meta.end_line,
+                            "kind": meta.kind,
+                            "score": round(score, 4),
+                            "snippet": meta.content[:SNIPPET_CHARS],
+                        }
+                    )
+            else:
+                qvec = state.service.embed_query(query)
+                with state.stores.lock:
+                    results = state.stores.store.search(np.asarray(qvec), limit * 3)
+                for r in results:
+                    if path_filter and path_filter not in r.metadata.path:
+                        continue
+                    out.append(
+                        {
+                            "path": r.metadata.path,
+                            "start_line": r.metadata.start_line + 1,
+                            "end_line": r.metadata.end_line,
+                            "kind": r.metadata.kind,
+                            "score": round(r.score, 4),
+                            "snippet": r.metadata.content[:SNIPPET_CHARS],
+                        }
+                    )
+                    if len(out) >= limit:
+                        break
             self._reply(
                 200,
-                {"query": query, "results": out, "took_ms": round((time.time() - t0) * 1000, 1)},
+                {"query": query, "mode": mode, "results": out,
+                 "took_ms": round((time.time() - t0) * 1000, 1)},
             )
 
     return Handler

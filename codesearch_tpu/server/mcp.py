@@ -18,8 +18,6 @@ from ..index.db_discovery import find_best_database, find_databases
 from ..index.file_meta import FileMetaStore
 from ..index.manager import IndexManager, SharedStores
 from ..index.pipeline import get_db_path_smart, read_metadata, write_metadata
-from ..search.analysis import adapt_rrf_k, detect_identifiers, detect_structural_intent
-from ..rerank import rrf_fusion_with_exact
 from ..utils.constants import FTS_DIR_NAME, METADATA_FILE_NAME
 from ..utils.logger import get_logger, init_logger
 from ..embed import EmbeddingService
@@ -201,49 +199,9 @@ class CodesearchService:
         semantic_search (under stores.lock) AND the startup warmup — one
         implementation so the warmup always compiles the same executables
         as real tool calls."""
-        import numpy as np
+        from .readplane import device_candidates
 
-        backend = self.service.backend
-        hb = getattr(backend, "model", None)
-        if hb is not None and hasattr(hb, "table"):
-            fused_kind = "hash"
-        elif hasattr(backend, "featurize_queries"):
-            fused_kind = "bert"
-        else:
-            fused_kind = None
-        fres = None
-        if fused_kind is not None:
-            prefixed = [self.service.spec.query_prefix + query]
-            if fused_kind == "hash":
-                from ..models.hash_embedder import batch_features
-
-                feats = batch_features(prefixed)
-            else:
-                feats = backend.featurize_queries(prefixed)
-            bm = self.stores.fts.device_query_args(query, kind, fetch)
-            if bm is not None:
-                if fused_kind == "hash":
-                    per_variant, bvv, bii = self.stores.store.hybrid_search_featurized(
-                        hb.table, feats[0], feats[1], fetch, bm
-                    )
-                else:
-                    per_variant, bvv, bii = self.stores.store.hybrid_search_encoded(
-                        backend.params, backend.cfg, feats[0], feats[1], fetch, bm
-                    )
-                vres = per_variant[0]
-                fres = self.stores.fts.results_from_device(bvv, bii, fetch)
-            elif fused_kind == "hash":
-                vres = self.stores.store.search_featurized(
-                    hb.table, feats[0], feats[1], fetch
-                )[0]
-            else:
-                vres = self.stores.store.search_encoded(
-                    backend.params, backend.cfg, feats[0], feats[1], fetch
-                )[0]
-        else:
-            qvec = self.service.embed_query(query)
-            vres = self.stores.store.search(np.asarray(qvec), fetch)
-        return vres, fres
+        return device_candidates(self.stores, self.service, query, kind, fetch)
 
     def semantic_search(self, args: dict) -> dict:
         query = str(args.get("query", "")).strip()
@@ -261,42 +219,18 @@ class CodesearchService:
         if cached is not None:
             return cached
 
-        intent = detect_structural_intent(query)
-        kind = intent.value if intent else None
-        vector_k, fts_k = adapt_rrf_k(query)
+        from .readplane import ranked_chunks
+
+        # fused candidates + adaptive 3-way RRF + language ×1.2 /
+        # structural-kind ×1.15 boosts (mcp/mod.rs:369-390) — one shared
+        # implementation with the HTTP server (server/readplane.py)
         with self.stores.lock:
-            vres, fres = self._device_candidates(query, kind, limit * 3)
-            if fres is None:
-                fres = self.stores.fts.search(query, limit * 3, boost_kind=kind)
-            eres = []
-            for ident in detect_identifiers(query):
-                eres.extend(
-                    self.stores.fts.search_exact(ident, kind=kind, limit=limit * 3)
-                )
-            fused = rrf_fusion_with_exact(
-                [(r.chunk_id, r.score) for r in vres],
-                [(r.chunk_id, r.score) for r in fres],
-                [(r.chunk_id, r.score) for r in eres],
-                vector_k=vector_k, fts_k=fts_k,
+            scored = ranked_chunks(
+                self.stores, self.service, self._metadata, query, limit,
+                filter_path=filter_path,
             )
-            # language ×1.2 / structural-kind ×1.15 boosts (mcp/mod.rs:369-390)
-            primary = self._metadata.get("primary_language")
-            scored = []
-            for f in fused:
-                meta = self.stores.store.get_chunk(f.chunk_id)
-                if meta is None:
-                    continue
-                if filter_path and filter_path not in meta.path:
-                    continue
-                score = f.rrf_score
-                if primary and meta.language == primary:
-                    score *= 1.2
-                if kind and meta.kind == kind:
-                    score *= 1.15
-                scored.append((score, meta))
-            scored.sort(key=lambda x: -x[0])
             items = []
-            for score, meta in scored[:limit]:
+            for score, _cid, meta in scored:
                 item = {
                     "path": meta.path,
                     "start_line": meta.start_line + 1,

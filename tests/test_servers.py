@@ -174,6 +174,7 @@ class TestStdoutDiscipline:
         roots = [
             Path("codesearch_tpu/server/mcp.py"),
             Path("codesearch_tpu/server/warmup.py"),
+            Path("codesearch_tpu/server/readplane.py"),
             Path("codesearch_tpu/search/pipeline.py"),
             Path("codesearch_tpu/index/manager.py"),
         ]
@@ -304,6 +305,28 @@ class TestHttp:
             assert res["results"]
             assert len(res["results"][0]["snippet"]) <= 200
             assert "took_ms" in res
+            # hybrid mode: full fused read plane + RRF via the shared
+            # server read plane (round-3 addition beyond reference parity)
+            hreq = urllib.request.Request(
+                base + "/search",
+                data=json.dumps({"query": "parse the configuration",
+                                 "limit": 3, "mode": "hybrid"}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            hres = json.loads(urllib.request.urlopen(hreq).read())
+            assert hres["mode"] == "hybrid" and hres["results"]
+            # unknown mode rejected
+            bad_mode = urllib.request.Request(
+                base + "/search",
+                data=json.dumps({"query": "x", "mode": "quantum"}).encode(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(bad_mode)
+                raise AssertionError("should have failed")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
             # probe: malformed body
             bad = urllib.request.Request(
                 base + "/search", data=b"{not json", method="POST"
