@@ -89,12 +89,15 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
                     f"{extra}"
                     f"    return arg.{o} + {i}\n"
                 )
+                # 64 chunks/file, path depends ONLY on the file group —
+                # realistic file sharing (interned path tables assume paths
+                # repeat; a path-per-chunk corpus costs ~350 B/chunk of
+                # Python string heap in each store at 10M rows)
+                g = i // 64
                 chunks.append(Chunk(
                     content=body, start_line=0, end_line=3,
                     kind=ChunkKind.FUNCTION,
-                    # ~64 chunks/file (realistic file sharing — interned
-                    # path tables assume paths repeat)
-                    path=f"src/{o}/{v}_{i // 64}.py",
+                    path=f"src/{nouns[g % 15]}/mod_{g}.py",
                     signature=f"def {v}_{o}_{i}(arg)",
                 ))
             emb = svc.embed_chunks(chunks)
@@ -165,11 +168,19 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
         import resource
 
         peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        rss_anon_mb = 0.0
+        try:
+            for line in open("/proc/self/status"):
+                if line.startswith("RssAnon"):
+                    rss_anon_mb = int(line.split()[1]) / 1024
+        except OSError:
+            pass
         return {
             "rows": n_rows,
             "model": model,
             "int8": INT8,
             "host_peak_rss_mb": round(peak_rss_mb, 0),
+            "host_rss_anon_end_mb": round(rss_anon_mb, 0),
             "index_chunks_per_s_e2e": round(index_cps, 0),
             "index_vs_cpu_onnx_51cps": round(index_cps / 51.0, 1),
             "hybrid_p50_ms": round(p50_h, 1),

@@ -51,6 +51,11 @@ class LruBytesCache:
             old = self._data.pop(key, None)
             if old is not None:
                 self._bytes -= old.nbytes
+            if value.base is not None:
+                # never cache a VIEW: a 1.5 KB row view pins its (multi-MB)
+                # batch base array, so the bytes accounting undercounts by
+                # orders of magnitude
+                value = value.copy()
             self._data[key] = value
             self._bytes += value.nbytes
             while self._bytes > self.max_bytes and self._data:

@@ -838,28 +838,67 @@ class FtsStore:
 
         return jax.device_put(jnp.asarray(host_arr), NamedSharding(mesh, P()))
 
+    def _seg_bulk(self, seg: Segment):
+        """(dnums, tfc, tfs) for a whole segment. For file-backed segments,
+        read via np.load WITHOUT mmap: a full pass through an mmap would
+        leave every touched page in this process's RSS (ru_maxrss counts
+        them), where plain file reads land in anon transients that free."""
+        if seg.name and not seg.name.endswith(".npz") \
+                and isinstance(seg.dnums, np.memmap):
+            try:
+                return (
+                    np.load(self.dir / f"{seg.name}.dnums.npy"),
+                    np.load(self.dir / f"{seg.name}.tfc.npy"),
+                    np.load(self.dir / f"{seg.name}.tfs.npy"),
+                )
+            except OSError:
+                pass
+        return seg.dnums, seg.tfc, seg.tfs
+
     def _segment_posting_block(self, seg: Segment, ncap: int):
         """(p_pos, p_w) block for one immutable segment, computed against
         the current slot view and avg_len (vectorized)."""
         n = self._dnums_sorted.size
-        pos = np.searchsorted(self._dnums_sorted, seg.dnums).clip(0, max(n - 1, 0))
-        live = (self._dnums_sorted[pos] == seg.dnums) & self._live_arr[pos] \
-            if n else np.zeros(len(seg.dnums), bool)
-        tfb = seg.tfc.astype(np.float32) + _SIG_BOOST * seg.tfs.astype(np.float32)
+        dnums, tfc, tfs = self._seg_bulk(seg)
+        pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
+        live = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
+            if n else np.zeros(len(dnums), bool)
+        tfb = tfc.astype(np.float32) + _SIG_BOOST * tfs.astype(np.float32)
         len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len) \
-            if n else np.ones(len(seg.dnums), np.float32)
+            if n else np.ones(len(dnums), np.float32)
         w = tfb * (_K1 + 1.0) / (tfb + len_norm)
         return (
             np.where(live, pos, ncap).astype(np.int32),
             np.where(live, w, 0.0).astype(np.float32),
         )
 
+    def _full_repl(self, shape, fill, dtype):
+        """Device-side constant allocation (replicated over the corpus mesh
+        when present) — never materializes a pcap-sized host array."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import corpus_mesh
+
+        mesh = corpus_mesh()
+        if mesh is None:
+            return jnp.full(shape, fill, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P())
+        return jax.jit(lambda: jnp.full(shape, fill, dtype),
+                       out_shardings=sh)()
+
     def _device_rebuild(self):
         """Full resident-state build (first sync, capacity overflow, garbage
         or avg_len-drift trigger). Kind + liveness pack into ONE int32 table
         (``slot_meta``: kind id when live, DEAD_SLOT otherwise) so the BM25
-        kernel pays a single per-posting table gather (ops/bm25.py)."""
+        kernel pays a single per-posting table gather (ops/bm25.py).
+        Posting arrays assemble ON DEVICE segment by segment (donated DUS
+        appends) — at 10M docs the old host staging materialized two
+        256M-entry arrays (~2 GB) plus their device copies."""
         from ..ops.bm25 import CHUNK, DEAD_SLOT
+        from ..vectordb import device_ops
 
         n = self._dnums_sorted.size
         ncap = max(_pow2(n), 1024)
@@ -867,23 +906,22 @@ class FtsStore:
         meta[:n] = np.where(self._live_arr, self._kind_arr, DEAD_SLOT)
         seg_base: dict[int, int] = {}
         used = 0
+        need = CHUNK
         for seg in self._segments:
             seg_base[seg.seq] = used
+            # every DUS block pads to pow2 and every kernel chunk-gather
+            # reads a whole CHUNK window — capacity must cover both
+            need = max(need, used + _pow2(max(len(seg), 1)), used + len(seg) + CHUNK)
             used += len(seg)
-        # + CHUNK: the kernel's slice-gather reads whole CHUNK windows, so
-        # every chunk start must satisfy start + CHUNK <= pcap
-        pcap = max(_pow2(used + CHUNK), 2048)
-        p_pos = np.full(pcap, ncap, np.int32)   # pad/dead → dropped
-        p_w = np.zeros(pcap, np.float32)
+        pcap = max(_pow2(need), 2048)
+        p_pos = self._full_repl((pcap,), ncap, np.int32)   # pad/dead → dropped
+        p_w = self._full_repl((pcap,), 0.0, np.float32)
         for seg in self._segments:
             b = seg_base[seg.seq]
             bp, bw = self._segment_posting_block(seg, ncap)
-            p_pos[b : b + len(seg)] = bp
-            p_w[b : b + len(seg)] = bw
-        self._dev = (
-            self._place_repl(p_pos), self._place_repl(p_w),
-            self._place_repl(meta),
-        )
+            p_pos = device_ops.update_1d(p_pos, bp, b, ncap)
+            p_w = device_ops.update_1d(p_w, bw, b, 0.0)
+        self._dev = (p_pos, p_w, self._place_repl(meta))
         self._dev_state = {
             "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,
             "seg_base": seg_base, "n_synced": n, "avg_len": self._avg_len,
@@ -1223,36 +1261,57 @@ class FtsStore:
             dnums = np.concatenate(parts_d)
             tfc = np.concatenate(parts_c).astype(np.float32)
             tfs = np.concatenate(parts_s).astype(np.float32)
-            n = self._dnums_sorted.size
-            pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
-            keep = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
-                if n else np.zeros(len(dnums), bool)
-            if kind is not None:
-                kid = self._kind_vocab.get(kind)
-                if kid is None:
-                    return []
-                keep &= self._kind_arr[pos] == kid
-            # TermQuery-style saturation scoring (signature field boosted ×3)
-            len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
-            sat_s = np.where(tfs > 0, tfs * (_K1 + 1.0) / (tfs + len_norm), 0.0)
-            sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
-            scores = np.where(keep, _EXACT_SIG_BOOST * sat_s + sat_c, 0.0)
-            keep &= scores > 0
-            pos, scores = pos[keep], scores[keep]
-            if not len(pos):
+            # signature-first fast path (EXACT, not approximate): a
+            # content-only posting's score is strictly below (k1+1); a
+            # signature hit starts at ×3 that — so when ≥limit signature-
+            # field hits all score ≥ (k1+1), no content-only posting can
+            # enter the top-limit and the scan restricts to the (tiny)
+            # tfs>0 subset. At multi-M df ("config" at 10M docs) this turns
+            # a 100+ ms full scan into ~ms; falls back to the full scan
+            # when the bound doesn't hold. (tantivy reaches the same effect
+            # with block-max skipping.)
+            sig = tfs > 0
+            if len(dnums) > 65536 and int(sig.sum()) >= limit:
+                out = self._exact_score(dnums[sig], tfc[sig], tfs[sig],
+                                        kind, limit)
+                if len(out) >= limit and out[-1].score >= (_K1 + 1.0):
+                    return out
+            return self._exact_score(dnums, tfc, tfs, kind, limit)
+
+    def _exact_score(
+        self, dnums, tfc, tfs, kind: str | None, limit: int
+    ) -> list[FtsResult]:
+        """TermQuery-style saturation scoring over a posting subset
+        (signature field boosted ×3); top-limit results sorted desc."""
+        n = self._dnums_sorted.size
+        pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
+        keep = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
+            if n else np.zeros(len(dnums), bool)
+        if kind is not None:
+            kid = self._kind_vocab.get(kind)
+            if kid is None:
                 return []
-            k = min(limit, len(pos))
-            top = np.argpartition(-scores, k - 1)[:k]
-            top = top[np.argsort(-scores[top], kind="stable")]
-            return [
-                FtsResult(
-                    chunk_id=int(self._cid_arr[p]),
-                    score=float(s),
-                    path=self._path_of_slot(int(p)),
-                    kind=self._kind_names[int(self._kind_arr[p])],
-                )
-                for s, p in zip(scores[top], pos[top])
-            ]
+            keep &= self._kind_arr[pos] == kid
+        len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
+        sat_s = np.where(tfs > 0, tfs * (_K1 + 1.0) / (tfs + len_norm), 0.0)
+        sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
+        scores = np.where(keep, _EXACT_SIG_BOOST * sat_s + sat_c, 0.0)
+        keep &= scores > 0
+        pos, scores = pos[keep], scores[keep]
+        if not len(pos):
+            return []
+        k = min(limit, len(pos))
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top], kind="stable")]
+        return [
+            FtsResult(
+                chunk_id=int(self._cid_arr[p]),
+                score=float(s),
+                path=self._path_of_slot(int(p)),
+                kind=self._kind_names[int(self._kind_arr[p])],
+            )
+            for s, p in zip(scores[top], pos[top])
+        ]
 
     def stats(self) -> dict:
         with self._lock:

@@ -248,6 +248,7 @@ class SearchSession:
         else:
             fused_kind = None
         fused_fts: list | None = None   # BM25 results from the fused dispatch
+        exact_prefetched: list | None = None  # exact scans done in-flight
         t = time.time()
         if fused_kind is not None:
             # single-dispatch fast path: featurize/tokenize on host, then
@@ -274,17 +275,29 @@ class SearchSession:
             raw = None
             if bm_args is not None:
                 if fused_kind == "hash":
-                    raw, bv, bi = self.store.hybrid_search_featurized(
+                    dev_out = self.store.hybrid_search_featurized(
                         hash_model.table, feats[0], feats[1], fetch, bm_args,
-                        raw=True,
+                        raw=True, defer=True,
                     )
                 else:
-                    raw, bv, bi = self.store.hybrid_search_encoded(
+                    dev_out = self.store.hybrid_search_encoded(
                         backend.params, backend.cfg, feats[0], feats[1],
-                        fetch, bm_args, raw=True,
+                        fetch, bm_args, raw=True, defer=True,
                     )
-                if bv is not None:
-                    fused_fts = self.fts.results_from_device(bv, bi, fetch)
+                # the fused dispatch is in flight — run the host-side
+                # exact-identifier scans NOW so their cost (O(df) numpy at
+                # high-df identifiers) hides inside the device round trip
+                if identifiers and options.mode == "hybrid":
+                    exact_prefetched = []
+                    for ident in identifiers:
+                        exact_prefetched.extend(self.fts.search_exact(
+                            ident, kind=intent.value if intent else None,
+                            limit=fetch,
+                        ))
+                raw = self.store.rows_to_ids(dev_out[0], dev_out[1])
+                fused_fts = self.fts.results_from_device(
+                    dev_out[2], dev_out[3], fetch
+                )
             elif fused_kind == "hash":
                 raw = self.store.search_featurized(
                     hash_model.table, feats[0], feats[1], fetch, raw=True
@@ -341,13 +354,17 @@ class SearchSession:
                 query, limit=fetch,
                 boost_kind=intent.value if intent else None,
             )
-            exact_results = []
-            for ident in identifiers:
-                exact_results.extend(
-                    self.fts.search_exact(
-                        ident, kind=intent.value if intent else None, limit=fetch
+            if exact_prefetched is not None:
+                exact_results = exact_prefetched
+            else:
+                exact_results = []
+                for ident in identifiers:
+                    exact_results.extend(
+                        self.fts.search_exact(
+                            ident, kind=intent.value if intent else None,
+                            limit=fetch,
+                        )
                     )
-                )
             fused = rrf_fusion_with_exact(
                 vector_ranked,
                 [(r.chunk_id, r.score) for r in fts_results],

@@ -304,6 +304,34 @@ class VectorStore:
             return parts[0].astype(np.float32)
         return np.concatenate(parts).astype(np.float32)
 
+    def _read_rows_io(self, a: int, b: int) -> np.ndarray:
+        """Rows [a, b) as float32 via plain file reads (NOT the memmap):
+        bulk passes (full device uploads) would otherwise leave every
+        touched mmap page resident in this process's RSS; read() transients
+        free immediately and only populate the (reclaimable) page cache."""
+        parts = []
+        if a < self._file_rows:
+            hi = min(b, self._file_rows)
+            try:
+                with open(self._embed_path(self._generation), "rb") as f:
+                    f.seek(a * self.dims * 2)
+                    flat = np.fromfile(f, np.float16, (hi - a) * self.dims)
+                if flat.size == (hi - a) * self.dims:
+                    parts.append(flat.reshape(hi - a, self.dims))
+                else:
+                    parts.append(np.asarray(self._mm()[a:hi]))
+            except OSError:
+                parts.append(np.asarray(self._mm()[a:hi]))
+        if b > self._file_rows:
+            ta = max(a - self._file_rows, 0)
+            tb = b - self._file_rows
+            parts.append(self._tail[ta:tb])
+        if not parts:
+            return np.zeros((0, self.dims), np.float32)
+        if len(parts) == 1:
+            return parts[0].astype(np.float32)
+        return np.concatenate(parts).astype(np.float32)
+
     def _tail_append(self, rows_f16: np.ndarray) -> None:
         need = self._tail_rows + len(rows_f16)
         if need > len(self._tail):
@@ -995,7 +1023,7 @@ class VectorStore:
                     hi = min(b + UPLOAD_BLOCK, n)
                     mat, scale, vmask = device_ops.insert_rows_int8(
                         mat, scale, vmask,
-                        self._rows_range(b, hi), valid_all[b:hi], b,
+                        self._read_rows_io(b, hi), valid_all[b:hi], b,
                     )
                 self._device = ("int8", mat, scale, vmask)
             else:
@@ -1004,7 +1032,7 @@ class VectorStore:
                 for b in range(0, n, UPLOAD_BLOCK):
                     hi = min(b + UPLOAD_BLOCK, n)
                     mat, vmask = device_ops.insert_rows(
-                        mat, vmask, self._rows_range(b, hi), valid_all[b:hi], b,
+                        mat, vmask, self._read_rows_io(b, hi), valid_all[b:hi], b,
                     )
                 self._device = ("bf16", mat, None, vmask)
         self._dev_rows = n
@@ -1189,7 +1217,7 @@ class VectorStore:
 
     def hybrid_search_featurized(
         self, table, ids: np.ndarray, weights: np.ndarray, limit: int, bm_args,
-        raw: bool = False,
+        raw: bool = False, defer: bool = False,
     ):
         """THE fused read plane (single device): variant hash-embedding +
         exact vector top-k + BM25 scatter top-k in ONE dispatch
@@ -1258,6 +1286,12 @@ class VectorStore:
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, imax,
                 )
+        if defer:
+            # dispatch is enqueued; hand back un-fetched device arrays so
+            # the caller can overlap host work (exact-identifier scans)
+            # with the device round trip, then collect via rows_to_ids /
+            # results_from_device
+            return vv, vi, bv, bi
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
         if raw:
             return self.rows_to_ids(vv, vi), bv, bi
@@ -1316,7 +1350,7 @@ class VectorStore:
 
     def hybrid_search_encoded(
         self, params: dict, cfg, ids: np.ndarray, mask: np.ndarray, limit: int,
-        bm_args, raw: bool = False,
+        bm_args, raw: bool = False, defer: bool = False,
     ):
         """THE fused read plane for BERT-family models: encoder forward +
         exact vector top-k + BM25 top-k in ONE dispatch (single device or
@@ -1380,6 +1414,8 @@ class VectorStore:
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, imax,
                 )
+        if defer:
+            return vv, vi, bv, bi
         vv, vi, bv, bi = jax.device_get((vv, vi, bv, bi))
         if raw:
             return self.rows_to_ids(vv, vi), bv, bi
