@@ -916,11 +916,16 @@ class FtsStore:
         pcap = max(_pow2(need), 2048)
         p_pos = self._full_repl((pcap,), ncap, np.int32)   # pad/dead → dropped
         p_w = self._full_repl((pcap,), 0.0, np.float32)
-        for seg in self._segments:
+        import jax
+
+        for i, seg in enumerate(self._segments):
             b = seg_base[seg.seq]
             bp, bw = self._segment_posting_block(seg, ncap)
             p_pos = device_ops.update_1d(p_pos, bp, b, ncap)
             p_w = device_ops.update_1d(p_w, bw, b, 0.0)
+            if i % 4 == 3:   # bound in-flight async-staging buffers
+                jax.block_until_ready(p_w)
+        jax.block_until_ready(p_w)
         self._dev = (p_pos, p_w, self._place_repl(meta))
         self._dev_state = {
             "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,

@@ -1015,6 +1015,8 @@ class VectorStore:
             import jax.numpy as jnp
 
             valid_all = self._used_valid()
+            import jax
+
             if self.int8:
                 mat = self._zeros((cap, self.dims), jnp.int8, True)
                 scale = self._zeros((cap,), jnp.float32, True)
@@ -1025,6 +1027,13 @@ class VectorStore:
                         mat, scale, vmask,
                         self._read_rows_io(b, hi), valid_all[b:hi], b,
                     )
+                    # bound in-flight staged host buffers (async dispatch
+                    # pins them until a sync point on standard backends;
+                    # NOTE the axon tunnel additionally leaks transfer bytes
+                    # outright — see CLAUDE.md — which no sync can fix)
+                    if (b // UPLOAD_BLOCK) % 4 == 3:
+                        jax.block_until_ready(mat)
+                jax.block_until_ready(mat)
                 self._device = ("int8", mat, scale, vmask)
             else:
                 mat = self._zeros((cap, self.dims), jnp.bfloat16, True)
@@ -1034,6 +1043,9 @@ class VectorStore:
                     mat, vmask = device_ops.insert_rows(
                         mat, vmask, self._read_rows_io(b, hi), valid_all[b:hi], b,
                     )
+                    if (b // UPLOAD_BLOCK) % 4 == 3:
+                        jax.block_until_ready(mat)
+                jax.block_until_ready(mat)
                 self._device = ("bf16", mat, None, vmask)
         self._dev_rows = n
         self._dev_pending_del = []
