@@ -294,10 +294,13 @@ class SearchSession:
                             ident, kind=intent.value if intent else None,
                             limit=fetch,
                         ))
-                raw = self.store.rows_to_ids(dev_out[0], dev_out[1])
-                fused_fts = self.fts.results_from_device(
-                    dev_out[2], dev_out[3], fetch
-                )
+                # ONE readback for all four result arrays — separate
+                # np.asarray() fetches would each pay a tunnel round trip
+                import jax
+
+                vv, vi, bv, bi = jax.device_get(dev_out)
+                raw = self.store.rows_to_ids(vv, vi)
+                fused_fts = self.fts.results_from_device(bv, bi, fetch)
             elif fused_kind == "hash":
                 raw = self.store.search_featurized(
                     hash_model.table, feats[0], feats[1], fetch, raw=True
