@@ -159,6 +159,21 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             t1 = time.time()
             session.search(q, SearchOptions(limit=10))
             lat_i.append((time.time() - t1) * 1000)
+        # batched serving: waves of 16 distinct queries through
+        # SearchSession.search_many (all dispatches enqueued before any
+        # readback) — the concurrent-load product throughput
+        wave_n = 16
+        batch_lat = []
+        for w in range(4):
+            wave = [
+                f"{verbs[(w * 3 + j) % 15]} the {nouns[(j * 2 + w) % 15]} "
+                f"value wave{w}" for j in range(wave_n)
+            ]
+            t1 = time.time()
+            session.search_many(wave, SearchOptions(limit=10))
+            batch_lat.append(time.time() - t1)
+        batch_lat.sort()
+        batched_qps = wave_n / batch_lat[len(batch_lat) // 2]
         lat_h.sort()
         lat_v.sort()
         lat_i.sort()
@@ -186,6 +201,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             "hybrid_p50_ms": round(p50_h, 1),
             "hybrid_mean_ms": round(sum(lat_h) / len(lat_h), 1),
             "hybrid_qps_single_stream": round(1000.0 / max(p50_h, 1e-9), 1),
+            "hybrid_qps_batched_16": round(batched_qps, 1),
             "vector_p50_ms": round(p50_v, 1),
             "hybrid_identifier_p50_ms": round(p50_i, 1),
             "hybrid_vs_baseline_75ms": round(75.0 / max(p50_h, 1e-9), 1),

@@ -1,33 +1,39 @@
 """BM25 full-text store — segmented, with device scoring.
 
 Replaces tantivy (src/fts/tantivy_store.rs) with an LSM-style columnar
-postings engine built for large corpora:
+postings engine built for 10M-doc corpora on one host core:
 
 - Writes accumulate in growable buffers; ``commit`` sorts ONLY the new
   postings into an immutable CSR *segment* (O(new log new)) and merges
   segments geometrically (tantivy-style), so a full index run costs
-  O(n log n) total instead of re-sorting everything per commit.
+  O(n log n) total instead of re-sorting everything per commit. Segments
+  past MERGE_MAX_POSTINGS are SEALED out of the merge pool, bounding
+  merge transients at any corpus size (tantivy's log-structured levels).
 - Documents get monotonically increasing internal numbers (``dnum``);
   re-adding a chunk id mints a fresh dnum, so stale postings in old
   segments reference dead dnums and are filtered by liveness — no
   tombstone rescans; exactly Lucene/tantivy's doc-id discipline.
-- The doc store is columnar (parallel numpy buffers + a path list), so
-  the dense scoring view rebuilds as O(n) vectorized copies, not a
-  Python loop.
-- Persistence is O(change): immutable ``seg-<n>.npz`` files + an
-  append-only msgpack doc log, committed by atomically renaming a tiny
-  JSON manifest that records the segment list and the log's valid byte
-  prefix (one rename flips the snapshot; crash leftovers are pruned).
-- Scoring: the host gathers the query terms' CSR ranges (contiguous
-  numpy slices) and computes per-posting contributions vectorized; the
-  O(N)-dense accumulation + kind boost + top-k run as ONE device dispatch
-  (``ops/bm25.py``) on large corpora, or np.bincount on small ones.
+- The doc store is columnar (parallel numpy buffers, interned path ids —
+  no per-doc Python objects); cid→slot is a sorted index with a bounded
+  recent-append overlay, dnum→slot a bisect on the monotone dnum column.
+- Persistence: segments are per-array ``.npy`` files whose posting bulk
+  (int32 dnums, int16 tfs) memory-maps on reload; the doc store persists
+  as vectorized sidecars (fixed-width ``docidx.bin`` appends + a packed
+  liveness bitmap + a json-lines path table) so reopening never replays
+  per-record logs. A tiny JSON manifest rename is the atomic commit
+  point; crash leftovers are pruned.
+- Scoring: postings live RESIDENT in device HBM (precomputed per-posting
+  contributions); a query ships only its terms' CHUNK-aligned CSR
+  intervals — a few hundred bytes — and one dispatch does the DMA
+  gather + log-pass segmented-scan reduction + kind boost + top-k
+  (``ops/bm25.py``). Small corpora score on host (np.bincount).
 
 Query semantics parity:
 - ``search``: BM25 with signature terms boosted ×2 and a ×3 score boost for
   chunks matching a structural-intent kind (tantivy_store.rs:394-458).
 - ``search_exact``: identifier term matched in signature (boost ×3) ∪
-  content, AND-ed with kind when provided (tantivy_store.rs:460-524).
+  content, AND-ed with kind when provided (tantivy_store.rs:460-524);
+  an exact signature-first fast path bounds high-df scans.
 
 Fusion consumes ranks (RRF), so absolute score scale differences from
 tantivy are immaterial.
@@ -606,8 +612,10 @@ class FtsStore:
                 arr = np.empty(hi - lo, DOCIDX_DTYPE)
                 arr["dnum"] = self._doc_dnum.view()[lo:hi]
                 arr["cid"] = self._doc_cid.view()[lo:hi]
-                # record the ORIGINAL length even for already-dead docs
-                # (liveness is the bitmap's job; -1 would poison len stats)
+                # docs killed before their first commit write len=1 (the
+                # original length is gone once the -1 sentinel lands, and a
+                # dead dnum is never revived — liveness is the bitmap's job;
+                # writing -1 would poison the reload's len column)
                 arr["len"] = np.abs(self._doc_len.view()[lo:hi])
                 arr["kid"] = np.clip(self._doc_kid.view()[lo:hi], 0, 32767)
                 arr["pid"] = self._doc_pid.view()[lo:hi]

@@ -310,25 +310,7 @@ class SearchSession:
                     backend.params, backend.cfg, feats[0], feats[1], fetch,
                     raw=True,
                 )
-            # vectorized best-score-per-chunk across variants
-            # (search/mod.rs:513-590): at the reference's fusion depth
-            # (≤9 variants × 256 candidates) per-result Python objects cost
-            # milliseconds on one host core — keep it all in numpy
-            cids, scores = raw
-            flat_i = cids.ravel()
-            flat_s = scores.ravel().astype(np.float64)
-            keep = flat_i >= 0
-            flat_i, flat_s = flat_i[keep], flat_s[keep]
-            if flat_i.size:
-                order = np.lexsort((-flat_s, flat_i))
-                fi, fs = flat_i[order], flat_s[order]
-                first = np.ones(len(fi), bool)
-                first[1:] = fi[1:] != fi[:-1]
-                bi_, bs_ = fi[first], fs[first]
-                top = np.argsort(-bs_, kind="stable")[:fetch]
-                vector_ranked = list(zip(bi_[top].tolist(), bs_[top].tolist()))
-            else:
-                vector_ranked = []
+            vector_ranked = self._dedup_raw(raw, fetch)
             meta_of = {}
         else:
             qvecs = np.stack(self.service.embed_queries_batch(variants))
@@ -345,7 +327,41 @@ class SearchSession:
                     meta_of[r.chunk_id] = r.metadata
             vector_ranked = sorted(best.items(), key=lambda kv: -kv[1])[:fetch]
         timings["vector"] = (time.time() - t) * 1000
+        resp = self._finish(
+            query, options, identifiers, intent, vector_k, fts_k, fetch,
+            vector_ranked, meta_of, fused_fts, exact_prefetched, timings, t_all,
+        )
+        self._resp_cache.put(key, resp)
+        return resp
 
+    @staticmethod
+    def _dedup_raw(raw, fetch: int) -> list[tuple[int, float]]:
+        """Vectorized best-score-per-chunk across variants
+        (search/mod.rs:513-590): at the reference's fusion depth (≤9
+        variants × 256 candidates) per-result Python objects cost
+        milliseconds on one host core — keep it all in numpy."""
+        cids, scores = raw
+        flat_i = cids.ravel()
+        flat_s = scores.ravel().astype(np.float64)
+        keep = flat_i >= 0
+        flat_i, flat_s = flat_i[keep], flat_s[keep]
+        if not flat_i.size:
+            return []
+        order = np.lexsort((-flat_s, flat_i))
+        fi, fs = flat_i[order], flat_s[order]
+        first = np.ones(len(fi), bool)
+        first[1:] = fi[1:] != fi[:-1]
+        bi_, bs_ = fi[first], fs[first]
+        top = np.argsort(-bs_, kind="stable")[:fetch]
+        return list(zip(bi_[top].tolist(), bs_[top].tolist()))
+
+    def _finish(
+        self, query, options, identifiers, intent, vector_k, fts_k, fetch,
+        vector_ranked, meta_of, fused_fts, exact_prefetched, timings, t_all,
+    ) -> SearchResponse:
+        """Post-retrieval stages shared by search() and search_many():
+        early termination → fusion → boost-bounded lazy materialization →
+        filters → optional rerank → response."""
         # ---- early termination (search/mod.rs:595-621) -------------------
         top5 = [s for _, s in vector_ranked[:5]]
         confident = len(top5) >= 5 and min(top5) > EARLY_TERMINATION_SCORE
@@ -488,7 +504,7 @@ class SearchSession:
             hits = capped
         hits = hits[: options.limit]
         timings["total"] = (time.time() - t_all) * 1000
-        resp = SearchResponse(
+        return SearchResponse(
             hits=hits,
             query=query,
             mode="vector" if not use_hybrid else "hybrid",
@@ -497,8 +513,128 @@ class SearchSession:
             db_path=str(self.db_path),
             rerank_mode=rerank_mode,
         )
-        self._resp_cache.put(key, resp)
-        return resp
+
+    def search_many(
+        self, queries: list[str], options: SearchOptions | None = None
+    ) -> list[SearchResponse]:
+        """Batched serving path: dispatch EVERY query's fused hybrid kernel
+        back-to-back (async), overlap all host-side exact-identifier scans
+        with the in-flight device work, then collect all results in one
+        readback wait. Wall time ≈ one round trip + Σ(device time) instead
+        of N full round trips — the dynamic-batching shape TPU serving
+        wants. Semantics identical to per-query search(); falls back to
+        sequential search() for configurations the batched plan does not
+        cover (non-fused backends, rerank)."""
+        options = options or SearchOptions()
+        backend = self.service.backend
+        hash_model = getattr(backend, "model", None)
+        fused_kind = None
+        if hash_model is not None and hasattr(hash_model, "table"):
+            fused_kind = "hash"
+        elif hasattr(backend, "featurize_queries"):
+            fused_kind = "bert"
+        if fused_kind is None or options.rerank:
+            return [self.search(q, options) for q in queries]
+
+        from ..models.hash_embedder import batch_features
+
+        t_all = time.time()
+        pending: list[dict | None] = []
+        out: list[SearchResponse | None] = [None] * len(queries)
+        for qi, query in enumerate(queries):
+            if not query or not query.strip():
+                raise SearchError("empty query")
+            key = self._cache_key(query, options)
+            cached = self._resp_cache.get(key)
+            if cached is not None:
+                cached.timings_ms["cached"] = True
+                out[qi] = cached
+                pending.append(None)
+                continue
+            identifiers = detect_identifiers(query)
+            intent = detect_structural_intent(query)
+            if options.rrf_k is not None:
+                vector_k = fts_k = float(options.rrf_k)
+            else:
+                vector_k, fts_k = adapt_rrf_k(query)
+            variants = [query] if options.no_expand else expand_query(query)
+            if options.mode == "vector":
+                fetch = options.limit * 3
+            elif identifiers:
+                fetch = max(options.limit * 3, 100)
+            else:
+                fetch = max(options.limit * 5, 200)
+            prefixed = [self.service.spec.query_prefix + v for v in variants]
+            if fused_kind == "hash":
+                feats = batch_features(prefixed)
+            else:
+                feats = backend.featurize_queries(prefixed)
+            bm_args = None
+            if options.mode == "hybrid":
+                bm_args = self.fts.device_query_args(
+                    query, intent.value if intent else None, fetch
+                )
+            if bm_args is not None:
+                if fused_kind == "hash":
+                    dev_out = self.store.hybrid_search_featurized(
+                        hash_model.table, feats[0], feats[1], fetch, bm_args,
+                        raw=True, defer=True,
+                    )
+                else:
+                    dev_out = self.store.hybrid_search_encoded(
+                        backend.params, backend.cfg, feats[0], feats[1],
+                        fetch, bm_args, raw=True, defer=True,
+                    )
+            elif fused_kind == "hash":
+                dev_out = self.store.search_featurized(
+                    hash_model.table, feats[0], feats[1], fetch, raw=True
+                )
+            else:
+                dev_out = self.store.search_encoded(
+                    backend.params, backend.cfg, feats[0], feats[1], fetch,
+                    raw=True,
+                )
+            pending.append({
+                "key": key, "query": query, "identifiers": identifiers,
+                "intent": intent, "vk": vector_k, "fk": fts_k,
+                "fetch": fetch, "dev": dev_out, "hybrid": bm_args is not None,
+            })
+        # all dispatches enqueued — do every host-side exact scan now
+        for st in pending:
+            if st is None or not st["hybrid"] or not st["identifiers"]:
+                continue
+            kind = st["intent"].value if st["intent"] else None
+            exact = []
+            for ident in st["identifiers"]:
+                exact.extend(self.fts.search_exact(ident, kind=kind,
+                                                   limit=st["fetch"]))
+            st["exact"] = exact
+        # one blocking readback wave, then per-query fusion/materialization
+        import jax
+
+        for st in pending:
+            if st is not None and st["hybrid"]:
+                st["dev"] = jax.device_get(st["dev"])
+        for qi, st in enumerate(pending):
+            if st is None:
+                continue
+            timings: dict[str, float] = {}
+            if st["hybrid"]:
+                vv, vi, bv, bi = st["dev"]
+                raw = self.store.rows_to_ids(vv, vi)
+                fused_fts = self.fts.results_from_device(bv, bi, st["fetch"])
+            else:
+                raw = st["dev"]
+                fused_fts = None
+            vector_ranked = self._dedup_raw(raw, st["fetch"])
+            resp = self._finish(
+                st["query"], options, st["identifiers"], st["intent"],
+                st["vk"], st["fk"], st["fetch"], vector_ranked, {},
+                fused_fts, st.get("exact"), timings, t_all,
+            )
+            self._resp_cache.put(st["key"], resp)
+            out[qi] = resp
+        return out  # type: ignore[return-value]
 
 
 def search(

@@ -561,3 +561,65 @@ class TestPathNormalizationMatrix:
         p = "src\\nested\\deep\\mod.rs"
         once = normalize_path(p)
         assert normalize_path(once) == once
+
+
+class TestSearchMany:
+    """Round-3 batched serving: search_many must equal per-query search()
+    exactly (same fusion/boost/filter semantics) while dispatching all
+    device work before any readback."""
+
+    def test_matches_sequential(self, tmp_path, monkeypatch):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file into key/value pairs."""\n'
+            "    return dict(l.split('=') for l in open(path))\n\n"
+            "def render_widget(canvas):\n"
+            '    """Draw the widget to the canvas."""\n'
+            "    canvas.blit()\n\n"
+            "def flush_buffer(buf):\n"
+            '    """Write pending bytes out."""\n'
+            "    buf.sync()\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            queries = [
+                "parse configuration file",
+                "draw the widget",
+                "flush_buffer pending bytes",   # identifier → exact overlap
+            ]
+            s1 = SearchSession(stats.db_path, readonly=True)
+            s1.fts.device_min_docs = 1
+            batched = s1.search_many(queries, SearchOptions(limit=5))
+            s2 = SearchSession(stats.db_path, readonly=True)
+            s2.fts.device_min_docs = 1
+            sequential = [s2.search(q, SearchOptions(limit=5)) for q in queries]
+            for b, s in zip(batched, sequential):
+                assert [(h.chunk_id, round(h.score, 6)) for h in b.hits] == \
+                       [(h.chunk_id, round(h.score, 6)) for h in s.hits]
+                assert b.mode == s.mode
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
+
+    def test_cache_hits_short_circuit(self, tmp_path):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text("def parse_config(p):\n    return p\n")
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        first = s.search("parse config", SearchOptions(limit=3))
+        batched = s.search_many(["parse config"], SearchOptions(limit=3))
+        assert batched[0].timings_ms.get("cached") is True
+        assert [h.chunk_id for h in batched[0].hits] == \
+               [h.chunk_id for h in first.hits]
