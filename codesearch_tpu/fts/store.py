@@ -272,6 +272,33 @@ class FtsStore:
             return i
         return None
 
+    def _dnum_identity(self) -> bool:
+        """True when slot == dnum for every slot (the common case: every
+        add mints the next dnum and appends the next slot, so the column is
+        exactly arange(n); only legacy migrations can break this). Lets all
+        bulk dnum→slot mappings skip their searchsorted — the dominant cost
+        of multi-M-posting gathers at 10M docs."""
+        n = self._doc_dnum.n
+        return bool(
+            n and int(self._doc_dnum.a[0]) == 0
+            and int(self._doc_dnum.a[n - 1]) == n - 1
+        )
+
+    def _slot_positions(self, dnums: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized dnum→slot mapping against the dense view. Returns
+        (pos clipped into range, found mask). O(m) identity fast path;
+        O(m log n) searchsorted otherwise."""
+        n = self._dnums_sorted.size
+        if n == 0:
+            z = np.zeros(len(dnums), np.int64)
+            return z, np.zeros(len(dnums), bool)
+        if self._dnum_identity():
+            pos = dnums.astype(np.int64)
+            found = (pos >= 0) & (pos < n)
+            return np.clip(pos, 0, n - 1), found
+        pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, n - 1)
+        return pos, self._dnums_sorted[pos] == dnums
+
     def _rebuild_sorted(self) -> None:
         cids = self._doc_cid.view()
         order = np.argsort(cids, kind="stable").astype(np.int64)
@@ -487,10 +514,8 @@ class FtsStore:
         self._ensure_dense()
         if self._dnums_sorted.size == 0:
             return np.zeros(len(dnums), bool)
-        pos = np.searchsorted(self._dnums_sorted, dnums).clip(
-            0, self._dnums_sorted.size - 1
-        )
-        return (self._dnums_sorted[pos] == dnums) & self._live_arr[pos]
+        pos, found = self._slot_positions(dnums)
+        return found & self._live_arr[pos]
 
     def _merge_segments(self, victims: list[Segment]) -> Segment:
         """k-way merge (concatenate + stable resort), dropping dead postings."""
@@ -868,9 +893,8 @@ class FtsStore:
         the current slot view and avg_len (vectorized)."""
         n = self._dnums_sorted.size
         dnums, tfc, tfs = self._seg_bulk(seg)
-        pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
-        live = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
-            if n else np.zeros(len(dnums), bool)
+        pos, found = self._slot_positions(dnums)
+        live = (found & self._live_arr[pos]) if n else np.zeros(len(dnums), bool)
         tfb = tfc.astype(np.float32) + _SIG_BOOST * tfs.astype(np.float32)
         len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len) \
             if n else np.ones(len(dnums), np.float32)
@@ -1056,10 +1080,8 @@ class FtsStore:
             np.concatenate(parts_c).astype(np.float32)
             + _SIG_BOOST * np.concatenate(parts_s).astype(np.float32)
         )
-        pos = np.searchsorted(self._dnums_sorted, dnums).clip(
-            0, self._dnums_sorted.size - 1
-        )
-        live = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos]
+        pos, found = self._slot_positions(dnums)
+        live = found & self._live_arr[pos]
         # exact per-term df over live postings → idf, expanded per posting
         lens = np.asarray(term_lens, np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -1297,9 +1319,8 @@ class FtsStore:
         """TermQuery-style saturation scoring over a posting subset
         (signature field boosted ×3); top-limit results sorted desc."""
         n = self._dnums_sorted.size
-        pos = np.searchsorted(self._dnums_sorted, dnums).clip(0, max(n - 1, 0))
-        keep = (self._dnums_sorted[pos] == dnums) & self._live_arr[pos] \
-            if n else np.zeros(len(dnums), bool)
+        pos, found = self._slot_positions(dnums)
+        keep = (found & self._live_arr[pos]) if n else np.zeros(len(dnums), bool)
         if kind is not None:
             kid = self._kind_vocab.get(kind)
             if kid is None:
