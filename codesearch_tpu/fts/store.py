@@ -333,7 +333,10 @@ class FtsStore:
         self._doc_pid.append(self._path_id(path))
         self._extras[cid] = slot
         if len(self._extras) > EXTRAS_MAX:
-            self._rebuild_sorted()
+            # defer the argsort to the next lookup (see vectordb/store.py)
+            self._sorted_cids = None
+            self._sorted_slots = None
+            self._extras = {}
         self._n_live += 1
         self._dense_dirty = True
 

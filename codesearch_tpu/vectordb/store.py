@@ -267,7 +267,12 @@ class VectorStore:
         if cid > self._max_cid:
             self._max_cid = cid
         if len(self._extras) > EXTRAS_MAX:
-            self._rebuild_sorted()
+            # defer the argsort to the next LOOKUP: fresh-id indexing never
+            # looks rows up (the cid > _max_cid fast path short-circuits),
+            # so a 10M-row run skips ~40 eager full-column argsorts
+            self._sorted_cids = None
+            self._sorted_rows = None
+            self._extras = {}
 
     # ------------------------------------------------------------------
     # embedding row access (memmap + tail)

@@ -362,3 +362,27 @@ class TestScalePaths:
         # iter_chunks streams all live chunks
         seen = {cid: m.content for cid, m in s2.iter_chunks()}
         assert len(seen) == 30 and seen[11] == "body-11"
+
+    def test_extras_overflow_defers_rebuild(self, tmp_path, monkeypatch):
+        """On recent-append overflow the sorted cid index invalidates and
+        rebuilds lazily at the next lookup — replaces/deletes/gets must all
+        still resolve across the overflow boundary."""
+        import codesearch_tpu.vectordb.store as vstore
+
+        monkeypatch.setattr(vstore, "EXTRAS_MAX", 8)
+        s = VectorStore(tmp_path / "db", dims=4)
+        rng = np.random.default_rng(5)
+        for i in range(30):
+            s.insert_chunks_with_ids(
+                _norm(rng.normal(size=(1, 4)).astype(np.float32)),
+                [_meta(content=f"c{i}")], ids=[i],
+            )
+        assert s._sorted_cids is None        # overflow cleared, not rebuilt
+        assert s.get_chunk(3).content == "c3"   # lazy rebuild covers all
+        s.insert_chunks_with_ids(
+            _embs([1, 0, 0, 0]), [_meta(content="replaced")], ids=[3]
+        )
+        assert s.get_chunk(3).content == "replaced"
+        assert s.delete_chunks([7]) == 1
+        assert s.get_chunk(7) is None
+        assert len(s) == 29
