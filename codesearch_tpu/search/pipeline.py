@@ -609,12 +609,16 @@ class SearchSession:
                 exact.extend(self.fts.search_exact(ident, kind=kind,
                                                    limit=st["fetch"]))
             st["exact"] = exact
-        # one blocking readback wave, then per-query fusion/materialization
+        # ONE blocking readback wave for every query's arrays — a per-query
+        # device_get loop would serialize N tunnel round trips and forfeit
+        # the batching win
         import jax
 
+        waves = [st["dev"] for st in pending if st is not None and st["hybrid"]]
+        fetched = iter(jax.device_get(waves))
         for st in pending:
             if st is not None and st["hybrid"]:
-                st["dev"] = jax.device_get(st["dev"])
+                st["dev"] = next(fetched)
         for qi, st in enumerate(pending):
             if st is None:
                 continue
