@@ -555,3 +555,20 @@ class TestSealedSegments:
         s2.commit()
         assert s2.search("tok_42") == []
         assert s2.search("tok_77")[0].chunk_id == 77
+
+
+class TestReadonlyV4:
+    def test_readonly_open_and_search(self, tmp_path):
+        s = FtsStore(tmp_path / "fts")
+        for i in range(40):
+            s.add_chunk(i, f"omega tok_{i} shared", f"f{i // 8}.rs",
+                        f"fn tok_{i}()", "Function")
+        s.delete_chunk(11)
+        s.commit()
+        r = FtsStore(tmp_path / "fts", readonly=True)
+        assert len(r) == 39
+        assert r.search("tok_17")[0].chunk_id == 17
+        # deleted doc never resurfaces (its subtokens match other docs)
+        assert all(x.chunk_id != 11 for x in r.search("tok_11", limit=50))
+        assert r.search_exact("tok_23")[0].chunk_id == 23
+        r.commit()   # no-op, must not raise or write

@@ -386,3 +386,23 @@ class TestScalePaths:
         assert s.delete_chunks([7]) == 1
         assert s.get_chunk(7) is None
         assert len(s) == 29
+
+    def test_missing_sidecars_fall_back_to_log_replay(self, tmp_path):
+        """A v3 store whose sidecar files were lost must still open via the
+        op-log replay path (degraded open, full data)."""
+        s = VectorStore(tmp_path / "db", dims=4)
+        rng = np.random.default_rng(6)
+        s.insert_chunks_with_ids(
+            _norm(rng.normal(size=(20, 4)).astype(np.float32)),
+            [_meta(content=f"c{i}", path=f"f{i % 2}.rs") for i in range(20)],
+        )
+        s.delete_chunks([5])
+        s.save()
+        (tmp_path / "db" / f"rowidx.{s._generation}.bin").unlink()
+        s2 = VectorStore(tmp_path / "db", dims=4, readonly=True)
+        assert len(s2) == 19
+        assert s2.get_chunk(5) is None
+        assert s2.get_chunk(7).content == "c7"
+        assert sorted(s2.get_chunks_by_file("f1.rs")) == [
+            i for i in range(1, 20, 2) if i != 5
+        ]
