@@ -86,7 +86,10 @@ def run_checks(path: Path) -> list[CheckResult]:
         from ..fileio.walker import FileWalker
         from ..index.file_meta import normalize_path
 
-        project_root = db.parent
+        # walk the PROJECT, not the db's parent: for global-registry /
+        # --store layouts the db lives under ~/.codesearch, whose parent
+        # holds no source files — every tracked file would count stale
+        project_root = git_root or path.resolve()
         try:
             disk_files, _ = FileWalker(project_root).walk()
         except OSError:

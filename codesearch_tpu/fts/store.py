@@ -198,6 +198,7 @@ class FtsStore:
         self._sorted_cids: np.ndarray | None = None
         self._sorted_slots: np.ndarray | None = None
         self._extras: dict[int, int] = {}      # recent cid → slot
+        self._max_cid = -1                     # fresh-cid lookup short-circuit
         self._n_live = 0
         self._kind_vocab: dict[str, int] = {}
         self._kind_names: list[str] = []
@@ -213,6 +214,7 @@ class FtsStore:
         # persistence cursors (sidecar-covered prefixes)
         self._idx_slots = 0                    # slots in docidx.bin
         self._file_paths = 0                   # names in paths.txt
+        self._valid_seq = 0                    # bitmap sequence (manifest-selected)
         # dense scoring view: SLOT-indexed (append-only, never compacted —
         # slot positions are stable so resident device postings stay valid
         # across doc adds/deletes; liveness is a mask)
@@ -308,6 +310,10 @@ class FtsStore:
 
     def _current_slot(self, cid: int) -> int | None:
         """The (single) LIVE slot holding this chunk id, else None."""
+        if cid > self._max_cid:
+            # fresh id — cannot exist; keeps bulk indexing from ever
+            # paying the lazy sorted-index rebuild
+            return None
         slot = self._extras.get(cid)
         if slot is not None:
             return slot if self._doc_len.a[slot] >= 0 else None
@@ -332,6 +338,8 @@ class FtsStore:
         self._doc_cid.append(cid)
         self._doc_pid.append(self._path_id(path))
         self._extras[cid] = slot
+        if cid > self._max_cid:
+            self._max_cid = cid
         if len(self._extras) > EXTRAS_MAX:
             # defer the argsort to the next lookup (see vectordb/store.py)
             self._sorted_cids = None
@@ -469,6 +477,7 @@ class FtsStore:
         self._sorted_cids = None
         self._sorted_slots = None
         self._extras = {}
+        self._max_cid = -1
         self._n_live = 0
         self._segments = []
         self._new_terms = _GrowBuf(np.int64)
@@ -655,21 +664,29 @@ class FtsStore:
                     f.flush()
                     os.fsync(f.fileno())
                 self._idx_slots = n
-            # 3. liveness bitmap (full rewrite — 10M docs = 1.25 MB)
+            # 3. liveness bitmap (full rewrite — 10M docs = 1.25 MB),
+            # written to a FRESH sequence-stamped file so the manifest
+            # rename stays the ONE commit point (overwriting docvalid.bin
+            # in place would commit kills of replaced docs before the
+            # manifest commits their replacement slots)
+            self._valid_seq += 1
+            valid_name = f"docvalid.{self._valid_seq}.bin"
             vb = np.packbits(self._doc_len.view() >= 0)
-            tmpv = self.dir / (self.DOCVALID_FILE + ".tmpv")
+            tmpv = self.dir / (valid_name + ".tmpv")
             with open(tmpv, "wb") as f:
                 vb.tofile(f)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmpv, self.dir / self.DOCVALID_FILE)
+            os.replace(tmpv, self.dir / valid_name)
             # 4. path table append (json-lines, id = line number)
             if self._file_paths > len(self._path_names):
                 self._file_paths = 0
-                with contextlib.suppress(OSError):
-                    (self.dir / self.PATHS_FILE).unlink()
             if len(self._path_names) > self._file_paths:
-                with open(self.dir / self.PATHS_FILE, "a", encoding="utf-8") as f:
+                # _file_paths == 0 means the table restarts (fresh store,
+                # clear(), or corrupt-sidecar recovery): TRUNCATE — appending
+                # after stale lines would remap every path id on reload
+                mode = "w" if self._file_paths == 0 else "a"
+                with open(self.dir / self.PATHS_FILE, mode, encoding="utf-8") as f:
                     for p in self._path_names[self._file_paths:]:
                         f.write(json.dumps(p) + "\n")
                     f.flush()
@@ -684,6 +701,8 @@ class FtsStore:
                 "kind_names": self._kind_names,
                 "next_dnum": self._next_dnum,
                 "next_seg": self._next_seg,
+                "valid_file": valid_name,
+                "valid_seq": self._valid_seq,
             }
             tmpj = self._manifest_path.with_suffix(".tmpj")
             with open(tmpj, "w") as f:
@@ -707,6 +726,10 @@ class FtsStore:
                          self.DOCLOG_FILE):
                 with contextlib.suppress(OSError):
                     (self.dir / name).unlink()
+            for q in self.dir.glob("docvalid*.bin"):
+                if q.name != valid_name:
+                    with contextlib.suppress(OSError):
+                        q.unlink()
             for p in self.dir.glob("*.tmp*"):
                 with contextlib.suppress(OSError):
                     p.unlink()
@@ -771,6 +794,7 @@ class FtsStore:
         liveness bitmap, json-lines path table. No per-record decode."""
         slots = int(manifest.get("slots", 0))
         n_paths = int(manifest.get("n_paths", 0))
+        self._valid_seq = int(manifest.get("valid_seq", 0))
         self._kind_names = list(manifest.get("kind_names", []))
         self._kind_vocab = {k: i for i, k in enumerate(self._kind_names)}
         if not slots:
@@ -779,7 +803,10 @@ class FtsStore:
         try:
             idx = np.fromfile(self.dir / self.DOCIDX_FILE, DOCIDX_DTYPE,
                               count=slots)
-            vbits = np.fromfile(self.dir / self.DOCVALID_FILE, np.uint8)
+            vp = self.dir / manifest.get("valid_file", self.DOCVALID_FILE)
+            if not vp.exists():
+                vp = self.dir / self.DOCVALID_FILE   # pre-stamp layout
+            vbits = np.fromfile(vp, np.uint8)
             live = np.unpackbits(vbits)[:slots].astype(bool)
             if len(idx) < slots or len(live) < slots:
                 raise ValueError("short doc sidecars")
@@ -809,6 +836,8 @@ class FtsStore:
         self._n_live = int(live.sum())
         self._idx_slots = slots
         self._file_paths = n_paths
+        if slots:
+            self._max_cid = int(idx["cid"].max())
         self._dense_dirty = True
 
     def _load_doclog_v3(self, manifest: dict) -> None:

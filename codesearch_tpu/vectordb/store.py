@@ -196,6 +196,7 @@ class VectorStore:
 
         # persistence cursors: manifest-covered vs physically-written
         self._generation = 0
+        self._valid_seq = 0                # bitmap sequence (manifest-selected)
         self._persisted_rows = 0           # manifest rows
         self._file_log_bytes = 0           # bytes physically in the log
         self._persisted_log_bytes = 0      # manifest log bytes
@@ -407,8 +408,14 @@ class VectorStore:
     def _paths_path(self, gen: int) -> Path:
         return self.db_path / f"paths.{gen}.txt"
 
-    def _valid_path(self, gen: int) -> Path:
-        return self.db_path / f"valid.{gen}.bin"
+    def _valid_path(self, gen: int, seq: int | None = None) -> Path:
+        # sequence-stamped: each save writes a FRESH bitmap file and the
+        # manifest rename selects it — one atomic commit point (overwriting
+        # valid.<gen>.bin in place would commit kills of replaced rows
+        # before the manifest commits their replacement rows)
+        if seq is None:
+            seq = self._valid_seq
+        return self.db_path / f"valid.{gen}.{seq}.bin"
 
     def _cleanup_stale_files(self) -> None:
         """Remove atomic-write temp files and data files from generations no
@@ -421,6 +428,7 @@ class VectorStore:
             self._embed_path(gen).name, self._log_path(gen).name,
             self._rowidx_path(gen).name, self._paths_path(gen).name,
             self._valid_path(gen).name,
+            f"valid.{gen}.bin",   # pre-stamp layout until the next save
         }
         pats = ("*.tmp*", "embeddings.*.bin", "chunkmeta.*.log",
                 "rowidx.*.bin", "paths.*.txt", "valid.*.bin")
@@ -459,6 +467,7 @@ class VectorStore:
             return
         self._next_id = int(manifest.get("next_id", 0))
         self._generation = int(manifest.get("generation", 0))
+        self._valid_seq = int(manifest.get("valid_seq", 0))
         rows = int(manifest.get("rows", 0))
         log_bytes = int(manifest.get("log_bytes", 0))
 
@@ -495,7 +504,10 @@ class VectorStore:
                 if rows else np.zeros(0, ROWIDX_DTYPE)
             if len(idx) < rows:
                 return False
-            vbits = np.fromfile(self._valid_path(gen), np.uint8)
+            vp = self._valid_path(gen)
+            if not vp.exists():
+                vp = self.db_path / f"valid.{gen}.bin"   # pre-stamp layout
+            vbits = np.fromfile(vp, np.uint8)
             valid = np.unpackbits(vbits)[:rows].astype(bool)
             if len(valid) < rows:
                 return False
@@ -638,6 +650,7 @@ class VectorStore:
             "log_bytes": log_bytes,
             "next_id": self._next_id,
             "n_paths": len(self._path_names),
+            "valid_seq": self._valid_seq,
         }
         tmpj = self._manifest_path.with_suffix(".tmpj")
         with open(tmpj, "w") as f:
@@ -709,6 +722,7 @@ class VectorStore:
             self._file_paths = len(self._path_names)
 
     def _write_valid_bitmap(self, gen: int) -> None:
+        self._valid_seq += 1
         vb = np.packbits(self._valid.view())
         tmp = self._valid_path(gen).with_suffix(".tmpv")
         with open(tmp, "wb") as f:
@@ -722,6 +736,14 @@ class VectorStore:
         self._persisted_rows = self._file_rows
         self._persisted_log_bytes = self._file_log_bytes
         self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
+        # manifest flipped — superseded bitmap files are garbage now
+        keep = self._valid_path(self._generation).name
+        for q in self.db_path.glob(f"valid.{self._generation}.*"):
+            if q.name != keep:
+                try:
+                    q.unlink()
+                except OSError:
+                    pass
 
     def _save_rewrite(self) -> None:
         """Compact into a fresh generation, streaming in UPLOAD_BLOCK-row
@@ -807,12 +829,13 @@ class VectorStore:
         self._device = None
         self._dev_rows = 0
         self._dev_pending_del = []
-        for p in (
+        stale = [
             self._embed_path(old_gen), self._log_path(old_gen),
             self._rowidx_path(old_gen), self._paths_path(old_gen),
-            self._valid_path(old_gen),
             self.db_path / VEC_EMBED_FILE, self.db_path / VEC_META_FILE,
-        ):
+        ] + list(self.db_path.glob(f"valid.{old_gen}.*")) \
+          + [self.db_path / f"valid.{old_gen}.bin"]
+        for p in stale:
             try:
                 p.unlink()
             except OSError:
@@ -1257,6 +1280,12 @@ class VectorStore:
         with self._lock:
             n_valid = int(self._used_valid().sum())
             if n_valid == 0:
+                if defer:
+                    # callers unpack 4 device-shaped arrays — hand back
+                    # empty host arrays (device_get passes numpy through)
+                    return (np.zeros((ids.shape[0], 0), np.float32),
+                            np.zeros((ids.shape[0], 0), np.int32),
+                            np.zeros(0, np.float32), np.zeros(0, np.int32))
                 if raw:
                     shape = (ids.shape[0], 0)
                     return (np.zeros(shape, np.int64),
@@ -1385,6 +1414,12 @@ class VectorStore:
         with self._lock:
             n_valid = int(self._used_valid().sum())
             if n_valid == 0:
+                if defer:
+                    # callers unpack 4 device-shaped arrays — hand back
+                    # empty host arrays (device_get passes numpy through)
+                    return (np.zeros((ids.shape[0], 0), np.float32),
+                            np.zeros((ids.shape[0], 0), np.int32),
+                            np.zeros(0, np.float32), np.zeros(0, np.int32))
                 if raw:
                     shape = (ids.shape[0], 0)
                     return (np.zeros(shape, np.int64),

@@ -572,3 +572,47 @@ class TestReadonlyV4:
         assert all(x.chunk_id != 11 for x in r.search("tok_11", limit=50))
         assert r.search_exact("tok_23")[0].chunk_id == 23
         r.commit()   # no-op, must not raise or write
+
+
+class TestCommitAtomicity:
+    def test_paths_correct_after_clear_and_readd(self, tmp_path):
+        """Regression (r3 review): clear() must not leave stale path-table
+        lines that remap interned ids on reload."""
+        s = FtsStore(tmp_path / "fts")
+        s.add_chunk(1, "alpha content", "a.rs", "fn alpha()", "Function")
+        s.add_chunk(2, "beta content", "b.rs", "fn beta()", "Function")
+        s.commit()
+        s.clear()
+        s.add_chunk(3, "gamma content", "c.rs", "fn gamma()", "Function")
+        s.commit()
+        s2 = FtsStore(tmp_path / "fts")
+        res = s2.search("gamma")
+        assert res and res[0].path == "c.rs"
+
+    def test_old_manifest_plus_old_bitmap_stays_consistent(self, tmp_path):
+        """A crash anywhere before the manifest rename must leave the OLD
+        snapshot fully intact — including the liveness bitmap it refers to
+        (bitmaps are sequence-stamped; the manifest selects one)."""
+        import shutil
+
+        d = tmp_path / "fts"
+        s = FtsStore(d)
+        for i in range(10):
+            s.add_chunk(i, f"tok_{i} words here", f"f{i}.rs",
+                        f"fn tok_{i}()", "Function")
+        s.commit()
+        snap = {p.name: p.read_bytes() for p in d.iterdir() if p.is_file()}
+        # replace doc 5 and delete doc 7, then commit (new bitmap + manifest)
+        s.add_chunk(5, "tok_5 replaced body", "f5.rs", "fn tok_5()", "Function")
+        s.delete_chunk(7)
+        s.commit()
+        # simulate a crash before the manifest rename: restore the old
+        # manifest AND every file it referenced
+        crash = tmp_path / "crash"
+        shutil.copytree(d, crash)
+        for name, blob in snap.items():
+            (crash / name).write_bytes(blob)
+        s2 = FtsStore(crash)
+        assert len(s2) == 10
+        assert s2.search("tok_5")[0].chunk_id == 5
+        assert s2.search("tok_7")[0].chunk_id == 7   # delete not yet committed

@@ -623,3 +623,33 @@ class TestSearchMany:
         assert batched[0].timings_ms.get("cached") is True
         assert [h.chunk_id for h in batched[0].hits] == \
                [h.chunk_id for h in first.hits]
+
+
+class TestEmptyVectorStoreHybrid:
+    def test_fused_defer_empty_store(self, tmp_path, monkeypatch):
+        """Regression (r3 review, repro'd): a hybrid search against a store
+        with zero valid rows but live FTS docs must return FTS-only results
+        instead of crashing in the deferred-dispatch unpack."""
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text("def parse_config(p):\n    return p\n")
+        stats = index(root, IndexOptions(quiet=True))
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            sess = SearchSession(stats.db_path, readonly=True)
+            sess.fts.device_min_docs = 1
+            # tombstone every vector row, keep FTS alive
+            ids = sess.store.all_ids()
+            sess.store.readonly = False
+            sess.store.delete_chunks(ids)
+            sess.store.readonly = True
+            resp = sess.search("parse config", SearchOptions(limit=5))
+            assert resp.mode == "hybrid"
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
