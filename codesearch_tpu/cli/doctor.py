@@ -86,10 +86,14 @@ def run_checks(path: Path) -> list[CheckResult]:
         from ..fileio.walker import FileWalker
         from ..index.file_meta import normalize_path
 
-        # walk the PROJECT, not the db's parent: for global-registry /
-        # --store layouts the db lives under ~/.codesearch, whose parent
-        # holds no source files — every tracked file would count stale
-        project_root = git_root or path.resolve()
+        # walk the PROJECT: local dbs live at the project root (db.parent),
+        # but global-registry dbs live under ~/.codesearch where the parent
+        # holds no source files — for those, fall back to the git root or
+        # the invocation path
+        if get_config_dir() in db.parents:
+            project_root = git_root or path.resolve()
+        else:
+            project_root = db.parent
         try:
             disk_files, _ = FileWalker(project_root).walk()
         except OSError:

@@ -214,6 +214,7 @@ class FtsStore:
         # persistence cursors (sidecar-covered prefixes)
         self._idx_slots = 0                    # slots in docidx.bin
         self._file_paths = 0                   # names in paths.txt
+        self._paths_bytes = 0                  # committed byte prefix of paths.txt
         self._valid_seq = 0                    # bitmap sequence (manifest-selected)
         # dense scoring view: SLOT-indexed (append-only, never compacted —
         # slot positions are stable so resident device postings stay valid
@@ -487,6 +488,7 @@ class FtsStore:
         self._dead_since_flush = set()
         self._idx_slots = 0
         self._file_paths = 0
+        self._paths_bytes = 0
         self._dense_dirty = True
         self._dev = None
         self._dev_state = None
@@ -681,16 +683,21 @@ class FtsStore:
             # 4. path table append (json-lines, id = line number)
             if self._file_paths > len(self._path_names):
                 self._file_paths = 0
+                self._paths_bytes = 0
             if len(self._path_names) > self._file_paths:
-                # _file_paths == 0 means the table restarts (fresh store,
-                # clear(), or corrupt-sidecar recovery): TRUNCATE — appending
-                # after stale lines would remap every path id on reload
-                mode = "w" if self._file_paths == 0 else "a"
-                with open(self.dir / self.PATHS_FILE, mode, encoding="utf-8") as f:
+                # seek to the COMMITTED byte prefix (manifest-recorded), so a
+                # crashed append's stale tail is overwritten, never appended
+                # after — line-number → path-id mapping stays exact
+                pp = self.dir / self.PATHS_FILE
+                mode = "r+b" if pp.exists() and self._paths_bytes else "wb"
+                with open(pp, mode) as f:
+                    f.seek(self._paths_bytes)
                     for p in self._path_names[self._file_paths:]:
-                        f.write(json.dumps(p) + "\n")
+                        f.write((json.dumps(p) + "\n").encode("utf-8"))
+                    f.truncate()
                     f.flush()
                     os.fsync(f.fileno())
+                    self._paths_bytes = f.tell()
                 self._file_paths = len(self._path_names)
             # 5. manifest rename = the commit point
             manifest = {
@@ -703,6 +710,7 @@ class FtsStore:
                 "next_seg": self._next_seg,
                 "valid_file": valid_name,
                 "valid_seq": self._valid_seq,
+                "paths_bytes": self._paths_bytes,
             }
             tmpj = self._manifest_path.with_suffix(".tmpj")
             with open(tmpj, "w") as f:
@@ -726,8 +734,12 @@ class FtsStore:
                          self.DOCLOG_FILE):
                 with contextlib.suppress(OSError):
                     (self.dir / name).unlink()
+            keep_valid = {valid_name, f"docvalid.{self._valid_seq - 1}.bin"}
             for q in self.dir.glob("docvalid*.bin"):
-                if q.name != valid_name:
+                # keep the PREVIOUS sequence too: a concurrent reader that
+                # already loaded the prior manifest must still find the
+                # bitmap it references
+                if q.name not in keep_valid:
                     with contextlib.suppress(OSError):
                         q.unlink()
             for p in self.dir.glob("*.tmp*"):
@@ -795,6 +807,7 @@ class FtsStore:
         slots = int(manifest.get("slots", 0))
         n_paths = int(manifest.get("n_paths", 0))
         self._valid_seq = int(manifest.get("valid_seq", 0))
+        self._paths_bytes = int(manifest.get("paths_bytes", 0))
         self._kind_names = list(manifest.get("kind_names", []))
         self._kind_vocab = {k: i for i, k in enumerate(self._kind_names)}
         if not slots:
@@ -812,13 +825,19 @@ class FtsStore:
                 raise ValueError("short doc sidecars")
             names: list[str] = []
             if n_paths:
-                with open(self.dir / self.PATHS_FILE, encoding="utf-8") as f:
-                    for line in f:
-                        names.append(json.loads(line))
-                        if len(names) >= n_paths:
-                            break
+                with open(self.dir / self.PATHS_FILE, "rb") as f:
+                    raw_paths = f.read(self._paths_bytes) if self._paths_bytes \
+                        else f.read()
+                for line in raw_paths.decode("utf-8").splitlines():
+                    names.append(json.loads(line))
+                    if len(names) >= n_paths:
+                        break
             if len(names) < n_paths:
                 raise ValueError("short path table")
+            if not self._paths_bytes:
+                # pre-cursor manifests: adopt the current file size
+                self._paths_bytes = (self.dir / self.PATHS_FILE).stat().st_size \
+                    if n_paths else 0
         except (OSError, ValueError, json.JSONDecodeError) as e:
             log.warning("corrupt fts doc sidecars, starting empty: %s", e)
             self.__init_empty()
@@ -1382,8 +1401,8 @@ class FtsStore:
     def stats(self) -> dict:
         with self._lock:
             disk = 0
-            extra = [self.dir / self.DOCIDX_FILE, self.dir / self.DOCVALID_FILE,
-                     self.dir / self.PATHS_FILE, self._doclog_path]
+            extra = [self.dir / self.DOCIDX_FILE, self.dir / self.PATHS_FILE,
+                     self._doclog_path] + list(self.dir.glob("docvalid*.bin"))
             for f in (list(self.dir.glob("seg-*.npz"))
                       + list(self.dir.glob("seg-*.npy")) + extra):
                 if f.exists():

@@ -48,7 +48,8 @@ def device_candidates(stores, service, query: str, kind: str | None, fetch: int)
                     backend.params, backend.cfg, feats[0], feats[1], fetch, bm
                 )
             vres = per_variant[0]
-            fres = stores.fts.results_from_device(bvv, bii, fetch)
+            if bvv is not None:
+                fres = stores.fts.results_from_device(bvv, bii, fetch)
         elif fused_kind == "hash":
             vres = stores.store.search_featurized(
                 hb.table, feats[0], feats[1], fetch

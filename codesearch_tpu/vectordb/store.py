@@ -202,6 +202,7 @@ class VectorStore:
         self._persisted_log_bytes = 0      # manifest log bytes
         self._idx_rows = 0                 # rows covered by rowidx sidecar
         self._file_paths = 0               # path names in the paths sidecar
+        self._paths_bytes = 0              # committed byte prefix of paths file
         self._pending_log: list[tuple[bytes, int | None]] = []  # (rec, row)
         self._needs_rewrite = False
 
@@ -428,6 +429,7 @@ class VectorStore:
             self._embed_path(gen).name, self._log_path(gen).name,
             self._rowidx_path(gen).name, self._paths_path(gen).name,
             self._valid_path(gen).name,
+            self._valid_path(gen, self._valid_seq - 1).name,  # concurrent readers
             f"valid.{gen}.bin",   # pre-stamp layout until the next save
         }
         pats = ("*.tmp*", "embeddings.*.bin", "chunkmeta.*.log",
@@ -468,6 +470,7 @@ class VectorStore:
         self._next_id = int(manifest.get("next_id", 0))
         self._generation = int(manifest.get("generation", 0))
         self._valid_seq = int(manifest.get("valid_seq", 0))
+        self._paths_bytes = int(manifest.get("paths_bytes", 0))
         rows = int(manifest.get("rows", 0))
         log_bytes = int(manifest.get("log_bytes", 0))
 
@@ -513,13 +516,17 @@ class VectorStore:
                 return False
             names: list[str] = []
             if n_paths:
-                with open(self._paths_path(gen), encoding="utf-8") as f:
-                    for line in f:
-                        names.append(json.loads(line))
-                        if len(names) >= n_paths:
-                            break
+                with open(self._paths_path(gen), "rb") as f:
+                    raw_paths = f.read(self._paths_bytes) if self._paths_bytes \
+                        else f.read()
+                for line in raw_paths.decode("utf-8").splitlines():
+                    names.append(json.loads(line))
+                    if len(names) >= n_paths:
+                        break
             if len(names) < n_paths:
                 return False
+            if not self._paths_bytes and n_paths:
+                self._paths_bytes = self._paths_path(gen).stat().st_size
         except (OSError, ValueError, json.JSONDecodeError):
             return False
         self._cids.extend(idx["cid"].astype(np.int64))
@@ -651,6 +658,7 @@ class VectorStore:
             "next_id": self._next_id,
             "n_paths": len(self._path_names),
             "valid_seq": self._valid_seq,
+            "paths_bytes": self._paths_bytes,
         }
         tmpj = self._manifest_path.with_suffix(".tmpj")
         with open(tmpj, "w") as f:
@@ -713,12 +721,18 @@ class VectorStore:
                     _fsync_file(f)
             self._idx_rows = hi
         if len(self._path_names) > self._file_paths:
+            # seek to the committed byte prefix so a crashed append's stale
+            # tail is overwritten, never appended after (line→id mapping)
             pp = self._paths_path(gen)
-            with open(pp, "a", encoding="utf-8") as f:
+            mode = "r+b" if pp.exists() and self._paths_bytes else "wb"
+            with open(pp, mode) as f:
+                f.seek(self._paths_bytes)
                 for p in self._path_names[self._file_paths:]:
-                    f.write(json.dumps(p) + "\n")
+                    f.write((json.dumps(p) + "\n").encode("utf-8"))
+                f.truncate()
                 if fsync:
                     _fsync_file(f)
+                self._paths_bytes = f.tell()
             self._file_paths = len(self._path_names)
 
     def _write_valid_bitmap(self, gen: int) -> None:
@@ -736,10 +750,13 @@ class VectorStore:
         self._persisted_rows = self._file_rows
         self._persisted_log_bytes = self._file_log_bytes
         self._write_manifest(self._persisted_rows, self._persisted_log_bytes)
-        # manifest flipped — superseded bitmap files are garbage now
-        keep = self._valid_path(self._generation).name
+        # manifest flipped — superseded bitmaps are garbage, EXCEPT the
+        # immediately previous sequence (a concurrent reader holding the
+        # prior manifest must still find the bitmap it references)
+        keep = {self._valid_path(self._generation).name,
+                self._valid_path(self._generation, self._valid_seq - 1).name}
         for q in self.db_path.glob(f"valid.{self._generation}.*"):
-            if q.name != keep:
+            if q.name not in keep:
                 try:
                     q.unlink()
                 except OSError:
@@ -821,6 +838,7 @@ class VectorStore:
             for p in self._path_names:
                 f.write(json.dumps(p) + "\n")
             _fsync_file(f)
+        self._paths_bytes = self._paths_path(gen).stat().st_size
         self._idx_rows = n_keep
         self._file_paths = len(self._path_names)
         self._write_valid_bitmap(gen)
@@ -833,8 +851,7 @@ class VectorStore:
             self._embed_path(old_gen), self._log_path(old_gen),
             self._rowidx_path(old_gen), self._paths_path(old_gen),
             self.db_path / VEC_EMBED_FILE, self.db_path / VEC_META_FILE,
-        ] + list(self.db_path.glob(f"valid.{old_gen}.*")) \
-          + [self.db_path / f"valid.{old_gen}.bin"]
+        ] + list(self.db_path.glob(f"valid.{old_gen}.*"))
         for p in stale:
             try:
                 p.unlink()
@@ -935,6 +952,7 @@ class VectorStore:
             self._rows = 0
             self._file_log_bytes = 0
             self._file_paths = 0
+            self._paths_bytes = 0
             self._idx_rows = 0
             self._mm_covers = None
             self._next_id = 0

@@ -616,3 +616,22 @@ class TestCommitAtomicity:
         assert len(s2) == 10
         assert s2.search("tok_5")[0].chunk_id == 5
         assert s2.search("tok_7")[0].chunk_id == 7   # delete not yet committed
+
+    def test_crashed_path_append_tail_overwritten(self, tmp_path):
+        """A crash after a paths.txt append but before the manifest rename
+        leaves a stale uncommitted line; the next commit must OVERWRITE it
+        (byte-cursor seek), not append after it."""
+        d = tmp_path / "fts"
+        s = FtsStore(d)
+        s.add_chunk(1, "alpha", "a.rs")
+        s.add_chunk(2, "beta", "b.rs")
+        s.commit()
+        # simulate the crashed append: stale uncommitted line at EOF
+        with open(d / "paths.txt", "ab") as f:
+            f.write(b'"crashed.rs"\n')
+        s2 = FtsStore(d)
+        s2.add_chunk(3, "gamma", "c.rs")
+        s2.commit()
+        s3 = FtsStore(d)
+        assert s3.search("gamma")[0].path == "c.rs"
+        assert s3.search("alpha")[0].path == "a.rs"
