@@ -90,6 +90,17 @@ MAX_DF_RATIO = 0.4
 # many-segment queries stay cheap (256 intervals = 8 passes); the cap is a
 # safety valve, not a routing decision — crossing it is logged per query
 MAX_DEVICE_INTERVALS = 256
+# exact-identifier impact tier: terms whose total df exceeds EXACT_TIER_DF
+# are served from a per-(segment, term) candidate tier — the top
+# EXACT_TIER_CAP postings by build-time score, cached LRU. The full-scan
+# cost at df 2.6M (the 10M-corpus "config"/"util" class) is ~110 ms of
+# random len/liveness gathers per query (measured, probe r3); the tier
+# makes warm queries ~200k-row vectorized work. Exactness is preserved by
+# a score bound (see _exact_tier) with full-scan fallback when it fails —
+# the host analog of tantivy's block-max skipping (tantivy_store.rs:460).
+EXACT_TIER_DF = int(os.environ.get("CODESEARCH_EXACT_TIER_DF", 1 << 16))
+EXACT_TIER_CAP = int(os.environ.get("CODESEARCH_EXACT_TIER_CAP", 1 << 14))
+EXACT_TIER_CACHE = 64      # cached tiers (~200 KB each at the default cap)
 
 
 def _to_i64(h: int) -> int:
@@ -236,6 +247,14 @@ class FtsStore:
         self.device_min_docs = DEVICE_MIN_DOCS
         self.fts_full_uploads = 0                    # diagnostics for tests
         self.fts_incremental_updates = 0
+        # exact-identifier impact tiers: (seg.seq, term key) → candidate
+        # arrays (see _exact_tier). Instance-level knobs so tests can
+        # exercise the tier on small corpora.
+        self.exact_tier_df = EXACT_TIER_DF
+        self.exact_tier_cap = EXACT_TIER_CAP
+        self._xtier_cache: dict[tuple[int, int], tuple] = {}
+        self.exact_tier_hits = 0                     # diagnostics for tests
+        self.exact_tier_fallbacks = 0
         # monotone content-change counter (see VectorStore.mutation_count)
         self.mutation_count = 0
         if self.dir.exists():
@@ -493,6 +512,7 @@ class FtsStore:
         self._dev = None
         self._dev_state = None
         self._dev_pending_dead = []
+        self._xtier_cache = {}
 
     # ------------------------------------------------------------------
     # segment lifecycle
@@ -1319,7 +1339,13 @@ class FtsStore:
         NOT raw term counts. Raw counts let a long chunk that merely *calls*
         an identifier many times outrank the short chunk that *defines* it;
         saturation caps the caller's tf while the definition keeps the ×3
-        signature-field boost."""
+        signature-field boost.
+
+        High-df terms ("config"/"util" class: df in the millions at 10M
+        docs) are served from per-segment impact tiers with an exactness
+        bound (see _exact_tier) — the full scan's ~110 ms of random
+        len/liveness gathers happens once per (segment, term), not per
+        query. The bound-failed fallback is logged, never silent."""
         with self._lock:
             self._flush_mem()
             self._ensure_dense()
@@ -1332,37 +1358,126 @@ class FtsStore:
             if target is None:
                 return []
             key = _to_i64(stable_u64(target))
-            # vectorized posting gather (same shape as _gather_query): a
-            # high-df identifier ("config") at 1M docs selects 10^5+ postings
-            # — per-posting Python iteration is index-speed, numpy is µs
-            parts_d, parts_c, parts_s = [], [], []
+            ranges = []
+            total = 0
             for seg in self._segments:
                 lo, hi = seg.term_range(key)
                 if lo != hi:
-                    parts_d.append(seg.dnums[lo:hi])
-                    parts_c.append(seg.tfc[lo:hi])
-                    parts_s.append(seg.tfs[lo:hi])
-            if not parts_d:
+                    ranges.append((seg, lo, hi))
+                    total += hi - lo
+            if not ranges:
                 return []
-            dnums = np.concatenate(parts_d)
-            tfc = np.concatenate(parts_c).astype(np.float32)
-            tfs = np.concatenate(parts_s).astype(np.float32)
-            # signature-first fast path (EXACT, not approximate): a
-            # content-only posting's score is strictly below (k1+1); a
-            # signature hit starts at ×3 that — so when ≥limit signature-
-            # field hits all score ≥ (k1+1), no content-only posting can
-            # enter the top-limit and the scan restricts to the (tiny)
-            # tfs>0 subset. At multi-M df ("config" at 10M docs) this turns
-            # a 100+ ms full scan into ~ms; falls back to the full scan
-            # when the bound doesn't hold. (tantivy reaches the same effect
-            # with block-max skipping.)
-            sig = tfs > 0
-            if len(dnums) > 65536 and int(sig.sum()) >= limit:
-                out = self._exact_score(dnums[sig], tfc[sig], tfs[sig],
-                                        kind, limit)
-                if len(out) >= limit and out[-1].score >= (_K1 + 1.0):
+            if total > self.exact_tier_df:
+                out = self._exact_tiered(key, ranges, kind, limit)
+                if out is not None:
+                    self.exact_tier_hits += 1
                     return out
+                self.exact_tier_fallbacks += 1
+                log.debug("exact tier bound failed for %r (df=%d) — "
+                          "full posting scan", target, total)
+            # vectorized posting gather (same shape as _gather_query): a
+            # high-df identifier ("config") at 1M docs selects 10^5+ postings
+            # — per-posting Python iteration is index-speed, numpy is µs
+            dnums = np.concatenate([s.dnums[lo:hi] for s, lo, hi in ranges])
+            tfc = np.concatenate(
+                [s.tfc[lo:hi] for s, lo, hi in ranges]).astype(np.float32)
+            tfs = np.concatenate(
+                [s.tfs[lo:hi] for s, lo, hi in ranges]).astype(np.float32)
             return self._exact_score(dnums, tfc, tfs, kind, limit)
+
+    def _exact_tier(self, seg: Segment, key: int, lo: int, hi: int) -> tuple:
+        """Impact tier for one (segment, term): the top ``exact_tier_cap``
+        postings by score AT BUILD TIME, stored score-descending with the
+        raw fields (dnum, tfc, tfs, len) needed to rescore them exactly
+        under the CURRENT corpus stats — build-time stats only pick WHICH
+        postings are candidates, never what they score.
+
+        A capped tier also records ``tail`` — an upper bound on the
+        build-time score of every excluded posting — and ``avg_built``.
+        len_norm scales uniformly with 1/avg_len, so a posting's current
+        score is ≤ its build score × max(1, avg_now/avg_built); the caller
+        uses that to verify no excluded posting could reach the top-k and
+        falls back to the full scan otherwise. Build-time-dead docs are
+        dropped outright (dnums never revive). Host analog of tantivy's
+        block-max pruning (tantivy_store.rs:460-524)."""
+        ck = (seg.seq, key)
+        t = self._xtier_cache.pop(ck, None)
+        if t is not None:
+            self._xtier_cache[ck] = t            # LRU refresh
+            return t
+        dn = np.asarray(seg.dnums[lo:hi])
+        tfc = np.asarray(seg.tfc[lo:hi]).astype(np.float32)
+        tfs = np.asarray(seg.tfs[lo:hi]).astype(np.float32)
+        pos, found = self._slot_positions(dn)
+        live = (found & self._live_arr[pos]) if self._dnums_sorted.size \
+            else np.zeros(len(dn), bool)
+        dn, tfc, tfs, pos = dn[live], tfc[live], tfs[live], pos[live]
+        lens = self._len_arr[pos].astype(np.float32)
+        len_norm = _K1 * (1.0 - _B + _B * lens / self._avg_len)
+        sat_s = np.where(tfs > 0, tfs * (_K1 + 1.0) / (tfs + len_norm), 0.0)
+        sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
+        score = _EXACT_SIG_BOOST * sat_s + sat_c
+        cap = self.exact_tier_cap
+        if len(dn) > cap:
+            sel = np.argpartition(-score, cap - 1)[:cap]
+            tail = float(score[sel].min())
+        else:
+            sel = np.arange(len(dn))
+            tail = 0.0
+        order = sel[np.argsort(-score[sel], kind="stable")]
+        t = (dn[order], tfc[order], tfs[order], lens[order], tail,
+             float(self._avg_len))
+        self._xtier_cache[ck] = t
+        while len(self._xtier_cache) > EXACT_TIER_CACHE:
+            self._xtier_cache.pop(next(iter(self._xtier_cache)))
+        return t
+
+    def _exact_tiered(
+        self, key: int, ranges: list, kind: str | None, limit: int
+    ) -> list[FtsResult] | None:
+        """Top-limit over the per-segment impact tiers. Returns None when
+        the exactness bound cannot rule out an excluded posting (caller
+        runs the full scan)."""
+        kid = None
+        if kind is not None:
+            kid = self._kind_vocab.get(kind)
+            if kid is None:
+                return []
+        parts = []
+        bound = 0.0
+        for seg, lo, hi in ranges:
+            dn, tfc, tfs, lens, tail, avg_built = \
+                self._exact_tier(seg, key, lo, hi)
+            if tail > 0.0:
+                bound = max(bound, tail * max(1.0, self._avg_len / avg_built))
+            parts.append((dn, tfc, tfs, lens))
+        dn = np.concatenate([p[0] for p in parts])
+        tfc = np.concatenate([p[1] for p in parts])
+        tfs = np.concatenate([p[2] for p in parts])
+        lens = np.concatenate([p[3] for p in parts])
+        # byte-identical scoring to _exact_score — lens ARE _len_arr values
+        len_norm = _K1 * (1.0 - _B + _B * lens / self._avg_len)
+        sat_s = np.where(tfs > 0, tfs * (_K1 + 1.0) / (tfs + len_norm), 0.0)
+        sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
+        scores = _EXACT_SIG_BOOST * sat_s + sat_c
+        pos, found = self._slot_positions(dn)
+        n = self._dnums_sorted.size
+        keep = (found & self._live_arr[pos]) if n else np.zeros(len(dn), bool)
+        if kid is not None:
+            keep &= self._kind_arr[pos] == kid
+        keep &= scores > 0
+        pos, scores = pos[keep], scores[keep]
+        if bound > 0.0:
+            # some tier was capped: the selection is provably exact only
+            # if every excluded posting (score ≤ bound) ties or loses
+            # against the limit-th result
+            if len(pos) < limit:
+                return None
+            kth = float(np.partition(scores, len(scores) - limit)
+                        [len(scores) - limit])
+            if kth < bound:
+                return None
+        return self._exact_results(pos, scores, limit)
 
     def _exact_score(
         self, dnums, tfc, tfs, kind: str | None, limit: int
@@ -1382,7 +1497,12 @@ class FtsStore:
         sat_c = np.where(tfc > 0, tfc * (_K1 + 1.0) / (tfc + len_norm), 0.0)
         scores = np.where(keep, _EXACT_SIG_BOOST * sat_s + sat_c, 0.0)
         keep &= scores > 0
-        pos, scores = pos[keep], scores[keep]
+        return self._exact_results(pos[keep], scores[keep], limit)
+
+    def _exact_results(
+        self, pos: np.ndarray, scores: np.ndarray, limit: int
+    ) -> list[FtsResult]:
+        """Materialize the top-limit (slot, score) pairs, score-desc."""
         if not len(pos):
             return []
         k = min(limit, len(pos))

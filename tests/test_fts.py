@@ -429,6 +429,103 @@ class TestCrashRecovery:
         assert FtsStore(tmp_path / "fts").search("rebuild")[0].chunk_id == 1
 
 
+class TestExactTier:
+    """High-df exact lookups ride per-(segment, term) impact tiers; the
+    tiered results must be EXACT — identical to the full posting scan —
+    with a logged fallback whenever the score bound can't prove it."""
+
+    def _build(self, tmp_path, n=360):
+        s = FtsStore(tmp_path / "fts")
+        for i in range(n):
+            tf = 1 + (i % 3)
+            body = ("hot_term " * tf) + ("filler " * (i % 37)) + f"uniq_{i}"
+            sig = f"fn hot_term(v{i})" if i % 7 == 0 else None
+            s.add_chunk(i, body, f"f{i}.rs", sig,
+                        "Function" if i % 2 else "Struct")
+            if i % 120 == 119:
+                s.commit()                      # several segments
+        for i in range(0, n, 11):
+            s.delete_chunk(i)
+        s.commit()
+        return s
+
+    def _res(self, s, **kw):
+        return [(r.chunk_id, round(r.score, 9))
+                for r in s.search_exact("hot_term", **kw)]
+
+    def _ref(self, s, **kw):
+        """Full-scan reference: tier routing disabled."""
+        keep = s.exact_tier_df
+        s.exact_tier_df = 10 ** 9
+        try:
+            return self._res(s, **kw)
+        finally:
+            s.exact_tier_df = keep
+
+    def test_tiered_matches_full_scan(self, tmp_path):
+        s = self._build(tmp_path)
+        ref = self._ref(s, limit=15)
+        s.exact_tier_df = 50
+        s.exact_tier_cap = 64
+        assert self._res(s, limit=15) == ref
+        assert s.exact_tier_hits == 1 and s.exact_tier_fallbacks == 0
+        # warm path: cached tiers, still exact
+        assert self._res(s, limit=15) == ref
+        assert s.exact_tier_hits == 2
+
+    def test_kind_filter_exact(self, tmp_path):
+        s = self._build(tmp_path)
+        for kind in ("Function", "Struct"):
+            ref = self._ref(s, kind=kind, limit=10)
+            s.exact_tier_df = 50
+            s.exact_tier_cap = 128
+            assert self._res(s, kind=kind, limit=10) == ref
+
+    def test_tiny_cap_falls_back_to_full_scan(self, tmp_path):
+        s = self._build(tmp_path)
+        ref = self._ref(s, limit=15)
+        s.exact_tier_df = 50
+        s.exact_tier_cap = 8                    # < limit → bound must fail
+        assert self._res(s, limit=15) == ref
+        assert s.exact_tier_fallbacks >= 1
+
+    def test_deletes_after_tier_build_masked(self, tmp_path):
+        s = self._build(tmp_path)
+        s.exact_tier_df = 50
+        s.exact_tier_cap = 64
+        first = self._res(s, limit=10)
+        assert first
+        for cid, _ in first[:3]:                # kill current top hits
+            s.delete_chunk(cid)
+        got = self._res(s, limit=10)
+        assert not {c for c, _ in got} & {c for c, _ in first[:3]}
+        assert got == self._ref(s, limit=10)
+
+    def test_avg_len_drift_stays_exact(self, tmp_path):
+        s = self._build(tmp_path)
+        s.exact_tier_df = 50
+        s.exact_tier_cap = 64
+        self._res(s, limit=10)                  # build tiers at current avg
+        for i in range(1000, 1200):             # shift avg_len up a lot
+            s.add_chunk(i, "hot_term " + "pad " * 200, f"g{i}.rs")
+        s.commit()
+        assert self._res(s, limit=10) == self._ref(s, limit=10)
+
+    def test_merge_invalidates_via_new_segment_seq(self, tmp_path):
+        s = self._build(tmp_path)
+        s.exact_tier_df = 50
+        s.exact_tier_cap = 64
+        self._res(s, limit=10)
+        # force growth + merges, then verify against the full scan
+        for i in range(2000, 2300):
+            s.add_chunk(i, ("hot_term " * (1 + i % 2)) + f"tail_{i}",
+                        f"h{i}.rs")
+            if i % 60 == 59:
+                s.commit()
+        s.commit()
+        assert self._res(s, limit=12) == self._ref(s, limit=12)
+
+
 class TestIncrementalDeviceSync:
     """Round-2: the resident device postings must sync incrementally — new
     segments DUS-append, deletes scatter the valid mask; full re-uploads
