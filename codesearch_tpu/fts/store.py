@@ -90,6 +90,10 @@ MAX_DF_RATIO = 0.4
 # many-segment queries stay cheap (256 intervals = 8 passes); the cap is a
 # safety valve, not a routing decision — crossing it is logged per query
 MAX_DEVICE_INTERVALS = 256
+# post-sync tombstones tolerated on device before a full resync: queries
+# oversample their BM25 top-k by the live tombstone count (ops/bm25.py kpre),
+# so this bounds the oversample at pow2(k + DEAD_RESYNC_MAX)
+DEAD_RESYNC_MAX = 2048
 # exact-identifier impact tier: terms whose total df exceeds EXACT_TIER_DF
 # are served from a per-(segment, term) candidate tier — the top
 # EXACT_TIER_CAP postings by build-time score, cached LRU. The full-scan
@@ -959,9 +963,14 @@ class FtsStore:
                 pass
         return seg.dnums, seg.tfc, seg.tfs
 
-    def _segment_posting_block(self, seg: Segment, ncap: int):
+    def _segment_posting_block(self, seg: Segment):
         """(p_pos, p_w) block for one immutable segment, computed against
-        the current slot view and avg_len (vectorized)."""
+        the current slot view and avg_len (vectorized). The posting value
+        packs the doc's kind id above the slot (``slot | kind << SLOT_BITS``)
+        so the kernel's boost needs no per-posting table gather; dead-at-sync
+        postings map to the PACK_PAD sentinel (dropped)."""
+        from ..ops.bm25 import PACK_PAD, SLOT_BITS
+
         n = self._dnums_sorted.size
         dnums, tfc, tfs = self._seg_bulk(seg)
         pos, found = self._slot_positions(dnums)
@@ -970,8 +979,11 @@ class FtsStore:
         len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len) \
             if n else np.ones(len(dnums), np.float32)
         w = tfb * (_K1 + 1.0) / (tfb + len_norm)
+        packed = pos.astype(np.int64) | (
+            self._kind_arr[pos].astype(np.int64) << SLOT_BITS
+        ) if n else pos.astype(np.int64)
         return (
-            np.where(live, pos, ncap).astype(np.int32),
+            np.where(live, packed, PACK_PAD).astype(np.int32),
             np.where(live, w, 0.0).astype(np.float32),
         )
 
@@ -1000,7 +1012,7 @@ class FtsStore:
         Posting arrays assemble ON DEVICE segment by segment (donated DUS
         appends) — at 10M docs the old host staging materialized two
         256M-entry arrays (~2 GB) plus their device copies."""
-        from ..ops.bm25 import CHUNK, DEAD_SLOT
+        from ..ops.bm25 import CHUNK, DEAD_SLOT, PACK_PAD
         from ..vectordb import device_ops
 
         n = self._dnums_sorted.size
@@ -1017,14 +1029,14 @@ class FtsStore:
             need = max(need, used + _pow2(max(len(seg), 1)), used + len(seg) + CHUNK)
             used += len(seg)
         pcap = max(_pow2(need), 2048)
-        p_pos = self._full_repl((pcap,), ncap, np.int32)   # pad/dead → dropped
+        p_pos = self._full_repl((pcap,), PACK_PAD, np.int32)  # pad/dead → dropped
         p_w = self._full_repl((pcap,), 0.0, np.float32)
         import jax
 
         for i, seg in enumerate(self._segments):
             b = seg_base[seg.seq]
-            bp, bw = self._segment_posting_block(seg, ncap)
-            p_pos = device_ops.update_1d(p_pos, bp, b, ncap)
+            bp, bw = self._segment_posting_block(seg)
+            p_pos = device_ops.update_1d(p_pos, bp, b, PACK_PAD)
             p_w = device_ops.update_1d(p_w, bw, b, 0.0)
             if i % 4 == 3:   # bound in-flight async-staging buffers
                 jax.block_until_ready(p_w)
@@ -1033,6 +1045,7 @@ class FtsStore:
         self._dev_state = {
             "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,
             "seg_base": seg_base, "n_synced": n, "avg_len": self._avg_len,
+            "dead_scattered": 0,
         }
         self._dev_pending_dead = []
         self.fts_full_uploads += 1
@@ -1046,7 +1059,7 @@ class FtsStore:
         garbage passes 50%, or avg_len drifts >10% from the synced value
         (contributions embed the length normalization). Queries then ship
         only (lo, len, idf) intervals — a few hundred bytes (ops/bm25.py)."""
-        from ..ops.bm25 import CHUNK, DEAD_SLOT
+        from ..ops.bm25 import CHUNK, DEAD_SLOT, PACK_PAD
 
         self._ensure_dense()
         st = self._dev_state
@@ -1068,6 +1081,10 @@ class FtsStore:
             + CHUNK > st["pcap"]
             or drift > 0.10
             or st["garbage"] > 0.5 * max(st["used"], 1)
+            # bound the kpre oversample: past this many post-sync deletes a
+            # full resync is cheaper than ever-larger candidate top-ks
+            or st.get("dead_scattered", 0) + len(self._dev_pending_dead)
+            > DEAD_RESYNC_MAX
         ):
             return self._device_rebuild()
         if not new_segs and not removed and not self._dev_pending_dead \
@@ -1085,10 +1102,16 @@ class FtsStore:
             meta = device_ops.update_1d(meta, packed, b, DEAD_SLOT)
             st["n_synced"] = n
             self.fts_incremental_updates += 1
-        # 2. deletes: scatter the dead sentinel into the packed table
+        # 2. deletes: scatter the dead sentinel into the packed table.
+        # Their postings stay nonzero on device until the next rebuild, so
+        # count them — device_query_args oversamples top-k by this much and
+        # masks via slot_meta (exactness invariant of ops/bm25.py kpre)
         if self._dev_pending_dead:
             meta = device_ops.scatter_fill(
                 meta, self._dev_pending_dead, st["ncap"], DEAD_SLOT
+            )
+            st["dead_scattered"] = st.get("dead_scattered", 0) + len(
+                self._dev_pending_dead
             )
             self._dev_pending_dead = []
             self.fts_incremental_updates += 1
@@ -1101,8 +1124,8 @@ class FtsStore:
             )
         # 4. new segments: DUS-append their posting blocks
         for seg in new_segs:
-            bp, bw = self._segment_posting_block(seg, st["ncap"])
-            p_pos = device_ops.update_1d(p_pos, bp, st["used"], st["ncap"])
+            bp, bw = self._segment_posting_block(seg)
+            p_pos = device_ops.update_1d(p_pos, bp, st["used"], PACK_PAD)
             p_w = device_ops.update_1d(p_w, bw, st["used"], 0.0)
             st["seg_base"][seg.seq] = st["used"]
             st["used"] += len(seg)
@@ -1123,9 +1146,12 @@ class FtsStore:
         Returns (pos [P] i32 into the dense view, contrib [P] f32 — the
         complete BM25 per-posting contribution) with dead postings zeroed.
         All O(P) and fully vectorized."""
-        n_docs = max(self._n_live, 1)
+        # idf N counts tombstoned docs too (tantivy parity: deleted docs
+        # affect term stats until merges purge them) — df ≤ N always, so
+        # idf stays positive; the stopword CAP tracks the live corpus
+        n_docs = max(self._dnums_sorted.size, 1)
         # floor keeps tiny corpora exhaustive; the cap only bites at scale
-        max_df = max(MAX_DF_RATIO * n_docs, 64.0)
+        max_df = max(MAX_DF_RATIO * max(self._n_live, 1), 64.0)
         parts_d, parts_c, parts_s, term_lens = [], [], [], []
         for key in keys:
             ranges = []
@@ -1153,11 +1179,13 @@ class FtsStore:
         )
         pos, found = self._slot_positions(dnums)
         live = found & self._live_arr[pos]
-        # exact per-term df over live postings → idf, expanded per posting
+        # per-term df over RAW segment postings (tombstones included, like
+        # tantivy's term stats — deleted docs affect idf until a merge
+        # purges them, fts/tantivy_store.rs query path) — keeps host scores
+        # byte-consistent with the device path, whose df comes from the
+        # same CSR ranges (device_query_args)
         lens = np.asarray(term_lens, np.int64)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        df = np.add.reduceat(live.astype(np.int64), starts)
-        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        idf = np.log(1.0 + (n_docs - lens + 0.5) / (lens + 0.5))
         idf_rep = np.repeat(idf, lens).astype(np.float32)
         len_norm = _K1 * (1.0 - _B + _B * self._len_arr[pos] / self._avg_len)
         contrib = np.where(
@@ -1235,8 +1263,24 @@ class FtsStore:
         (ops/query_pipeline.py) and _score_device."""
         from ..ops.bm25 import CHUNK
 
+        from ..ops.bm25 import SLOT_BITS
+
         with self._lock:
             self._flush_mem()
+            self._ensure_dense()
+            # packed-posting limits: slot must fit SLOT_BITS and the kind id
+            # 31-SLOT_BITS bits, minus one — the all-ones pattern
+            # (kind 63, slot SLOT_MASK) IS the PACK_PAD sentinel. Beyond
+            # either (33M docs / 63 kinds on one chip), score on host
+            # rather than silently mis-pack
+            if _pow2(self._dnums_sorted.size) > (1 << SLOT_BITS) \
+                    or len(self._kind_names) >= (1 << (31 - SLOT_BITS)) - 1:
+                log.debug(
+                    "BM25 store exceeds packed-posting limits "
+                    "(%d docs, %d kinds) — scoring on host",
+                    self._dnums_sorted.size, len(self._kind_names),
+                )
+                return None
             dev = self._ensure_device()
             n = self._dnums_sorted.size
             if n == 0:
@@ -1246,6 +1290,7 @@ class FtsStore:
                 return None
             cstart, clen, cidf = [], [], []
             n_intervals = 0
+            n_terms = 0
             max_df = max(MAX_DF_RATIO * self._n_live, 64.0)
             seg_base = self._dev_state["seg_base"]
             for key in keys:
@@ -1259,7 +1304,10 @@ class FtsStore:
                     df += shi - slo
                 if df == 0 or df > max_df:
                     continue
-                t_idf = float(np.log(1.0 + (self._n_live - df + 0.5) / (df + 0.5)))
+                n_terms += 1
+                # idf N = raw doc count (tombstones included — tantivy
+                # parity, byte-consistent with _gather_query)
+                t_idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
                 for rlo, rln in ranges:
                     n_intervals += 1
                     off = 0
@@ -1287,9 +1335,22 @@ class FtsStore:
             ci_a[: len(cidf)] = cidf
             kid = self._kind_vocab.get(boost_kind, -1) if boost_kind else -1
             k = min(_pow2(max(limit, 1)), dev[2].shape[0])
-            # static run-length bound for the kernel's shifted-add reduction
-            imax = max(_pow2(n_intervals), 4)
-            return dev, cs_a, cl_a, ci_a, kid, k, imax
+            # pre-liveness oversample: postings of docs deleted AFTER their
+            # sync are still nonzero on device; fetching k + that count and
+            # masking keeps the top-k exact (ops/bm25.py). Steady state
+            # (no deletes since sync) keeps kpre == k — no extra work.
+            dead = self._dev_state.get("dead_scattered", 0)
+            kpre = min(_pow2(k + dead), dev[2].shape[0]) if dead else k
+            # static run-length bound for the kernel's shifted-add reduction:
+            # a (term, dnum) pair is unique within a segment and every dnum's
+            # postings live in exactly ONE segment (adds buffer into a single
+            # mem segment; merges only consolidate), so after the slot sort a
+            # run repeats at most once per distinct TERM — NOT per
+            # (term × segment) interval. Bounding on terms keeps the scan at
+            # 2-3 passes even over a many-segment 10M-doc store (interval
+            # count only sizes the chunk table / transfer).
+            imax = max(_pow2(n_terms), 4)
+            return dev, cs_a, cl_a, ci_a, kid, k, kpre, imax
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""
@@ -1315,11 +1376,11 @@ class FtsStore:
 
         from ..ops.bm25 import bm25_resident_topk
 
-        dev, cs, cl, ci, kid, k, imax = args
+        dev, cs, cl, ci, kid, k, kpre, imax = args
         vals, idx = bm25_resident_topk(
             dev[0], dev[1], dev[2],
             jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-            jnp.int32(kid), k, imax,
+            jnp.int32(kid), k, kpre, imax,
         )
         vals, idx = jax.device_get((vals, idx))
         return vals[:limit], idx[:limit]

@@ -14,12 +14,17 @@ Per-op cost model (measured on v5e at 262k selected postings):
   interval boundaries (host pads each interval's plan to CHUNK multiples),
   so a chunk is one contiguous DMA with a live-prefix mask.
 - per-posting kind + validity lookups were TWO random [N]-table gathers at
-  ~3.1 ms each → ONE packed int32 table (``slot_meta``: the kind id for a
-  live slot, ``DEAD_SLOT`` otherwise; deletes scatter the sentinel).
+  ~3.1 ms each → first ONE packed int32 table (``slot_meta``), then (r3)
+  ZERO per-posting gathers: the kind packs into the posting value itself
+  (``slot | kind << SLOT_BITS`` — rides the existing chunk DMA + sort),
+  and liveness applies only to the top-``kpre`` candidates (sync-time dead
+  postings are dropped at upload; ``slot_meta`` catches post-sync deletes).
 - the associative_scan segmented sum (~10 ms) → run totals via shifted
-  compare-adds: a doc slot appears at most once per (term × segment) CSR
-  interval, so run lengths after the sort are bounded by the ORIGINAL
-  interval count (static ``imax``), and ``imax-1`` shifted passes are exact.
+  compare-adds: a (term, dnum) pair is unique within a segment and a dnum's
+  postings live in exactly one segment, so a doc slot appears at most once
+  per distinct query TERM — run lengths after the sort are bounded by the
+  kept-term count (static ``imax``), and ceil(log2(imax)) passes are exact
+  regardless of how many segments the store has.
 
 Replaces tantivy's per-query segment walk (fts/tantivy_store.rs:394-458)
 with the TPU-shaped equivalent of SURVEY §2.1 item 4. Chunk counts are
@@ -36,11 +41,14 @@ import jax.numpy as jnp
 KIND_BOOST = 3.0
 CHUNK = 1024            # slice-gather granularity (measured sweet spot)
 DEAD_SLOT = -(1 << 20)  # slot_meta sentinel: tombstoned or padding slot
+SLOT_BITS = 25          # packed posting: slot in low bits, kind above
+SLOT_MASK = (1 << SLOT_BITS) - 1
+PACK_PAD = (1 << 31) - 1  # padding/dead posting sentinel — sorts last
 
 
-@functools.partial(jax.jit, static_argnames=("k", "imax"))
+@functools.partial(jax.jit, static_argnames=("k", "kpre", "imax"))
 def bm25_resident_topk(
-    p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → doc slot
+    p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → slot | kind<<25
     p_w: jax.Array,        # [P] f32 — RESIDENT: (k1+1)·tf/(tf+K) per posting
     slot_meta: jax.Array,  # [N] i32 — RESIDENT: kind id | DEAD_SLOT
     cstart: jax.Array,     # [C] i32 — chunk starts into p_pos (pad: 0)
@@ -48,11 +56,23 @@ def bm25_resident_topk(
     cidf: jax.Array,       # [C] f32 — per-chunk idf (pad: 0)
     boost_kid: jax.Array,  # scalar i32 — kind id to boost ×3 (-1: none)
     k: int,
-    imax: int,             # static bound on original interval count
+    kpre: int,             # pre-liveness oversample ≥ k + dead-since-sync
+    imax: int,             # static run-length bound (kept query terms)
 ) -> tuple[jax.Array, jax.Array]:
-    """One dispatch: chunk DMA-gather → idf apply → sort by slot → bounded
-    shifted-add run reduction → kind boost + liveness mask → top-k. Only
-    candidate postings are materialized — never an [N]-dense vector."""
+    """One dispatch: chunk DMA-gather → idf apply → sort by packed slot →
+    bounded shifted-add run reduction → kind boost from the packed high
+    bits → top-k. Only candidate postings are materialized — never an
+    [N]-dense vector.
+
+    The doc kind rides the packed posting value (same doc ⟹ same packed
+    key, so runs stay contiguous and the boost costs nothing), replacing a
+    per-posting random [N]-table gather that measured 3.8 ms at 524k
+    gathered postings — 2/3 of the whole kernel. Liveness (docs deleted
+    AFTER their postings synced — sync-time dead postings are already
+    dropped at upload) is applied to top-``kpre`` candidates only: the
+    caller sizes ``kpre ≥ k + dead-since-sync``, so masked dead candidates
+    can never displace k live ones — exact, and when nothing died since
+    sync (``kpre == k``) the whole phase compiles away."""
     n = slot_meta.shape[0]
     c = cstart.shape[0]
     pos2 = jax.vmap(
@@ -63,20 +83,20 @@ def bm25_resident_topk(
     )(cstart)
     j = jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 1)
     live = j < clen[:, None]
-    pos = jnp.where(live, pos2, n).reshape(-1)                 # n sorts last
+    pos = jnp.where(live, pos2, PACK_PAD).reshape(-1)          # pad sorts last
     w = jnp.where(live, w2 * cidf[:, None], 0.0).reshape(-1)
     pos_s, w_s = jax.lax.sort_key_val(pos, w)
     neq = pos_s[1:] != pos_s[:-1]
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
 
-    # segmented inclusive scan over runs of equal pos (Hillis-Steele with
-    # power-of-two shifts): run lengths ≤ imax (a slot appears at most once
-    # per original interval), so ceil(log2(imax)) carry-propagating passes
-    # accumulate each run total exactly at its run end. Runs are contiguous
-    # after the sort, so pos_s[i] == pos_s[i-s] implies the whole [i-s, i]
-    # span is one run — the carried partial sums never cross a boundary.
-    # (The r2 kernel used imax-1 linear passes of the ORIGINAL values; the
-    # log form makes 256-interval queries 6 passes instead of 255.)
+    # segmented inclusive scan over runs of equal packed pos (Hillis-Steele
+    # with power-of-two shifts): run lengths ≤ imax (a slot appears at most
+    # once per distinct kept query term), so ceil(log2(imax))
+    # carry-propagating passes accumulate each run total exactly at its run
+    # end. Runs are contiguous after the sort, so pos_s[i] == pos_s[i-s]
+    # implies the whole [i-s, i] span is one run — the carried partial sums
+    # never cross a boundary. (The r2 kernel used imax-1 linear passes of
+    # the ORIGINAL values; the log form makes big queries 2-3 passes.)
     totals = w_s
     s = 1
     while s < imax:
@@ -87,9 +107,18 @@ def bm25_resident_topk(
         totals = totals + jnp.where(same, shifted, 0.0)
         s *= 2
 
-    meta = slot_meta[jnp.clip(pos_s, 0, max(n - 1, 0))]        # ONE gather
-    boost = jnp.where(meta == boost_kid, jnp.float32(KIND_BOOST), 1.0)
-    alive = meta != DEAD_SLOT
-    runs = jnp.where(is_end & (pos_s < n) & alive, totals * boost, -jnp.inf)
-    vals, ridx = jax.lax.top_k(runs, min(k, runs.shape[0]))
-    return vals, pos_s[ridx].astype(jnp.int32)
+    kind_s = pos_s >> SLOT_BITS                  # PACK_PAD → 63: never boosts
+    slot_s = pos_s & SLOT_MASK
+    boost = jnp.where(kind_s == boost_kid, jnp.float32(KIND_BOOST), 1.0)
+    runs = jnp.where(is_end & (pos_s < PACK_PAD), totals * boost, -jnp.inf)
+    kp = min(max(kpre, k), runs.shape[0])
+    vals, ridx = jax.lax.top_k(runs, kp)
+    cand = slot_s[ridx].astype(jnp.int32)
+    if kp > k:
+        # post-sync deletes exist: mask dead candidates (top-kp random
+        # gather — a few hundred elements, not 524k) and re-rank
+        alive = slot_meta[jnp.clip(cand, 0, max(n - 1, 0))] != DEAD_SLOT
+        vals = jnp.where(alive, vals, -jnp.inf)
+        vals, sel = jax.lax.top_k(vals, min(k, kp))
+        cand = cand[sel]
+    return vals, cand

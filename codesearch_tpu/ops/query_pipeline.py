@@ -50,7 +50,7 @@ def hash_embed_search_int8(
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax"))
 def hash_embed_hybrid_search(
     table: jax.Array,      # [V, d] hash-embedder table
     ids: jax.Array,        # [Q, T] query-variant feature ids
@@ -66,7 +66,8 @@ def hash_embed_hybrid_search(
     cidf: jax.Array,       # [C] f32 — per-chunk idf
     boost_kid: jax.Array,  # scalar i32 (-1: no boost)
     kb: int,               # BM25 top-k
-    imax: int,             # static run-length bound (original intervals)
+    kbpre: int,            # BM25 pre-liveness oversample (ops/bm25.py kpre)
+    imax: int,             # static run-length bound (kept query terms)
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query: variant embedding + exact vector top-k + resident-
     postings BM25 top-k fused into ONE dispatch — the host→device transfer
@@ -83,7 +84,7 @@ def hash_embed_hybrid_search(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -127,7 +128,7 @@ def bert_embed_search_int8(
     return cosine_topk_int8(q, corpus_q, row_scale, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax"))
 def bert_embed_hybrid_search(
     params: dict,
     ids: jax.Array,
@@ -144,6 +145,7 @@ def bert_embed_hybrid_search(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query for BERT-family backends: encoder forward + exact
@@ -156,12 +158,12 @@ def bert_embed_hybrid_search(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax"))
 def bert_embed_hybrid_search_int8(
     params: dict,
     ids: jax.Array,
@@ -179,6 +181,7 @@ def bert_embed_hybrid_search_int8(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.encoder import encode
@@ -188,12 +191,12 @@ def bert_embed_hybrid_search_int8(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax"))
 def hash_embed_hybrid_search_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -210,6 +213,7 @@ def hash_embed_hybrid_search_int8(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
@@ -219,6 +223,6 @@ def hash_embed_hybrid_search_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx

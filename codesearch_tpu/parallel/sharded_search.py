@@ -170,7 +170,7 @@ def sharded_hash_embed_search(
     )(table, ids, weights, corpus, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax", "mesh"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax", "mesh"))
 def sharded_hash_embed_hybrid(
     table: jax.Array,      # [V, d] replicated
     ids: jax.Array,        # [Q, T] replicated
@@ -186,6 +186,7 @@ def sharded_hash_embed_hybrid(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -210,12 +211,12 @@ def sharded_hash_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("kv", "kb", "imax", "mesh"))
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax", "mesh"))
 def sharded_hash_embed_hybrid_int8(
     table: jax.Array,
     ids: jax.Array,
@@ -232,6 +233,7 @@ def sharded_hash_embed_hybrid_int8(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -251,7 +253,7 @@ def sharded_hash_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -315,7 +317,7 @@ def sharded_bert_embed_search_int8(
     )(q, corpus_q, row_scale, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax", "mesh"))
 def sharded_bert_embed_hybrid(
     params: dict,
     ids: jax.Array,
@@ -332,6 +334,7 @@ def sharded_bert_embed_hybrid(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -354,12 +357,12 @@ def sharded_bert_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "imax", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax", "mesh"))
 def sharded_bert_embed_hybrid_int8(
     params: dict,
     ids: jax.Array,
@@ -377,6 +380,7 @@ def sharded_bert_embed_hybrid_int8(
     cidf: jax.Array,
     boost_kid: jax.Array,
     kb: int,
+    kbpre: int,
     imax: int,
     mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -396,7 +400,7 @@ def sharded_bert_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
     )
     return v_vals, v_idx, b_vals, b_idx
 

@@ -215,6 +215,7 @@ class VectorStore:
         # monotone content-change counter: any insert/delete/clear bumps it,
         # so higher layers (response caches) can key on store freshness
         self.mutation_count = 0
+        self._n_valid_cache: tuple[int, int] = (-1, 0)
 
         if self.db_path.exists():
             self._load()
@@ -230,6 +231,18 @@ class VectorStore:
 
     def _used_valid(self) -> np.ndarray:
         return self._valid.view()
+
+    def _n_valid(self) -> int:
+        """Live-row count, memoized on ``mutation_count``: every query needs
+        it, and the O(rows) bool reduction is several ms of single-core host
+        time at 10M slots if recomputed per search. All liveness mutations
+        ride insert/delete/clear (which bump the counter); compaction keeps
+        the live count unchanged."""
+        mc, nv = self._n_valid_cache
+        if mc != self.mutation_count:
+            nv = int(self._valid.view().sum())
+            self._n_valid_cache = (self.mutation_count, nv)
+        return nv
 
     def _path_id(self, path: str) -> int:
         pid = self._path_vocab.get(path)
@@ -1153,7 +1166,7 @@ class VectorStore:
         # hold the lock through dispatch: a concurrent insert donates the
         # device buffers, which must not race the kernel's argument capture
         with self._lock:
-            n_valid = int(self._used_valid().sum())
+            n_valid = self._n_valid()
             if n_valid == 0:
                 return [[] for _ in range(query_vecs.shape[0])]
             dev = self._ensure_device()
@@ -1236,7 +1249,7 @@ class VectorStore:
         from ..ops.query_pipeline import hash_embed_search, hash_embed_search_int8
 
         with self._lock:
-            n_valid = int(self._used_valid().sum())
+            n_valid = self._n_valid()
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -1294,9 +1307,9 @@ class VectorStore:
             hash_embed_hybrid_search_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
         with self._lock:
-            n_valid = int(self._used_valid().sum())
+            n_valid = self._n_valid()
             if n_valid == 0:
                 if defer:
                     # callers unpack 4 device-shaped arrays — hand back
@@ -1324,7 +1337,7 @@ class VectorStore:
                         dev[1], dev[2], dev[3], kv,
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                        jnp.int32(kid), kb, imax, mesh,
+                        jnp.int32(kid), kb, kbpre, imax, mesh,
                     )
                 else:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid(
@@ -1332,7 +1345,7 @@ class VectorStore:
                         dev[1], dev[3], kv,
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                        jnp.int32(kid), kb, imax, mesh,
+                        jnp.int32(kid), kb, kbpre, imax, mesh,
                     )
             elif dev[0] == "int8":
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
@@ -1340,7 +1353,7 @@ class VectorStore:
                     dev[1], dev[2], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                    jnp.int32(kid), kb, imax,
+                    jnp.int32(kid), kb, kbpre, imax,
                 )
             else:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
@@ -1348,7 +1361,7 @@ class VectorStore:
                     dev[1], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                    jnp.int32(kid), kb, imax,
+                    jnp.int32(kid), kb, kbpre, imax,
                 )
         if defer:
             # dispatch is enqueued; hand back un-fetched device arrays so
@@ -1373,7 +1386,7 @@ class VectorStore:
         from ..ops.query_pipeline import bert_embed_search, bert_embed_search_int8
 
         with self._lock:
-            n_valid = int(self._used_valid().sum())
+            n_valid = self._n_valid()
             if n_valid == 0:
                 if raw:
                     shape = (ids.shape[0], 0)
@@ -1428,9 +1441,9 @@ class VectorStore:
             bert_embed_hybrid_search_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
         with self._lock:
-            n_valid = int(self._used_valid().sum())
+            n_valid = self._n_valid()
             if n_valid == 0:
                 if defer:
                     # callers unpack 4 device-shaped arrays — hand back
@@ -1458,7 +1471,7 @@ class VectorStore:
                         dev[1], dev[2], dev[3], kv,
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                        jnp.int32(kid), kb, imax, mesh,
+                        jnp.int32(kid), kb, kbpre, imax, mesh,
                     )
                 else:
                     vv, vi, bv, bi = sharded_bert_embed_hybrid(
@@ -1466,7 +1479,7 @@ class VectorStore:
                         dev[1], dev[3], kv,
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                        jnp.int32(kid), kb, imax, mesh,
+                        jnp.int32(kid), kb, kbpre, imax, mesh,
                     )
             elif dev[0] == "int8":
                 vv, vi, bv, bi = bert_embed_hybrid_search_int8(
@@ -1474,7 +1487,7 @@ class VectorStore:
                     dev[1], dev[2], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                    jnp.int32(kid), kb, imax,
+                    jnp.int32(kid), kb, kbpre, imax,
                 )
             else:
                 vv, vi, bv, bi = bert_embed_hybrid_search(
@@ -1482,7 +1495,7 @@ class VectorStore:
                     dev[1], dev[3], kv,
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
-                    jnp.int32(kid), kb, imax,
+                    jnp.int32(kid), kb, kbpre, imax,
                 )
         if defer:
             return vv, vi, bv, bi

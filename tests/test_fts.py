@@ -588,6 +588,63 @@ class TestIncrementalDeviceSync:
         host = s.search("alpha gamma_1010", limit=10)
         assert [r.chunk_id for r in dev] == [r.chunk_id for r in host]
 
+    def test_post_sync_deletes_cannot_displace_live_topk(self, tmp_path):
+        """Exactness of the kpre oversample (ops/bm25.py): postings of docs
+        deleted AFTER the device sync stay nonzero on device; the kernel
+        must still return k LIVE docs, not k-minus-dead. Here every
+        top-scoring doc dies post-sync, so without the oversample the raw
+        top-k would be 100% dead and the masked result would be empty."""
+        s = FtsStore(tmp_path / "fts")
+        s.device_min_docs = 1
+        # 50 high-tf docs (will die) + 60 low-tf docs + 290 fillers keeps
+        # df("omega") = 110 under the MAX_DF_RATIO stopword cap even after
+        # the deletes shrink n_live to 350 (cap 140)
+        for i in range(50):
+            s.add_chunk(i, "omega omega omega omega dense hit", f"a{i}.rs")
+        for i in range(50, 110):
+            s.add_chunk(i, "omega plain mention here", f"b{i}.rs")
+        for i in range(110, 400):
+            s.add_chunk(i, f"filler_{i} unrelated text", f"c{i}.rs")
+        s.commit()
+        s.search("omega")  # device sync
+        uploads0 = s.fts_full_uploads
+        for i in range(50):
+            s.delete_chunk(i)
+        dev = s.search("omega", limit=16)
+        assert s.fts_full_uploads == uploads0, "50 deletes must stay a scatter"
+        assert s._dev_state["dead_scattered"] == 50
+        assert len(dev) == 16
+        assert all(r.chunk_id >= 50 for r in dev)
+        s.device_min_docs = 10**9
+        host = s.search("omega", limit=16)
+        # the 60 surviving docs tie exactly — device and host may break
+        # ties differently; scores must match pairwise. Tolerance: device
+        # contributions embed len-norm at the synced avg_len; deletes
+        # shift avg_len slightly (rebuild only past 10% drift by design)
+        assert len(host) == 16
+        for d, h in zip(dev, host):
+            assert d.score == pytest.approx(h.score, rel=2e-2)
+
+    def test_dead_resync_cap_triggers_rebuild(self, tmp_path):
+        """Past DEAD_RESYNC_MAX post-sync deletes, a full resync (which
+        drops dead postings at upload) must replace ever-larger kpre
+        oversampling — and reset the dead counter."""
+        import codesearch_tpu.fts.store as fstore
+
+        s = self._store(tmp_path, n=600)
+        s.search("gamma_7")  # sync
+        uploads0 = s.fts_full_uploads
+        try:
+            fstore.DEAD_RESYNC_MAX = 30
+            for i in range(40):
+                s.delete_chunk(i)
+            res = s.search("alpha gamma_100", limit=5)
+            assert res and res[0].chunk_id == 100
+            assert s.fts_full_uploads == uploads0 + 1
+            assert s._dev_state["dead_scattered"] == 0
+        finally:
+            fstore.DEAD_RESYNC_MAX = 2048
+
     def test_device_results_match_host_after_updates(self, tmp_path):
         s = self._store(tmp_path)
         s.search("gamma_7")  # device sync
