@@ -130,6 +130,35 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+def stack_query_args(args_list: list) -> tuple:
+    """Stack B per-query ``device_query_args`` tuples (same store, so the
+    resident ``dev`` handles are shared) into the batched kernel's shapes:
+    interval tables padded to the batch-max chunk count (already pow2 per
+    query, so the max is pow2 — no new compile shapes), k/kpre/imax taken
+    as batch maxima (exactness: each query's own bound is ≤ the max, and
+    kpre ≥ kmax + dead-since-sync still holds because the largest per-query
+    kpre was computed from the largest k). Callers trim each query's
+    results back to its own k on host."""
+    dev = args_list[0][0]
+    cmax = max(a[1].shape[0] for a in args_list)
+    b = len(args_list)
+    cs = np.zeros((b, cmax), np.int32)
+    cl = np.zeros((b, cmax), np.int32)
+    ci = np.zeros((b, cmax), np.float32)
+    kid = np.empty(b, np.int32)
+    for row, a in enumerate(args_list):
+        _, cs_a, cl_a, ci_a, kid_a, _, _, _ = a
+        m = cs_a.shape[0]
+        cs[row, :m] = cs_a
+        cl[row, :m] = cl_a
+        ci[row, :m] = ci_a
+        kid[row] = kid_a
+    k = max(a[5] for a in args_list)
+    kpre = max(max(a[6] for a in args_list), k)
+    imax = max(a[7] for a in args_list)
+    return dev, cs, cl, ci, kid, k, kpre, imax
+
+
 @dataclass
 class FtsResult:
     chunk_id: int

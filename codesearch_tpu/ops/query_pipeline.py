@@ -89,6 +89,146 @@ def hash_embed_hybrid_search(
     return v_vals, v_idx, b_vals, b_idx
 
 
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax"))
+def hash_embed_hybrid_search_many(
+    table: jax.Array,      # [V, d] hash-embedder table
+    ids: jax.Array,        # [Qtot, T] ALL queries' variant feature ids
+    weights: jax.Array,    # [Qtot, T]
+    corpus: jax.Array,     # [N, d] bf16
+    valid: jax.Array,      # [N] bool
+    kv: int,
+    p_pos: jax.Array,      # [P] i32 — RESIDENT postings (packed slot|kind)
+    p_w: jax.Array,        # [P] f32
+    slot_meta: jax.Array,  # [M] i32
+    cstart: jax.Array,     # [B, C] i32 — per-query chunk starts
+    clen: jax.Array,       # [B, C] i32
+    cidf: jax.Array,       # [B, C] f32
+    boost_kid: jax.Array,  # [B] i32
+    kb: int,
+    kbpre: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched serving: a WAVE of B queries (their variants concatenated
+    along the row axis) through the whole hybrid read plane in ONE
+    dispatch — one host→device transfer of all features + interval tables,
+    one readback of every query's four result arrays. On a tunnel-attached
+    chip this amortizes the ~40 ms round trip over the wave instead of
+    paying it per query; the MXU sees one [Qtot, N] matmul instead of B
+    small ones. The dynamic-batching shape TPU serving wants (contrast the
+    reference's per-query rayon plane, search/mod.rs:504-691)."""
+    from ..models.hash_embedder import embed_features
+    from .bm25 import bm25_resident_topk_batch
+    from .topk import cosine_topk
+
+    q = embed_features(table, ids, weights)
+    v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax"))
+def hash_embed_hybrid_search_many_int8(
+    table: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    corpus_q: jax.Array,   # [N, d] int8
+    row_scale: jax.Array,  # [N]
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    kbpre: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.hash_embedder import embed_features
+    from .bm25 import bm25_resident_topk_batch
+    from .topk import cosine_topk_int8
+
+    q = embed_features(table, ids, weights)
+    v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax"))
+def bert_embed_hybrid_search_many(
+    params: dict,
+    ids: jax.Array,        # [Qtot, T] token ids for ALL queries' variants
+    mask: jax.Array,       # [Qtot, T]
+    cfg,
+    corpus: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,     # [B, C]
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,  # [B]
+    kb: int,
+    kbpre: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched serving for BERT-family backends: one encoder forward over
+    every query's variants (a [Qtot, T] batch keeps the MXU fed far better
+    than B back-to-back [V, T] calls) + batched vector top-k + batched
+    BM25, all in ONE dispatch."""
+    from ..models.encoder import encode
+    from .bm25 import bm25_resident_topk_batch
+    from .topk import cosine_topk
+
+    q = encode(params, ids, mask, cfg)
+    v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax"))
+def bert_embed_hybrid_search_many_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,
+    kb: int,
+    kbpre: int,
+    imax: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.encoder import encode
+    from .bm25 import bm25_resident_topk_batch
+    from .topk import cosine_topk_int8
+
+    q = encode(params, ids, mask, cfg)
+    v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k"))
 def bert_embed_search(
     params: dict,          # encoder pytree (replicated)

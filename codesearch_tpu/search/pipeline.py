@@ -514,17 +514,198 @@ class SearchSession:
             rerank_mode=rerank_mode,
         )
 
+    def _fused_kind(self) -> str | None:
+        backend = self.service.backend
+        hash_model = getattr(backend, "model", None)
+        if hash_model is not None and hasattr(hash_model, "table"):
+            return "hash"
+        if hasattr(backend, "featurize_queries"):
+            return "bert"
+        return None
+
+    def _prep_query(self, query: str, options: SearchOptions) -> dict:
+        """Host-side per-query planning shared by the batched serving paths:
+        analysis, variant expansion, featurization, BM25 interval tables."""
+        if not query or not query.strip():
+            raise SearchError("empty query")
+        identifiers = detect_identifiers(query)
+        intent = detect_structural_intent(query)
+        if options.rrf_k is not None:
+            vector_k = fts_k = float(options.rrf_k)
+        else:
+            vector_k, fts_k = adapt_rrf_k(query)
+        variants = [query] if options.no_expand else expand_query(query)
+        if options.mode == "vector":
+            fetch = options.limit * 3
+        elif identifiers:
+            fetch = max(options.limit * 3, 100)
+        else:
+            fetch = max(options.limit * 5, 200)
+        prefixed = [self.service.spec.query_prefix + v for v in variants]
+        if self._fused_kind() == "hash":
+            from ..models.hash_embedder import batch_features
+
+            feats = batch_features(prefixed)
+        else:
+            feats = self.service.backend.featurize_queries(prefixed)
+        bm_args = None
+        if options.mode == "hybrid":
+            bm_args = self.fts.device_query_args(
+                query, intent.value if intent else None, fetch
+            )
+        return {
+            "query": query, "identifiers": identifiers, "intent": intent,
+            "vk": vector_k, "fk": fts_k, "fetch": fetch, "feats": feats,
+            "bm": bm_args,
+        }
+
     def search_many(
         self, queries: list[str], options: SearchOptions | None = None
     ) -> list[SearchResponse]:
-        """Batched serving path: dispatch EVERY query's fused hybrid kernel
-        back-to-back (async), overlap all host-side exact-identifier scans
-        with the in-flight device work, then collect all results in one
-        readback wait. Wall time ≈ one round trip + Σ(device time) instead
-        of N full round trips — the dynamic-batching shape TPU serving
-        wants. Semantics identical to per-query search(); falls back to
-        sequential search() for configurations the batched plan does not
-        cover (non-fused backends, rerank)."""
+        """Batched serving path: the whole WAVE of queries rides ONE fused
+        device dispatch — every query's variants concatenated into a single
+        [Qtot, T] embed+top-k batch, every query's BM25 interval table
+        stacked into one [B, C] batched kernel call — then one readback for
+        the wave. Wall time ≈ one tunnel round trip + one (well-fed) kernel
+        instead of N round trips; host-side exact-identifier scans overlap
+        the in-flight dispatch. Semantics identical to per-query search()
+        (each query's results are trimmed to its own retrieval depth).
+        Falls back to per-query dispatch waves on a corpus mesh (the
+        sharded plane, _search_many_waves) and to sequential search() for
+        configurations batching does not cover (non-fused backends,
+        rerank)."""
+        options = options or SearchOptions()
+        fused_kind = self._fused_kind()
+        if fused_kind is None or options.rerank:
+            return [self.search(q, options) for q in queries]
+        if self.store._mesh() is not None:
+            return self._search_many_waves(queries, options)
+
+        t_all = time.time()
+        pending: list[dict | None] = []
+        out: list[SearchResponse | None] = [None] * len(queries)
+        for qi, query in enumerate(queries):
+            if not query or not query.strip():
+                raise SearchError("empty query")
+            key = self._cache_key(query, options)
+            cached = self._resp_cache.get(key)
+            if cached is not None:
+                cached.timings_ms["cached"] = True
+                out[qi] = cached
+                pending.append(None)
+                continue
+            st = self._prep_query(query, options)
+            st["key"] = key
+            pending.append(st)
+        live = [st for st in pending if st is not None]
+        if not live:
+            return out  # type: ignore[return-value]
+
+        # ---- assemble ONE dispatch for the whole wave -------------------
+        import jax
+
+        tmax = max(st["feats"][0].shape[1] for st in live)
+        qtot = sum(st["feats"][0].shape[0] for st in live)
+        qpad = max(8, 1 << (qtot - 1).bit_length())   # pow2 row bucket
+        ids_all = np.zeros((qpad, tmax), np.int32)
+        aux_all = np.zeros(
+            (qpad, tmax),
+            np.float32 if fused_kind == "hash" else np.int32,
+        )
+        row = 0
+        for st in live:
+            f_ids, f_aux = st["feats"]
+            v, t = f_ids.shape
+            ids_all[row:row + v, :t] = f_ids
+            aux_all[row:row + v, :t] = f_aux
+            st["rows"] = (row, row + v)
+            row += v
+        # pad rows repeat the first real variant (zero-token rows would
+        # push an empty attention mask through the encoder); their results
+        # are never read back per-query
+        if row < qpad:
+            ids_all[row:] = ids_all[0]
+            aux_all[row:] = aux_all[0]
+        kvmax = max(st["fetch"] for st in live)
+        hyb = [st for st in live if st["bm"] is not None]
+        for hi, st in enumerate(hyb):
+            st["hi"] = hi
+        backend = self.service.backend
+        hash_model = getattr(backend, "model", None)
+        dev_out = None
+        raw_all = None
+        if hyb:
+            from ..fts.store import stack_query_args
+
+            bm_batch = stack_query_args([st["bm"] for st in hyb])
+            if fused_kind == "hash":
+                dev_out = self.store.hybrid_search_featurized_many(
+                    hash_model.table, ids_all, aux_all, kvmax, bm_batch,
+                )
+            else:
+                dev_out = self.store.hybrid_search_encoded_many(
+                    backend.params, backend.cfg, ids_all, aux_all, kvmax,
+                    bm_batch,
+                )
+            if dev_out is None:   # mesh appeared / store emptied under us
+                return self._search_many_waves(queries, options)
+        elif fused_kind == "hash":
+            raw_all = self.store.search_featurized(
+                hash_model.table, ids_all, aux_all, kvmax, raw=True
+            )
+        else:
+            raw_all = self.store.search_encoded(
+                backend.params, backend.cfg, ids_all, aux_all, kvmax, raw=True
+            )
+        # dispatch is in flight — run every host-side exact-identifier scan
+        # now so its cost hides inside the device round trip
+        for st in hyb:
+            if not st["identifiers"]:
+                continue
+            kind = st["intent"].value if st["intent"] else None
+            exact = []
+            for ident in st["identifiers"]:
+                exact.extend(self.fts.search_exact(ident, kind=kind,
+                                                   limit=st["fetch"]))
+            st["exact"] = exact
+        bv = bi = None
+        if dev_out is not None:
+            vv, vi, bv, bi = jax.device_get(dev_out)
+            raw_all = self.store.rows_to_ids(vv, vi)
+        cids_all, scores_all = raw_all
+        for qi, st in enumerate(pending):
+            if st is None:
+                continue
+            rs, re_ = st["rows"]
+            fq = st["fetch"]
+            # trim each query's rows to ITS OWN retrieval depth — results
+            # must equal per-query search() exactly (candidates are sorted
+            # descending, so the [:fq] prefix IS that query's top-fq)
+            raw_q = (cids_all[rs:re_, :fq], scores_all[rs:re_, :fq])
+            vector_ranked = self._dedup_raw(raw_q, fq)
+            fused_fts = None
+            if st["bm"] is not None:
+                fused_fts = self.fts.results_from_device(
+                    bv[st["hi"]], bi[st["hi"]], fq
+                )
+            timings: dict[str, float] = {}
+            resp = self._finish(
+                st["query"], options, st["identifiers"], st["intent"],
+                st["vk"], st["fk"], fq, vector_ranked, {},
+                fused_fts, st.get("exact"), timings, t_all,
+            )
+            self._resp_cache.put(st["key"], resp)
+            out[qi] = resp
+        return out  # type: ignore[return-value]
+
+    def _search_many_waves(
+        self, queries: list[str], options: SearchOptions | None = None
+    ) -> list[SearchResponse]:
+        """Per-query dispatch waves: every query's fused kernel enqueued
+        back-to-back (async), host exact scans overlapped, ONE readback
+        wait for all. Used when a corpus mesh is active (the sharded
+        dispatch shapes are per-query). Wall time ≈ one round trip +
+        Σ(device time) instead of N full round trips."""
         options = options or SearchOptions()
         backend = self.service.backend
         hash_model = getattr(backend, "model", None)

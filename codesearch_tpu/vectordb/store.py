@@ -1374,6 +1374,82 @@ class VectorStore:
             return self.rows_to_ids(vv, vi), bv, bi
         return self._materialize(vv, vi), bv, bi
 
+    def hybrid_search_featurized_many(
+        self, table, ids: np.ndarray, weights: np.ndarray, limit: int, bm_args,
+    ):
+        """Batched serving (search_many): ALL queries' variants [Qtot, T]
+        plus B stacked BM25 interval tables (fts.stack_query_args) through
+        ONE fused dispatch. Returns un-fetched device arrays
+        (vv [Qtot, kv], vi, bv [B, kb], bi) so the caller overlaps host
+        work with the round trip, or None when a corpus mesh is active
+        (the sharded plane batches per query instead)."""
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import (
+            hash_embed_hybrid_search_many,
+            hash_embed_hybrid_search_many_int8,
+        )
+
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        with self._lock:
+            n_valid = self._n_valid()
+            if n_valid == 0 or self._mesh() is not None:
+                return None
+            dev = self._ensure_device()
+            kv = min(limit, max(1, n_valid))
+            if dev[0] == "int8":
+                return hash_embed_hybrid_search_many_int8(
+                    table, jnp.asarray(ids), jnp.asarray(weights),
+                    dev[1], dev[2], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.asarray(kid), kb, kbpre, imax,
+                )
+            return hash_embed_hybrid_search_many(
+                table, jnp.asarray(ids), jnp.asarray(weights),
+                dev[1], dev[3], kv,
+                fts_dev[0], fts_dev[1], fts_dev[2],
+                jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                jnp.asarray(kid), kb, kbpre, imax,
+            )
+
+    def hybrid_search_encoded_many(
+        self, params: dict, cfg, ids: np.ndarray, mask: np.ndarray,
+        limit: int, bm_args,
+    ):
+        """Batched serving for BERT-family models — one encoder forward
+        over every query's variants + batched top-k + batched BM25 in ONE
+        dispatch (the model-agnostic twin of hybrid_search_featurized_many)."""
+        import jax.numpy as jnp
+
+        from ..ops.query_pipeline import (
+            bert_embed_hybrid_search_many,
+            bert_embed_hybrid_search_many_int8,
+        )
+
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        with self._lock:
+            n_valid = self._n_valid()
+            if n_valid == 0 or self._mesh() is not None:
+                return None
+            dev = self._ensure_device()
+            kv = min(limit, max(1, n_valid))
+            if dev[0] == "int8":
+                return bert_embed_hybrid_search_many_int8(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[2], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.asarray(kid), kb, kbpre, imax,
+                )
+            return bert_embed_hybrid_search_many(
+                params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                dev[1], dev[3], kv,
+                fts_dev[0], fts_dev[1], fts_dev[2],
+                jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                jnp.asarray(kid), kb, kbpre, imax,
+            )
+
     def search_encoded(
         self, params: dict, cfg, ids: np.ndarray, mask: np.ndarray, limit: int,
         raw: bool = False,
