@@ -3,7 +3,10 @@ POST /search. Search over HTTP defaults to vector-only with 200-char
 truncated snippets (server/mod.rs:484-596 — the reference's HTTP surface
 never grew the hybrid pipeline); passing ``"mode": "hybrid"`` runs the
 full fused read plane + RRF + boosts via the same shared implementation
-as the MCP server (server/readplane.py). Runs its own watcher loop via
+as the MCP server (server/readplane.py). Hybrid requests are dynamically
+micro-batched: concurrent requests coalesce into ONE batched fused device
+dispatch (readplane.DynamicBatcher), and an explicit ``"queries": [...]``
+body batches a whole list in one call. Runs its own watcher loop via
 IndexManager."""
 
 from __future__ import annotations
@@ -31,12 +34,17 @@ SNIPPET_CHARS = 200
 class ServerState:
     def __init__(self, root: Path, db: Path, stores: SharedStores,
                  service: EmbeddingService, manager: IndexManager | None):
+        from .readplane import DynamicBatcher
+
         self.root = root
         self.db = db
         self.stores = stores
         self.service = service
         self.manager = manager
         self.started_at = time.time()
+        # dynamic micro-batching: concurrent hybrid requests coalesce into
+        # one batched fused dispatch (server/readplane.py)
+        self.batcher = DynamicBatcher(stores, service)
 
 
 def _make_handler(state: ServerState):
@@ -71,10 +79,23 @@ def _make_handler(state: ServerState):
                         "total_chunks": chunks,
                         "total_files": len(fm.files),
                         "uptime_s": round(time.time() - state.started_at, 1),
+                        "batch_waves": state.batcher.waves,
+                        "batched_queries": state.batcher.batched_queries,
                     },
                 )
                 return
             self._reply(404, {"error": "not found"})
+
+        @staticmethod
+        def _hit(meta, score: float) -> dict:
+            return {
+                "path": meta.path,
+                "start_line": meta.start_line + 1,
+                "end_line": meta.end_line,
+                "kind": meta.kind,
+                "score": round(score, 4),
+                "snippet": meta.content[:SNIPPET_CHARS],
+            }
 
         def do_POST(self):
             if self.path != "/search":
@@ -88,7 +109,8 @@ def _make_handler(state: ServerState):
                 self._reply(400, {"error": "invalid JSON body"})
                 return
             query = str(body.get("query", "")).strip()
-            if not query:
+            queries = body.get("queries")
+            if not query and not (isinstance(queries, list) and queries):
                 self._reply(400, {"error": "missing query"})
                 return
             limit = int(body.get("limit") or 10)
@@ -101,27 +123,50 @@ def _make_handler(state: ServerState):
                 self._reply(400, {"error": f"unknown mode {mode!r}"})
                 return
             t0 = time.time()
+            if isinstance(queries, list) and queries:
+                # explicit batch API: all queries ride ONE batched fused
+                # dispatch (readplane.ranked_chunks_many)
+                if mode != "hybrid":
+                    self._reply(400, {"error": "queries[] requires mode=hybrid"})
+                    return
+                qlist = [str(q).strip() for q in queries]
+                if not all(qlist):
+                    self._reply(400, {"error": "empty query in queries[]"})
+                    return
+                from .readplane import ranked_chunks_many
+
+                meta_json = read_metadata(state.db)
+                waves = ranked_chunks_many(
+                    state.stores, state.service, meta_json, qlist, limit,
+                    filter_path=path_filter,
+                )
+                self._reply(
+                    200,
+                    {
+                        "mode": mode,
+                        "batch": [
+                            {"query": q,
+                             "results": [self._hit(m, s) for s, _c, m in scored]}
+                            for q, scored in zip(qlist, waves)
+                        ],
+                        "took_ms": round((time.time() - t0) * 1000, 1),
+                    },
+                )
+                return
             out = []
             if mode == "hybrid":
                 from .readplane import ranked_chunks
 
                 meta_json = read_metadata(state.db)
-                with state.stores.lock:
-                    scored = ranked_chunks(
-                        state.stores, state.service, meta_json, query, limit,
-                        filter_path=path_filter,
-                    )
+                # no lock held here: the device dispatch rides the dynamic
+                # micro-batching wave (concurrent requests coalesce into one
+                # batched kernel); only the ranking phase locks, inside
+                scored = ranked_chunks(
+                    state.stores, state.service, meta_json, query, limit,
+                    filter_path=path_filter, batcher=state.batcher,
+                )
                 for score, _cid, meta in scored:
-                    out.append(
-                        {
-                            "path": meta.path,
-                            "start_line": meta.start_line + 1,
-                            "end_line": meta.end_line,
-                            "kind": meta.kind,
-                            "score": round(score, 4),
-                            "snippet": meta.content[:SNIPPET_CHARS],
-                        }
-                    )
+                    out.append(self._hit(meta, score))
             else:
                 qvec = state.service.embed_query(query)
                 with state.stores.lock:
@@ -129,16 +174,7 @@ def _make_handler(state: ServerState):
                 for r in results:
                     if path_filter and path_filter not in r.metadata.path:
                         continue
-                    out.append(
-                        {
-                            "path": r.metadata.path,
-                            "start_line": r.metadata.start_line + 1,
-                            "end_line": r.metadata.end_line,
-                            "kind": r.metadata.kind,
-                            "score": round(r.score, 4),
-                            "snippet": r.metadata.content[:SNIPPET_CHARS],
-                        }
-                    )
+                    out.append(self._hit(r.metadata, r.score))
                     if len(out) >= limit:
                         break
             self._reply(
@@ -208,11 +244,23 @@ def _start_http_warmup(state: ServerState) -> None:
             try:
                 qvec = state.service.embed_query("warmup parse config entry")
                 state.stores.store.search(np.asarray(qvec), 30)
-                return
+                break
             except Exception:
                 if attempt == 2:
                     raise
                 time.sleep(0.5)
+        # warm the batched-wave executables too (qpad=8 row bucket): the
+        # first concurrent burst should not pay wave compilation
+        try:
+            from .readplane import ranked_chunks_many
+
+            meta_json = read_metadata(state.db)
+            ranked_chunks_many(
+                state.stores, state.service, meta_json,
+                ["warmup parse config entry", "warmup walk the tree"], 10,
+            )
+        except Exception:
+            log.info("batched-wave warmup skipped", exc_info=True)
 
     start_search_warmup(ready, fire)
 

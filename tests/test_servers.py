@@ -341,3 +341,192 @@ class TestHttp:
             httpd.server_close()
             if state.manager:
                 state.manager.stop()
+
+
+class TestDynamicBatching:
+    """Round-3 serving feature: concurrent hybrid requests coalesce into
+    ONE batched fused device dispatch (server/readplane.py)."""
+
+    def _stores(self, root, db):
+        meta = read_metadata(db)
+        service = EmbeddingService(meta["model"])
+        stores, lock = SharedStores.new_or_readonly(db, service.dims)
+        return stores, service, lock
+
+    @staticmethod
+    def _vkey(pairs):
+        return [(c, round(s, 4)) for c, s in pairs]
+
+    @staticmethod
+    def _fkey(fres):
+        return (None if fres is None
+                else [(r.chunk_id, round(r.score, 4)) for r in fres])
+
+    def test_device_candidates_many_matches_single(self, indexed):
+        from codesearch_tpu.server.readplane import (
+            device_candidates,
+            device_candidates_many,
+        )
+
+        root, db = indexed
+        stores, service, lock = self._stores(root, db)
+        try:
+            items = [
+                ("parse the configuration", None, 30),
+                ("walk the directory tree", None, 30),
+                ("detect binary files", "function", 30),
+                ("tokenize source code", None, 15),
+            ]
+            with stores.lock:
+                many = device_candidates_many(stores, service, items)
+                singles = []
+                for q, k, f in items:
+                    vres, fres = device_candidates(stores, service, q, k, f)
+                    singles.append((
+                        [(r.chunk_id, round(r.score, 4)) for r in vres],
+                        self._fkey(fres),
+                    ))
+            assert len(many) == len(items)
+            for (mv, mf), (sv, sf) in zip(many, singles):
+                assert self._vkey(mv) == sv
+                assert self._fkey(mf) == sf
+        finally:
+            if lock:
+                lock.release()
+
+    def test_dynamic_batcher_coalesces_concurrent_requests(self, indexed):
+        from codesearch_tpu.server.readplane import (
+            DynamicBatcher,
+            device_candidates,
+        )
+
+        root, db = indexed
+        stores, service, lock = self._stores(root, db)
+        try:
+            batcher = DynamicBatcher(stores, service, window_s=0.2)
+            # simulate an active traffic stream so the first leader waits
+            # the collection window (a lone request after idle skips it)
+            batcher._last_arrival = time.monotonic()
+            queries = [
+                "parse the configuration",
+                "walk the directory tree",
+                "detect binary files",
+                "tokenize source code",
+                "read the metadata",
+                "compute embedding vectors",
+            ]
+            results = [None] * len(queries)
+            errors = []
+            barrier = threading.Barrier(len(queries))
+
+            def worker(i, q):
+                try:
+                    barrier.wait(timeout=10)
+                    results[i] = batcher.get(q, None, 30)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+
+            threads = [
+                threading.Thread(target=worker, args=(i, q))
+                for i, q in enumerate(queries)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert not errors, errors
+            assert all(r is not None for r in results)
+            assert batcher.batched_queries == len(queries)
+            # coalescing happened: fewer dispatch waves than queries
+            assert batcher.waves < len(queries)
+            # results identical to the per-query fused plane
+            for i, q in enumerate(queries):
+                with stores.lock:
+                    vres, fres = device_candidates(stores, service, q, None, 30)
+                assert self._vkey(results[i][0]) == [
+                    (r.chunk_id, round(r.score, 4)) for r in vres
+                ]
+                assert self._fkey(results[i][1]) == self._fkey(fres)
+        finally:
+            if lock:
+                lock.release()
+
+    def test_batcher_single_request_skips_window(self, indexed):
+        from codesearch_tpu.server.readplane import DynamicBatcher
+
+        root, db = indexed
+        stores, service, lock = self._stores(root, db)
+        try:
+            batcher = DynamicBatcher(stores, service, window_s=5.0)
+            t0 = time.time()
+            vpairs, fres = batcher.get("parse the configuration", None, 30)
+            assert time.time() - t0 < 4.0  # idle request did not pay window
+            assert vpairs
+            assert batcher.waves == 1
+        finally:
+            if lock:
+                lock.release()
+
+    def test_http_batch_queries_and_concurrent_hybrid(self, indexed):
+        from codesearch_tpu.server.http import make_server
+
+        root, db = indexed
+        httpd, state = make_server(root, host="127.0.0.1", port=0,
+                                   initial_index=False)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+
+            def post(payload):
+                req = urllib.request.Request(
+                    base + "/search", data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                return json.loads(urllib.request.urlopen(req).read())
+
+            qs = ["parse the configuration", "walk the directory tree"]
+            # explicit batch API: one request, many queries
+            batch = post({"queries": qs, "limit": 3, "mode": "hybrid"})
+            assert [b["query"] for b in batch["batch"]] == qs
+            singles = [post({"query": q, "limit": 3, "mode": "hybrid"})
+                       for q in qs]
+            for bq, sq in zip(batch["batch"], singles):
+                assert bq["results"] == sq["results"]
+            # queries[] demands hybrid mode
+            try:
+                post({"queries": qs, "mode": "vector"})
+                raise AssertionError("should have failed")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            # concurrent single-query hybrid posts coalesce via the
+            # batcher and return per-query-correct results
+            out = [None] * 4
+            errs = []
+            barrier = threading.Barrier(4)
+
+            def worker(i):
+                try:
+                    barrier.wait(timeout=10)
+                    out[i] = post({"query": qs[i % 2], "limit": 3,
+                                   "mode": "hybrid"})
+                except BaseException as e:  # noqa: BLE001
+                    errs.append(e)
+
+            ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join(timeout=60)
+            assert not errs, errs
+            for i in range(4):
+                assert out[i]["results"] == singles[i % 2]["results"]
+            status = json.loads(urllib.request.urlopen(base + "/status").read())
+            assert status["batched_queries"] >= 4
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            if state.manager:
+                state.manager.stop()
