@@ -430,3 +430,186 @@ def sharded_hash_embed_search_int8(
         in_specs=(P(), P(), P(), P("data", None), P("data"), P("data")),
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
+
+
+# ---------------------------------------------------------------------------
+# Batched serving twins (search_many / DynamicBatcher waves on a mesh): the
+# vector plane is already batch-shaped ([Q, ...] rows ride the same shard_map),
+# so the only delta vs the single-query hybrids is the batched BM25 kernel —
+# every query's interval table stacked into one [B, C] reduction.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax", "mesh"))
+def sharded_hash_embed_hybrid_many(
+    table: jax.Array,      # [V, d] replicated
+    ids: jax.Array,        # [Qtot, T] ALL queries' variants, replicated
+    weights: jax.Array,    # [Qtot, T]
+    corpus: jax.Array,     # [N, d] bf16, sharded over "data"
+    valid: jax.Array,      # [N] bool, sharded
+    kv: int,
+    p_pos: jax.Array,      # FTS resident postings, replicated over the mesh
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,     # [B, C] per-query interval tables
+    clen: jax.Array,       # [B, C]
+    cidf: jax.Array,       # [B, C]
+    boost_kid: jax.Array,  # [B]
+    kb: int,
+    kbpre: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip batched hybrid: a WAVE of B queries through the sharded
+    vector top-k (local gated kernel + all_gather merge over ICI) plus the
+    batched BM25 reduction (replicated resident arrays) in ONE dispatch."""
+    from ..models.hash_embedder import embed_features
+    from ..ops.bm25 import bm25_resident_topk_batch
+
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, v):
+        q = embed_features(t, i, w)
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_bf16(q, c, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus, valid)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("kv", "kb", "kbpre", "imax", "mesh"))
+def sharded_hash_embed_hybrid_many_int8(
+    table: jax.Array,
+    ids: jax.Array,
+    weights: jax.Array,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,     # [B, C]
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,  # [B]
+    kb: int,
+    kbpre: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.hash_embedder import embed_features
+    from ..ops.bm25 import bm25_resident_topk_batch
+
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(t, i, w, c, s, v):
+        q = embed_features(t, i, w)
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_int8(q, c, s, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(table, ids, weights, corpus_q, row_scale, valid)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax", "mesh"))
+def sharded_bert_embed_hybrid_many(
+    params: dict,
+    ids: jax.Array,        # [Qtot, T] replicated
+    mask: jax.Array,
+    cfg,
+    corpus: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,     # [B, C]
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,  # [B]
+    kb: int,
+    kbpre: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip batched hybrid for BERT-family backends: ONE encoder
+    forward over every query's variants + sharded vector top-k + batched
+    BM25, all in one dispatch (the model-agnostic twin of
+    sharded_hash_embed_hybrid_many)."""
+    from ..models.encoder import encode
+    from ..ops.bm25 import bm25_resident_topk_batch
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, v):
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_bf16(qq, c, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus, valid)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kv", "kb", "kbpre", "imax", "mesh"))
+def sharded_bert_embed_hybrid_many_int8(
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg,
+    corpus_q: jax.Array,
+    row_scale: jax.Array,
+    valid: jax.Array,
+    kv: int,
+    p_pos: jax.Array,
+    p_w: jax.Array,
+    slot_meta: jax.Array,
+    cstart: jax.Array,     # [B, C]
+    clen: jax.Array,
+    cidf: jax.Array,
+    boost_kid: jax.Array,  # [B]
+    kb: int,
+    kbpre: int,
+    imax: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..models.encoder import encode
+    from ..ops.bm25 import bm25_resident_topk_batch
+
+    q = encode(params, ids, mask, cfg)
+    shard_rows = corpus_q.shape[0] // mesh.shape["data"]
+
+    def local(qq, c, s, v):
+        kk = min(kv, shard_rows)
+        return _gather_merge(*_local_topk_int8(qq, c, s, v, kk), kv, shard_rows)
+
+    v_vals, v_idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False,
+    )(q, corpus_q, row_scale, valid)
+    b_vals, b_idx = bm25_resident_topk_batch(
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+    )
+    return v_vals, v_idx, b_vals, b_idx

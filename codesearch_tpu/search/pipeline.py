@@ -570,16 +570,14 @@ class SearchSession:
         instead of N round trips; host-side exact-identifier scans overlap
         the in-flight dispatch. Semantics identical to per-query search()
         (each query's results are trimmed to its own retrieval depth).
-        Falls back to per-query dispatch waves on a corpus mesh (the
-        sharded plane, _search_many_waves) and to sequential search() for
-        configurations batching does not cover (non-fused backends,
-        rerank)."""
+        On a corpus mesh the wave rides the sharded batched twins
+        (parallel/sharded_search.py *_many). Falls back to sequential
+        search() for configurations batching does not cover (non-fused
+        backends, rerank)."""
         options = options or SearchOptions()
         fused_kind = self._fused_kind()
         if fused_kind is None or options.rerank:
             return [self.search(q, options) for q in queries]
-        if self.store._mesh() is not None:
-            return self._search_many_waves(queries, options)
 
         t_all = time.time()
         pending: list[dict | None] = []
@@ -647,7 +645,7 @@ class SearchSession:
                     backend.params, backend.cfg, ids_all, aux_all, kvmax,
                     bm_batch,
                 )
-            if dev_out is None:   # mesh appeared / store emptied under us
+            if dev_out is None:   # store emptied under us
                 return self._search_many_waves(queries, options)
         elif fused_kind == "hash":
             raw_all = self.store.search_featurized(
@@ -703,8 +701,8 @@ class SearchSession:
     ) -> list[SearchResponse]:
         """Per-query dispatch waves: every query's fused kernel enqueued
         back-to-back (async), host exact scans overlapped, ONE readback
-        wait for all. Used when a corpus mesh is active (the sharded
-        dispatch shapes are per-query). Wall time ≈ one round trip +
+        wait for all. The fallback when the single-dispatch wave cannot
+        run (store emptied mid-flight). Wall time ≈ one round trip +
         Σ(device time) instead of N full round trips."""
         options = options or SearchOptions()
         backend = self.service.backend

@@ -1379,10 +1379,11 @@ class VectorStore:
     ):
         """Batched serving (search_many): ALL queries' variants [Qtot, T]
         plus B stacked BM25 interval tables (fts.stack_query_args) through
-        ONE fused dispatch. Returns un-fetched device arrays
-        (vv [Qtot, kv], vi, bv [B, kb], bi) so the caller overlaps host
-        work with the round trip, or None when a corpus mesh is active
-        (the sharded plane batches per query instead)."""
+        ONE fused dispatch — on a corpus mesh the wave rides the sharded
+        twins (local top-k per shard + all_gather merge, batched BM25
+        replicated). Returns un-fetched device arrays (vv [Qtot, kv], vi,
+        bv [B, kb], bi) so the caller overlaps host work with the round
+        trip, or None when the store is empty."""
         import jax.numpy as jnp
 
         from ..ops.query_pipeline import (
@@ -1393,10 +1394,32 @@ class VectorStore:
         fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
         with self._lock:
             n_valid = self._n_valid()
-            if n_valid == 0 or self._mesh() is not None:
+            if n_valid == 0:
                 return None
             dev = self._ensure_device()
             kv = min(limit, max(1, n_valid))
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_hash_embed_hybrid_many,
+                    sharded_hash_embed_hybrid_many_int8,
+                )
+
+                if dev[0] == "int8":
+                    return sharded_hash_embed_hybrid_many_int8(
+                        table, jnp.asarray(ids), jnp.asarray(weights),
+                        dev[1], dev[2], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.asarray(kid), kb, kbpre, imax, mesh,
+                    )
+                return sharded_hash_embed_hybrid_many(
+                    table, jnp.asarray(ids), jnp.asarray(weights),
+                    dev[1], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.asarray(kid), kb, kbpre, imax, mesh,
+                )
             if dev[0] == "int8":
                 return hash_embed_hybrid_search_many_int8(
                     table, jnp.asarray(ids), jnp.asarray(weights),
@@ -1419,7 +1442,8 @@ class VectorStore:
     ):
         """Batched serving for BERT-family models — one encoder forward
         over every query's variants + batched top-k + batched BM25 in ONE
-        dispatch (the model-agnostic twin of hybrid_search_featurized_many)."""
+        dispatch (the model-agnostic twin of hybrid_search_featurized_many),
+        with sharded mesh twins. Returns None when the store is empty."""
         import jax.numpy as jnp
 
         from ..ops.query_pipeline import (
@@ -1430,10 +1454,32 @@ class VectorStore:
         fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
         with self._lock:
             n_valid = self._n_valid()
-            if n_valid == 0 or self._mesh() is not None:
+            if n_valid == 0:
                 return None
             dev = self._ensure_device()
             kv = min(limit, max(1, n_valid))
+            mesh = self._mesh()
+            if mesh is not None:
+                from ..parallel.sharded_search import (
+                    sharded_bert_embed_hybrid_many,
+                    sharded_bert_embed_hybrid_many_int8,
+                )
+
+                if dev[0] == "int8":
+                    return sharded_bert_embed_hybrid_many_int8(
+                        params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                        dev[1], dev[2], dev[3], kv,
+                        fts_dev[0], fts_dev[1], fts_dev[2],
+                        jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                        jnp.asarray(kid), kb, kbpre, imax, mesh,
+                    )
+                return sharded_bert_embed_hybrid_many(
+                    params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+                    dev[1], dev[3], kv,
+                    fts_dev[0], fts_dev[1], fts_dev[2],
+                    jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
+                    jnp.asarray(kid), kb, kbpre, imax, mesh,
+                )
             if dev[0] == "int8":
                 return bert_embed_hybrid_search_many_int8(
                     params, jnp.asarray(ids), jnp.asarray(mask), cfg,

@@ -609,6 +609,49 @@ class TestSearchMany:
             monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
             mesh_mod.reset_corpus_mesh()
 
+    def test_matches_sequential_sharded(self, tmp_path):
+        """On the 8-device corpus mesh the wave rides the sharded batched
+        twins (parallel/sharded_search.py *_many) and must still equal
+        per-query search() exactly."""
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file into key/value pairs."""\n'
+            "    return dict(l.split('=') for l in open(path))\n\n"
+            "def render_widget(canvas):\n"
+            '    """Draw the widget to the canvas."""\n'
+            "    canvas.blit()\n\n"
+            "def flush_buffer(buf):\n"
+            '    """Write pending bytes out."""\n'
+            "    buf.sync()\n"
+        )
+        mesh_mod.reset_corpus_mesh()
+        try:
+            stats = index(root, IndexOptions(quiet=True))
+            queries = [
+                "parse configuration file",
+                "draw the widget",
+                "flush_buffer pending bytes",
+            ]
+            s1 = SearchSession(stats.db_path, readonly=True)
+            s1.fts.device_min_docs = 1
+            assert s1.store._mesh() is not None, "mesh expected in test env"
+            batched = s1.search_many(queries, SearchOptions(limit=5))
+            s2 = SearchSession(stats.db_path, readonly=True)
+            s2.fts.device_min_docs = 1
+            sequential = [s2.search(q, SearchOptions(limit=5)) for q in queries]
+            for b, s in zip(batched, sequential):
+                assert [(h.chunk_id, round(h.score, 6)) for h in b.hits] == \
+                       [(h.chunk_id, round(h.score, 6)) for h in s.hits]
+                assert b.mode == s.mode
+        finally:
+            mesh_mod.reset_corpus_mesh()
+
     def test_cache_hits_short_circuit(self, tmp_path):
         from codesearch_tpu.index.pipeline import IndexOptions, index
         from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
