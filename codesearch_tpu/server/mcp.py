@@ -229,23 +229,66 @@ class CodesearchService:
                 self.stores, self.service, self._metadata, query, limit,
                 filter_path=filter_path,
             )
-            items = []
-            for score, _cid, meta in scored:
-                item = {
-                    "path": meta.path,
-                    "start_line": meta.start_line + 1,
-                    "end_line": meta.end_line,
-                    "kind": meta.kind,
-                    "score": round(score, 4),
-                }
-                if meta.signature:
-                    item["signature"] = meta.signature
-                if not compact:
-                    item["content"] = meta.content
-                items.append(item)
-        resp = {"query": query, "results": items, "total": len(items)}
+            resp = self._format_scored(scored, query, compact)
         self._resp_cache.put(cache_key, resp)
         return resp
+
+    @staticmethod
+    def _format_scored(scored, query: str, compact: bool) -> dict:
+        items = []
+        for score, _cid, meta in scored:
+            item = {
+                "path": meta.path,
+                "start_line": meta.start_line + 1,
+                "end_line": meta.end_line,
+                "kind": meta.kind,
+                "score": round(score, 4),
+            }
+            if meta.signature:
+                item["signature"] = meta.signature
+            if not compact:
+                item["content"] = meta.content
+            items.append(item)
+        return {"query": query, "results": items, "total": len(items)}
+
+    def semantic_search_many(self, args_list: list[dict]) -> list[dict]:
+        """Pipelined semantic_search calls answered from ONE batched fused
+        dispatch (readplane.ranked_chunks_wave): agents issue parallel
+        tool calls, and the stdio loop groups consecutive ones so the
+        whole group costs one device round trip. Per-call semantics are
+        identical to semantic_search (same cache, same ranking)."""
+        out: list[dict | None] = [None] * len(args_list)
+        live = []
+        for i, args in enumerate(args_list):
+            query = str(args.get("query", "")).strip()
+            if not query:
+                out[i] = {"error": "empty query"}
+                continue
+            limit = int(args.get("limit") or 10)
+            compact = args.get("compact", True)
+            filter_path = args.get("filter_path")
+            key = (
+                query, limit, bool(compact), filter_path,
+                self.stores.store.mutation_count,
+                self.stores.fts.mutation_count,
+            )
+            cached = self._resp_cache.get(key)
+            if cached is not None:
+                out[i] = cached
+                continue
+            live.append((i, query, limit, compact, filter_path, key))
+        if live:
+            from .readplane import ranked_chunks_wave
+
+            waves = ranked_chunks_wave(
+                self.stores, self.service, self._metadata,
+                [(q, limit, fp) for _, q, limit, _, fp, _ in live],
+            )
+            for (i, query, _limit, compact, _fp, key), scored in zip(live, waves):
+                resp = self._format_scored(scored, query, compact)
+                self._resp_cache.put(key, resp)
+                out[i] = resp
+        return out  # type: ignore[return-value]
 
     def find_references(self, args: dict) -> dict:
         symbol = str(args.get("symbol", "")).strip()
@@ -343,24 +386,126 @@ def _write_frame(obj: dict, out) -> None:
 
 
 def serve_stdio(service: CodesearchService, stdin=None, stdout=None) -> int:
+    """Line-delimited JSON-RPC loop with request pipelining: a background
+    reader feeds a queue, the loop blocks for the first request then
+    drains whatever else is already buffered (agents issue parallel tool
+    calls over stdio), and consecutive semantic_search calls in the
+    drained group are answered from ONE batched fused device dispatch
+    (semantic_search_many). Responses are emitted in request order."""
+    import queue as queue_mod
+    import threading
+
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
+    q: queue_mod.Queue = queue_mod.Queue()
+
+    def reader():
         try:
-            req = json.loads(line)
-        except json.JSONDecodeError:
+            for line in stdin:
+                q.put(line)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=reader, daemon=True, name="mcp-stdin").start()
+    eof = False
+    while not eof:
+        line = q.get()
+        if line is None:
+            break
+        batch = [line]
+        # drain pipelined requests already buffered; a 2 ms grace catches
+        # near-simultaneous arrivals from a parallel tool-call burst
+        while True:
+            try:
+                nxt = q.get(timeout=0.002)
+            except queue_mod.Empty:
+                break
+            if nxt is None:
+                eof = True
+                break
+            batch.append(nxt)
+        if _process_frames(service, batch, stdout):
+            return 0
+    return 0
+
+
+def _parse_frame(line: str):
+    """line → (req dict) | None (blank/unparseable — error frame emitted
+    by the caller for the latter)."""
+    line = line.strip()
+    if not line:
+        return "blank"
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return None
+
+
+def _is_search_call(req) -> bool:
+    return (
+        isinstance(req, dict)
+        and req.get("method") == "tools/call"
+        and (req.get("params") or {}).get("name") == "semantic_search"
+        and req.get("id") is not None
+    )
+
+
+def _process_frames(service: CodesearchService, lines: list[str], stdout) -> bool:
+    """Handle a drained group of request lines in order, batching maximal
+    runs of consecutive semantic_search tool calls through ONE device
+    dispatch. Returns True when a shutdown request ends the session."""
+    reqs = [_parse_frame(line) for line in lines]
+    i = 0
+    while i < len(reqs):
+        req = reqs[i]
+        if req == "blank":
+            i += 1
+            continue
+        if req is None:
             _write_frame(
                 {"jsonrpc": "2.0", "id": None,
                  "error": {"code": -32700, "message": "parse error"}},
                 stdout,
             )
+            i += 1
             continue
-        method = req.get("method", "")
-        req_id = req.get("id")
+        # maximal run of consecutive semantic_search calls → one wave
+        if _is_search_call(req):
+            j = i
+            while j < len(reqs) and _is_search_call(reqs[j]):
+                j += 1
+            group = reqs[i:j]
+            if len(group) > 1:
+                try:
+                    payloads = service.semantic_search_many(
+                        [(g.get("params") or {}).get("arguments") or {}
+                         for g in group]
+                    )
+                except Exception as e:
+                    log.exception("mcp batched semantic_search failed")
+                    for g in group:
+                        _write_frame(
+                            {"jsonrpc": "2.0", "id": g.get("id"),
+                             "error": {"code": -32603, "message": str(e)}},
+                            stdout,
+                        )
+                    i = j
+                    continue
+                for g, payload in zip(group, payloads):
+                    _write_frame(
+                        {"jsonrpc": "2.0", "id": g.get("id"), "result": {
+                            "content": [{"type": "text",
+                                         "text": json.dumps(payload)}],
+                            "isError": "error" in payload,
+                        }},
+                        stdout,
+                    )
+                i = j
+                continue
+        method = req.get("method", "") if isinstance(req, dict) else ""
+        req_id = req.get("id") if isinstance(req, dict) else None
         if method.startswith("notifications/"):
+            i += 1
             continue  # notifications get no response
         try:
             result = _handle(service, method, req.get("params") or {})
@@ -371,12 +516,14 @@ def serve_stdio(service: CodesearchService, stdin=None, stdout=None) -> int:
                  "error": {"code": -32603, "message": str(e)}},
                 stdout,
             )
+            i += 1
             continue
         if req_id is not None:
             _write_frame({"jsonrpc": "2.0", "id": req_id, "result": result}, stdout)
         if method == "shutdown":
-            break
-    return 0
+            return True
+        i += 1
+    return False
 
 
 def _handle(service: CodesearchService, method: str, params: dict) -> dict:

@@ -331,6 +331,40 @@ def ranked_chunks(
     )
 
 
+def ranked_chunks_wave(
+    stores,
+    service,
+    metadata: dict,
+    requests: list[tuple],
+):
+    """Batch ranking for an assembled wave: ``requests`` is
+    [(query, limit, filter_path)] — every query rides ONE batched fused
+    dispatch (device_candidates_many) with its OWN retrieval depth, then
+    each is ranked independently. Serving surfaces that receive pipelined
+    request groups (MCP parallel tool calls, HTTP ``queries`` bodies) call
+    this; concurrent single-query requests get the same batching
+    implicitly via DynamicBatcher. Takes stores.lock internally."""
+    plans = []
+    for q, limit, filter_path in requests:
+        intent = detect_structural_intent(q)
+        kind = intent.value if intent else None
+        vector_k, fts_k = adapt_rrf_k(q)
+        plans.append((q, limit, filter_path, kind, vector_k, fts_k))
+    with stores.lock:
+        cands = device_candidates_many(
+            stores, service,
+            [(q, kind, limit * 3) for q, limit, _, kind, _, _ in plans],
+        )
+        return [
+            rank_candidates(
+                stores, metadata, q, limit, kind, vector_k, fts_k,
+                vpairs, fres, filter_path,
+            )
+            for (q, limit, filter_path, kind, vector_k, fts_k),
+                (vpairs, fres) in zip(plans, cands)
+        ]
+
+
 def ranked_chunks_many(
     stores,
     service,
@@ -339,25 +373,7 @@ def ranked_chunks_many(
     limit: int,
     filter_path: str | None = None,
 ):
-    """Explicit batch ranking: an already-assembled list of queries rides
-    ONE batched fused dispatch (device_candidates_many) and each query is
-    ranked independently. The HTTP ``queries`` API and warmups use this;
-    concurrent single-query requests get the same batching implicitly via
-    DynamicBatcher. Takes stores.lock internally."""
-    plans = []
-    for q in queries:
-        intent = detect_structural_intent(q)
-        kind = intent.value if intent else None
-        vector_k, fts_k = adapt_rrf_k(q)
-        plans.append((q, kind, vector_k, fts_k))
-    with stores.lock:
-        cands = device_candidates_many(
-            stores, service, [(q, kind, limit * 3) for q, kind, _, _ in plans]
-        )
-        return [
-            rank_candidates(
-                stores, metadata, q, limit, kind, vector_k, fts_k,
-                vpairs, fres, filter_path,
-            )
-            for (q, kind, vector_k, fts_k), (vpairs, fres) in zip(plans, cands)
-        ]
+    """Uniform-limit convenience wrapper over ranked_chunks_wave."""
+    return ranked_chunks_wave(
+        stores, service, metadata, [(q, limit, filter_path) for q in queries]
+    )

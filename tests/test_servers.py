@@ -530,3 +530,68 @@ class TestDynamicBatching:
             httpd.server_close()
             if state.manager:
                 state.manager.stop()
+
+
+class TestMcpPipelining:
+    """Consecutive pipelined semantic_search tool calls are answered from
+    ONE batched fused dispatch, responses in request order."""
+
+    def test_pipelined_search_batch_matches_singles(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        try:
+            queries = ["parse the configuration", "walk the directory tree",
+                       "detect binary files"]
+            reqs = [
+                {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                 "params": {}},
+            ] + [
+                {"jsonrpc": "2.0", "id": 10 + i, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": q, "limit": 3}}}
+                for i, q in enumerate(queries)
+            ]
+            out = _rpc(svc, reqs)
+            assert [o["id"] for o in out] == [1, 10, 11, 12]
+            batched = [
+                json.loads(o["result"]["content"][0]["text"])
+                for o in out[1:]
+            ]
+        finally:
+            if lock:
+                lock.release()
+        # fresh service, per-call path (no cache sharing)
+        svc2, lock2 = _mk_service(root, db)
+        try:
+            for q, b in zip(queries, batched):
+                single = svc2.semantic_search({"query": q, "limit": 3})
+                assert b == single, q
+        finally:
+            if lock2:
+                lock2.release()
+
+    def test_pipelined_mixed_methods_keep_order(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        try:
+            reqs = [
+                {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "parse config", "limit": 2}}},
+                {"jsonrpc": "2.0", "id": 2, "method": "ping"},
+                {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "walk tree", "limit": 2}}},
+                {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "", "limit": 2}}},
+            ]
+            out = _rpc(svc, reqs)
+            assert [o["id"] for o in out] == [1, 2, 3, 4]
+            # the empty query in a batched group surfaces its error payload
+            last = json.loads(out[3]["result"]["content"][0]["text"])
+            assert last == {"error": "empty query"}
+            assert out[3]["result"]["isError"] is True
+        finally:
+            if lock:
+                lock.release()
