@@ -100,8 +100,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
                     path=f"src/{nouns[g % 15]}/mod_{g}.py",
                     signature=f"def {v}_{o}_{i}(arg)",
                 ))
-            emb = svc.embed_chunks(chunks)
-            embs = np.stack([e.embedding for e in emb])
+            embs = svc.embed_chunks_matrix(chunks)
             metas = [ChunkMetadata(
                 path=c.path, content=c.content, start_line=c.start_line,
                 end_line=c.end_line, kind=c.kind.value, signature=c.signature,

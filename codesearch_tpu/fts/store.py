@@ -126,6 +126,19 @@ def term_keys(text: str) -> np.ndarray:
     return np.asarray([_to_i64(stable_u64(t)) for t in toks], np.int64)
 
 
+def term_keys_batch(texts: list[str]) -> list[np.ndarray]:
+    """Ordered token term keys for a slab of texts: ONE native call when
+    available (per-text ctypes marshaling dominates at ingest rates —
+    measured 2.1 s of 15.7 s indexing 65k chunks); per-text results are
+    byte-identical to term_keys."""
+    from ..native import token_hashes_batch_native
+
+    keys = token_hashes_batch_native(texts)
+    if keys is not None:
+        return keys
+    return [term_keys(t) for t in texts]
+
+
 def _pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
@@ -471,11 +484,16 @@ class FtsStore:
             key_parts: list[np.ndarray] = []
             dnum_parts: list[np.ndarray] = []
             flag_parts: list[np.ndarray] = []
-            for cid, content, path, signature, kind in rows:
+            texts: list[str] = []
+            for _cid, content, _path, signature, _kind in rows:
+                texts.append(content)
+                texts.append(signature or "")
+            all_keys = term_keys_batch(texts)
+            for row_i, (cid, content, path, signature, kind) in enumerate(rows):
                 dnum = self._next_dnum
                 self._next_dnum += 1
-                c_keys = term_keys(content)
-                s_keys = term_keys(signature or "")
+                c_keys = all_keys[2 * row_i]
+                s_keys = all_keys[2 * row_i + 1]
                 doc_len = max(len(c_keys) + len(s_keys), 1)
                 self._add_doc(dnum, cid, doc_len, kind, path)
                 self.mutation_count += 1

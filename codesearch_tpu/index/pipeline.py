@@ -364,22 +364,21 @@ def index(
 
         flat = [c for _, cs in per_file for c in cs]
         if flat:
-            embedded = service.embed_chunks(flat)
-            embs = np.stack([e.embedding for e in embedded])
+            embs = service.embed_chunks_matrix(flat)
             metas = [
                 ChunkMetadata(
-                    path=e.chunk.path,
-                    content=e.chunk.content,
-                    start_line=e.chunk.start_line,
-                    end_line=e.chunk.end_line,
-                    kind=e.chunk.kind.value,
-                    context=e.chunk.context,
-                    signature=e.chunk.signature,
-                    docstring=e.chunk.docstring,
-                    hash=e.chunk.hash,
-                    language=getattr(e.chunk, "_language", None),
+                    path=c.path,
+                    content=c.content,
+                    start_line=c.start_line,
+                    end_line=c.end_line,
+                    kind=c.kind.value,
+                    context=c.context,
+                    signature=c.signature,
+                    docstring=c.docstring,
+                    hash=c.hash,
+                    language=getattr(c, "_language", None),
                 )
-                for e in embedded
+                for c in flat
             ]
             ids = store.insert_chunks_with_ids(embs, metas)
             try:

@@ -77,6 +77,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long),
             ]
+            lib.cs_token_hashes_batch.restype = ctypes.c_long
+            lib.cs_token_hashes_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+            ]
             _lib = lib
             log.info("native tier loaded: %s", so)
         except Exception as e:
@@ -192,3 +199,41 @@ def featurize_native(text: str):
 
 if os.environ.get("CODESEARCH_NO_NATIVE"):
     featurize_native = None  # type: ignore[assignment]
+
+
+def token_hashes_batch_native(
+    texts: list[str], buckets: int = 0,
+) -> list[np.ndarray] | None:
+    """Token bucket ids for a slab of texts in ONE native call — the FTS
+    ingest analog of featurize_batch_native (byte-identical per-text
+    results to token_hashes_native; amortizes ctypes marshaling)."""
+    lib = _load()
+    if lib is None:
+        return None
+    raws = [t.encode("utf-8", errors="replace") for t in texts]
+    offs = np.zeros(len(raws) + 1, dtype=np.int64 if ctypes.sizeof(
+        ctypes.c_long) == 8 else np.int32)
+    total = 0
+    for i, r in enumerate(raws):
+        total += len(r)
+        offs[i + 1] = total
+    buf = b"".join(raws)
+    cap = total + 16 * max(len(raws), 1)
+    ids = np.empty(cap, np.int64)
+    counts = np.zeros(len(raws), offs.dtype)
+    n = lib.cs_token_hashes_batch(
+        buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(raws),
+        buckets,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if n < 0:
+        return None
+    out = []
+    pos = 0
+    for c in counts:
+        c = int(c)
+        out.append(ids[pos:pos + c].copy())
+        pos += c
+    return out

@@ -390,4 +390,23 @@ long cs_token_hashes(const char* text, long n, int64_t buckets,
   return o;
 }
 
+// Batch token hashes: one call for a slab of texts (concatenated buffer +
+// offsets[n_texts+1]) — the FTS ingest analog of cs_featurize_batch.
+// Per-text results are byte-identical to cs_token_hashes; counts_out[t]
+// holds text t's token count and results pack contiguously into ids_out.
+// Returns the total count, or -1 if max_out is too small.
+long cs_token_hashes_batch(const char* buf, const long* offsets, long n_texts,
+                           int64_t buckets, int64_t* ids_out, long max_out,
+                           long* counts_out) {
+  long pos = 0;
+  for (long t = 0; t < n_texts; ++t) {
+    long m = cs_token_hashes(buf + offsets[t], offsets[t + 1] - offsets[t],
+                             buckets, ids_out + pos, max_out - pos);
+    if (m < 0) return -1;
+    counts_out[t] = m;
+    pos += m;
+  }
+  return pos;
+}
+
 }  // extern "C"

@@ -165,3 +165,56 @@ class TestNativeSpeedup:
             _featurize_py(text)
         t_py = time.time() - t0
         assert t_native < t_py, f"native {t_native:.3f}s not faster than python {t_py:.3f}s"
+
+
+class TestTokenHashesBatchParity:
+    def test_batch_matches_per_text(self):
+        texts = list(FEAT_CASES) + ["", "   ", "def parse_config(p): pass",
+                                    "χ = σ**2  # unicode"]
+        got = native.token_hashes_batch_native(texts)
+        assert got is not None and len(got) == len(texts)
+        for text, ids_b in zip(texts, got):
+            ids_1 = native.token_hashes_native(text)
+            np.testing.assert_array_equal(ids_b, ids_1, err_msg=repr(text))
+
+    def test_term_keys_batch_matches_term_keys(self):
+        from codesearch_tpu.fts.store import term_keys, term_keys_batch
+
+        texts = ["def walk_tree(root):\n    return list(root)",
+                 "", "pub fn walk_repo(r: &Path) -> Vec<FileInfo>"]
+        got = term_keys_batch(texts)
+        for t, keys in zip(texts, got):
+            np.testing.assert_array_equal(keys, term_keys(t), err_msg=repr(t))
+
+    def test_real_corpus(self):
+        from pathlib import Path
+
+        files = [f.read_text(errors="replace")
+                 for f in list(Path("/root/reference/src").rglob("*.rs"))[:6]]
+        got = native.token_hashes_batch_native(files)
+        assert got is not None
+        for text, ids_b in zip(files, got):
+            np.testing.assert_array_equal(ids_b, native.token_hashes_native(text))
+
+
+class TestEmbedChunksMatrix:
+    def test_matches_embed_chunks_with_cache_mix(self, tmp_path):
+        """embed_chunks_matrix must equal the stacked embed_chunks rows
+        across fresh, cached, and duplicate chunks."""
+        from codesearch_tpu.chunker import Chunk, ChunkKind
+        from codesearch_tpu.embed import EmbeddingService
+
+        svc = EmbeddingService("code-hash-384", use_persistent_cache=False)
+
+        def mk(i):
+            return Chunk(content=f"def f_{i}(x):\n    return x + {i}\n",
+                         start_line=0, end_line=1, kind=ChunkKind.FUNCTION,
+                         path=f"m_{i}.py", signature=f"def f_{i}(x)")
+
+        warm = [mk(0), mk(1)]
+        svc.embed_chunks(warm)  # pre-populate the mem cache
+        chunks = [mk(0), mk(2), mk(3), mk(2), mk(1)]  # cached + fresh + dup
+        mat = svc.embed_chunks_matrix(chunks)
+        ref = np.stack([e.embedding for e in svc.embed_chunks(chunks)])
+        assert mat.shape == ref.shape == (5, svc.dims)
+        np.testing.assert_array_equal(mat, ref)
