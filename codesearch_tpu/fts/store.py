@@ -126,6 +126,17 @@ def term_keys(text: str) -> np.ndarray:
     return np.asarray([_to_i64(stable_u64(t)) for t in toks], np.int64)
 
 
+def query_term_keys(query: str) -> np.ndarray:
+    """Unique term keys for BM25 query scoring. Interrogative queries are
+    reduced to their content core first ("how do we detect binary files" →
+    "detect binary files"): scaffolding terms select prose chunks and
+    dilute the per-doc score mass (search/analysis.strip_question)."""
+    from ..search.analysis import strip_question
+
+    core = strip_question(query)
+    return np.unique(term_keys(core if core is not None else query))
+
+
 def term_keys_batch(texts: list[str]) -> list[np.ndarray]:
     """Ordered token term keys for a slab of texts: ONE native call when
     available (per-text ctypes marshaling dominates at ingest rates —
@@ -1266,7 +1277,7 @@ class FtsStore:
             if args is not None:
                 top_scores, top_pos = self._score_device(args, limit)
             else:
-                keys = np.unique(term_keys(query))
+                keys = query_term_keys(query)
                 if keys.size == 0:
                     return []
                 gathered = self._gather_query(keys)
@@ -1332,7 +1343,7 @@ class FtsStore:
             n = self._dnums_sorted.size
             if n == 0:
                 return None
-            keys = np.unique(term_keys(query))
+            keys = query_term_keys(query)
             if keys.size == 0:
                 return None
             cstart, clen, cidf = [], [], []

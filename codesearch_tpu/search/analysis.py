@@ -75,8 +75,38 @@ _ABBREVIATIONS = [
 MAX_TOTAL_VARIANTS = 9
 
 
+_QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}
+_QUESTION_FILLER = {
+    "do", "does", "did", "we", "i", "you", "is", "are", "was", "were",
+    "can", "could", "should", "would", "will", "to", "the", "a", "an",
+    "in", "one", "our", "my",
+}
+
+
+def strip_question(query: str) -> str | None:
+    """Interrogative scaffolding dilutes both retrieval legs: "how do we
+    detect binary files" scores chunks containing "how"/"do"/"we" and
+    spends half the hash-embedding mass on them. When the query starts
+    with a question word, return the content core ("detect binary files");
+    None otherwise. The core rides as an extra vector variant AND replaces
+    the BM25 term selection (beyond the reference, whose labeled set shows
+    exactly this weakness — benchmarks/improvement-plan.md Cat A)."""
+    q = query.strip().rstrip("?").strip()
+    toks = q.split()
+    if len(toks) < 3 or toks[0].lower() not in _QUESTION_WORDS:
+        return None
+    i = 1
+    while i < len(toks) and toks[i].lower() in _QUESTION_FILLER:
+        i += 1
+    core = " ".join(toks[i:])
+    return core if core and core != q else None
+
+
 def expand_query(query: str) -> list[str]:
     variants = [query]
+    core = strip_question(query)
+    if core is not None:
+        variants.append(core)
     if len(query) < 4 or len(query) > 50:
         return variants
     looks_like_function = "_" in query and " " not in query

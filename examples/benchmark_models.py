@@ -113,17 +113,34 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             fts.commit()
 
         def _search(query, limit=3):
+            from codesearch_tpu.search.analysis import expand_query
+
+            variants = expand_query(query)
             hb = getattr(svc.backend, "model", None)
             if hb is not None and hasattr(hb, "table"):
-                # single-dispatch path (featurize → embed+top-k in one call),
-                # matching the product pipeline
+                # single-dispatch path (featurize → embed+top-k in one call)
+                # over the expanded variants, matching the product pipeline
                 from codesearch_tpu.models.hash_embedder import batch_features
 
-                ids_q, ws_q = batch_features([svc.spec.query_prefix + query])
-                vres = store.search_featurized(hb.table, ids_q, ws_q, limit * 3)[0]
+                ids_q, ws_q = batch_features(
+                    [svc.spec.query_prefix + v for v in variants]
+                )
+                per_variant = store.search_featurized(
+                    hb.table, ids_q, ws_q, limit * 3
+                )
             else:
-                qv = svc.embed_query(query)
-                vres = store.search(qv, limit * 3)
+                per_variant = [
+                    store.search(svc.embed_query(v), limit * 3)
+                    for v in variants
+                ]
+            # best score per chunk across variants (search/mod.rs:513-590)
+            best: dict[int, object] = {}
+            for results in per_variant:
+                for r in results:
+                    if (r.chunk_id not in best
+                            or r.score > best[r.chunk_id].score):
+                        best[r.chunk_id] = r
+            vres = sorted(best.values(), key=lambda r: -r.score)[:limit * 3]
             if fts is None:
                 return vres[:limit]
             vk, fk = adapt_rrf_k(query)

@@ -70,6 +70,37 @@ class TestQueryAnalysis:
         assert adapt_rrf_k("class UserService") == (12.0, 28.0)  # identifier wins
         assert adapt_rrf_k("how are files walked") == (20.0, 20.0)
 
+    def test_strip_question(self):
+        from codesearch_tpu.search.analysis import strip_question
+
+        assert strip_question("how do we detect binary files") == \
+            "detect binary files"
+        assert strip_question("where is the main entry point?") == \
+            "main entry point"
+        assert strip_question("how to parse config") == "parse config"
+        # non-questions pass through untouched
+        assert strip_question("detect binary files") is None
+        assert strip_question("parse_config") is None
+        # a degenerate all-filler question has no core
+        assert strip_question("how do we") is None
+
+    def test_expand_query_appends_question_core(self):
+        v = expand_query("how do we detect binary files")
+        assert v[0] == "how do we detect binary files"
+        assert "detect binary files" in v
+
+    def test_query_term_keys_drop_scaffolding(self):
+        from codesearch_tpu.fts.store import query_term_keys, term_keys
+        import numpy as np
+
+        core = np.unique(term_keys("detect binary files"))
+        got = query_term_keys("how do we detect binary files")
+        np.testing.assert_array_equal(got, core)
+        # non-questions keep every term
+        np.testing.assert_array_equal(
+            query_term_keys("detect binary files"), core
+        )
+
 
 class TestFileMeta:
     def test_check_and_update(self, tmp_path):
