@@ -290,6 +290,20 @@ class EmbeddingService:
     def model_name(self) -> str:
         return self.spec.short_name
 
+    def fused_kind(self) -> str | None:
+        """Which fused single-dispatch read plane this backend rides:
+        "hash" (featurize → table gather), "bert" (tokenize → encoder
+        forward), or None (no fused path — per-call embed only). ONE
+        implementation consulted by the search pipeline and every serving
+        surface, so routing cannot drift between them."""
+        backend = self.backend
+        hb = getattr(backend, "model", None)
+        if hb is not None and hasattr(hb, "table"):
+            return "hash"
+        if hasattr(backend, "featurize_queries"):
+            return "bert"
+        return None
+
     # -- chunks ---------------------------------------------------------------
 
     def embed_chunks(self, chunks: list[Chunk]) -> list[EmbeddedChunk]:

@@ -155,21 +155,32 @@ def _pow2(n: int) -> int:
 
 
 def stack_query_args(args_list: list) -> tuple:
-    """Stack B per-query ``device_query_args`` tuples (same store, so the
-    resident ``dev`` handles are shared) into the batched kernel's shapes:
-    interval tables padded to the batch-max chunk count (already pow2 per
-    query, so the max is pow2 — no new compile shapes), k/kpre/imax taken
-    as batch maxima (exactness: each query's own bound is ≤ the max, and
-    kpre ≥ kmax + dead-since-sync still holds because the largest per-query
-    kpre was computed from the largest k). Callers trim each query's
-    results back to its own k on host."""
+    """Stack B per-query ``device_query_args`` tuples (same store, same
+    device epoch) into the batched kernel's shapes: interval tables padded
+    to the batch-max chunk count (already pow2 per query, so the max is
+    pow2 — no new compile shapes), the batch axis padded to a pow2 bucket
+    of fully-masked rows (clen=0, kid=-1 — static-shape discipline: every
+    distinct wave size must NOT compile a new fused executable),
+    k/kpre/imax taken as batch maxima (exactness: each query's own bound
+    is ≤ the max, and kpre ≥ kmax + dead-since-sync still holds because
+    the largest per-query kpre was computed from the largest k). Callers
+    trim each query's results back to its own k on host.
+
+    Raises ValueError when the tuples span different device epochs (a
+    writer re-synced the resident postings between preps) — the batched
+    offsets would index the wrong postings layout; callers fall back to
+    per-query dispatch."""
     dev = args_list[0][0]
+    for a in args_list[1:]:
+        if a[0][0] is not dev[0]:
+            raise ValueError("device epoch changed between query preps")
     cmax = max(a[1].shape[0] for a in args_list)
     b = len(args_list)
-    cs = np.zeros((b, cmax), np.int32)
-    cl = np.zeros((b, cmax), np.int32)
-    ci = np.zeros((b, cmax), np.float32)
-    kid = np.empty(b, np.int32)
+    bpad = max(4, _pow2(b))
+    cs = np.zeros((bpad, cmax), np.int32)
+    cl = np.zeros((bpad, cmax), np.int32)
+    ci = np.zeros((bpad, cmax), np.float32)
+    kid = np.full(bpad, -1, np.int32)
     for row, a in enumerate(args_list):
         _, cs_a, cl_a, ci_a, kid_a, _, _, _ = a
         m = cs_a.shape[0]

@@ -218,60 +218,24 @@ class SearchSession:
         t_all = time.time()
         timings: dict[str, float] = {}
 
-        identifiers = detect_identifiers(query)
-        intent = detect_structural_intent(query)
-        if options.rrf_k is not None:
-            vector_k = fts_k = float(options.rrf_k)
-        else:
-            vector_k, fts_k = adapt_rrf_k(query)
-        variants = [query] if options.no_expand else expand_query(query)
-
-        # ---- embed + search all variants -------------------------------
-        # adaptive retrieval limit (search/mod.rs:490-502): semantic queries
-        # need a deep candidate pool for good RRF fusion; identifier queries
-        # lean on exact matching; vector-only returns directly
-        if options.mode == "vector":
-            # keep 3× headroom: path/min-score/per-file filters prune AFTER
-            # retrieval (the reference under-fills here; we keep the old
-            # oversample so --vector-only --filter still fills `limit`)
-            fetch = options.limit * 3
-        elif identifiers:
-            fetch = max(options.limit * 3, 100)
-        else:
-            fetch = max(options.limit * 5, 200)
+        # ---- plan (shared with the batched serving paths) ---------------
+        t = time.time()
+        st = self._prep_query(query, options)
+        timings["embed"] = (time.time() - t) * 1000
+        identifiers, intent = st["identifiers"], st["intent"]
+        vector_k, fts_k, fetch = st["vk"], st["fk"], st["fetch"]
+        fused_kind, feats, bm_args = st["fused"], st["feats"], st["bm"]
         backend = self.service.backend
         hash_model = getattr(backend, "model", None)
-        if hash_model is not None and hasattr(hash_model, "table"):
-            fused_kind = "hash"
-        elif hasattr(backend, "featurize_queries"):
-            fused_kind = "bert"   # JAX encoder backend — same one-RTT plane
-        else:
-            fused_kind = None
         fused_fts: list | None = None   # BM25 results from the fused dispatch
         exact_prefetched: list | None = None  # exact scans done in-flight
         t = time.time()
         if fused_kind is not None:
             # single-dispatch fast path: featurize/tokenize on host, then
             # embed + vector top-k (+ BM25) in ONE device call — saves 2-3
-            # tunnel roundtrips per query, for ANY model family
-            prefixed = [self.service.spec.query_prefix + v for v in variants]
-            if fused_kind == "hash":
-                from ..models.hash_embedder import batch_features
-
-                feats = batch_features(prefixed)
-            else:
-                feats = backend.featurize_queries(prefixed)
-            timings["embed"] = (time.time() - t) * 1000
-            t = time.time()
-            bm_args = None
-            if options.mode == "hybrid":
-                # fuse the BM25 pass into the SAME dispatch: the whole
-                # hybrid read plane costs one device round trip (single
-                # chip AND mesh — the sharded variant runs the vector
-                # local-topk+merge and the BM25 reduction in one jit)
-                bm_args = self.fts.device_query_args(
-                    query, intent.value if intent else None, fetch
-                )
+            # tunnel roundtrips per query, for ANY model family (single
+            # chip AND mesh — the sharded variant runs the vector
+            # local-topk+merge and the BM25 reduction in one jit)
             raw = None
             if bm_args is not None:
                 if fused_kind == "hash":
@@ -313,9 +277,7 @@ class SearchSession:
             vector_ranked = self._dedup_raw(raw, fetch)
             meta_of = {}
         else:
-            qvecs = np.stack(self.service.embed_queries_batch(variants))
-            timings["embed"] = (time.time() - t) * 1000
-            t = time.time()
+            qvecs = np.stack(self.service.embed_queries_batch(st["variants"]))
             per_variant = self.store.search_batch(qvecs, fetch)
             # best score per chunk across variants (search/mod.rs:513-590)
             best: dict[int, float] = {}
@@ -515,17 +477,19 @@ class SearchSession:
         )
 
     def _fused_kind(self) -> str | None:
-        backend = self.service.backend
-        hash_model = getattr(backend, "model", None)
-        if hash_model is not None and hasattr(hash_model, "table"):
-            return "hash"
-        if hasattr(backend, "featurize_queries"):
-            return "bert"
-        return None
+        return self.service.fused_kind()
 
     def _prep_query(self, query: str, options: SearchOptions) -> dict:
-        """Host-side per-query planning shared by the batched serving paths:
-        analysis, variant expansion, featurization, BM25 interval tables."""
+        """Host-side per-query planning — ONE implementation shared by
+        search() and the batched serving paths (their result equivalence
+        is a tested invariant, so the plan must not fork): analysis,
+        adaptive retrieval depth, variant expansion, featurization, BM25
+        interval tables.
+
+        Retrieval-depth rule (search/mod.rs:490-502): semantic queries
+        need a deep candidate pool for good RRF fusion; identifier queries
+        lean on exact matching; vector-only keeps 3× headroom because
+        path/min-score/per-file filters prune AFTER retrieval."""
         if not query or not query.strip():
             raise SearchError("empty query")
         identifiers = detect_identifiers(query)
@@ -541,22 +505,25 @@ class SearchSession:
             fetch = max(options.limit * 3, 100)
         else:
             fetch = max(options.limit * 5, 200)
-        prefixed = [self.service.spec.query_prefix + v for v in variants]
-        if self._fused_kind() == "hash":
-            from ..models.hash_embedder import batch_features
-
-            feats = batch_features(prefixed)
-        else:
-            feats = self.service.backend.featurize_queries(prefixed)
+        fused = self._fused_kind()
+        feats = None
         bm_args = None
-        if options.mode == "hybrid":
-            bm_args = self.fts.device_query_args(
-                query, intent.value if intent else None, fetch
-            )
+        if fused is not None:
+            prefixed = [self.service.spec.query_prefix + v for v in variants]
+            if fused == "hash":
+                from ..models.hash_embedder import batch_features
+
+                feats = batch_features(prefixed)
+            else:
+                feats = self.service.backend.featurize_queries(prefixed)
+            if options.mode == "hybrid":
+                bm_args = self.fts.device_query_args(
+                    query, intent.value if intent else None, fetch
+                )
         return {
             "query": query, "identifiers": identifiers, "intent": intent,
             "vk": vector_k, "fk": fts_k, "fetch": fetch, "feats": feats,
-            "bm": bm_args,
+            "bm": bm_args, "fused": fused, "variants": variants,
         }
 
     def search_many(
@@ -635,7 +602,12 @@ class SearchSession:
         if hyb:
             from ..fts.store import stack_query_args
 
-            bm_batch = stack_query_args([st["bm"] for st in hyb])
+            try:
+                bm_batch = stack_query_args([st["bm"] for st in hyb])
+            except ValueError:
+                # a writer re-synced the resident postings between preps —
+                # the stacked offsets would index the wrong layout
+                return self._search_many_waves(queries, options)
             if fused_kind == "hash":
                 dev_out = self.store.hybrid_search_featurized_many(
                     hash_model.table, ids_all, aux_all, kvmax, bm_batch,

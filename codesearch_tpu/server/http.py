@@ -129,6 +129,12 @@ def _make_handler(state: ServerState):
                 if mode != "hybrid":
                     self._reply(400, {"error": "queries[] requires mode=hybrid"})
                     return
+                # same wave cap as the internal batcher: an uncapped list
+                # would force an arbitrarily large single dispatch (novel
+                # executable shape + large transfer) under stores.lock
+                if len(queries) > 64:
+                    self._reply(400, {"error": "too many queries (max 64)"})
+                    return
                 qlist = [str(q).strip() for q in queries]
                 if not all(qlist):
                     self._reply(400, {"error": "empty query in queries[]"})

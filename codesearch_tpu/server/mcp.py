@@ -257,16 +257,23 @@ class CodesearchService:
         tool calls, and the stdio loop groups consecutive ones so the
         whole group costs one device round trip. Per-call semantics are
         identical to semantic_search (same cache, same ranking)."""
-        out: list[dict | None] = [None] * len(args_list)
+        out: list[dict | BaseException | None] = [None] * len(args_list)
         live = []
         for i, args in enumerate(args_list):
-            query = str(args.get("query", "")).strip()
-            if not query:
-                out[i] = {"error": "empty query"}
+            # per-item isolation: a malformed sibling (bad limit type, args
+            # not a dict) must not fail the rest of the group — single-call
+            # semantics give each request its own error frame
+            try:
+                query = str(args.get("query", "")).strip()
+                if not query:
+                    out[i] = {"error": "empty query"}
+                    continue
+                limit = int(args.get("limit") or 10)
+                compact = args.get("compact", True)
+                filter_path = args.get("filter_path")
+            except Exception as e:  # caller maps to a protocol error frame
+                out[i] = e
                 continue
-            limit = int(args.get("limit") or 10)
-            compact = args.get("compact", True)
-            filter_path = args.get("filter_path")
             key = (
                 query, limit, bool(compact), filter_path,
                 self.stores.store.mutation_count,
@@ -429,12 +436,17 @@ def serve_stdio(service: CodesearchService, stdin=None, stdout=None) -> int:
     return 0
 
 
+# sentinel object for blank input lines — an in-band string would collide
+# with a valid JSON string frame of the same content
+_BLANK = object()
+
+
 def _parse_frame(line: str):
-    """line → (req dict) | None (blank/unparseable — error frame emitted
-    by the caller for the latter)."""
+    """line → req dict | _BLANK (empty line) | None (unparseable — error
+    frame emitted by the caller)."""
     line = line.strip()
     if not line:
-        return "blank"
+        return _BLANK
     try:
         return json.loads(line)
     except json.JSONDecodeError:
@@ -458,7 +470,7 @@ def _process_frames(service: CodesearchService, lines: list[str], stdout) -> boo
     i = 0
     while i < len(reqs):
         req = reqs[i]
-        if req == "blank":
+        if req is _BLANK:
             i += 1
             continue
         if req is None:
@@ -492,6 +504,16 @@ def _process_frames(service: CodesearchService, lines: list[str], stdout) -> boo
                     i = j
                     continue
                 for g, payload in zip(group, payloads):
+                    if isinstance(payload, BaseException):
+                        # per-item failure (malformed arguments): the same
+                        # -32603 frame the single-call path would produce
+                        _write_frame(
+                            {"jsonrpc": "2.0", "id": g.get("id"),
+                             "error": {"code": -32603,
+                                       "message": str(payload)}},
+                            stdout,
+                        )
+                        continue
                     _write_frame(
                         {"jsonrpc": "2.0", "id": g.get("id"), "result": {
                             "content": [{"type": "text",

@@ -26,13 +26,7 @@ from ..search.analysis import (
 
 
 def _fused_kind(service) -> str | None:
-    backend = service.backend
-    hb = getattr(backend, "model", None)
-    if hb is not None and hasattr(hb, "table"):
-        return "hash"
-    if hasattr(backend, "featurize_queries"):
-        return "bert"
-    return None
+    return service.fused_kind()
 
 
 def device_candidates(stores, service, query: str, kind: str | None, fetch: int):
@@ -132,7 +126,10 @@ def device_candidates_many(stores, service, items):
     if bm_list:
         from ..fts.store import stack_query_args
 
-        bm_batch = stack_query_args(bm_list)
+        try:
+            bm_batch = stack_query_args(bm_list)
+        except ValueError:  # device epoch changed between preps
+            return [_single(*it) for it in items]
         if fused_kind == "hash":
             dev_out = stores.store.hybrid_search_featurized_many(
                 hb.table, ids, aux, kvmax, bm_batch

@@ -595,3 +595,110 @@ class TestMcpPipelining:
         finally:
             if lock:
                 lock.release()
+
+
+class TestReviewFixes:
+    """Round-3 review findings: per-item error isolation, wave caps,
+    batch-axis shape discipline."""
+
+    def test_pipelined_group_isolates_malformed_sibling(self, indexed):
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        try:
+            reqs = [
+                {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "parse config",
+                                          "limit": 2}}},
+                {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "walk tree",
+                                          "limit": "ten"}}},  # malformed
+                {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                 "params": {"name": "semantic_search",
+                            "arguments": {"query": "binary files",
+                                          "limit": 2}}},
+            ]
+            out = _rpc(svc, reqs)
+            assert [o["id"] for o in out] == [1, 2, 3]
+            assert "result" in out[0] and "result" in out[2]
+            assert out[1].get("error", {}).get("code") == -32603
+        finally:
+            if lock:
+                lock.release()
+
+    def test_string_json_frames_get_responses(self, indexed):
+        """A bare JSON string frame is not silently swallowed (the old
+        blank-line sentinel was the in-band string \"blank\")."""
+        root, db = indexed
+        svc, lock = _mk_service(root, db)
+        try:
+            stdin = io.StringIO('"blank"\n{"jsonrpc":"2.0","id":7,"method":"ping"}\n')
+            stdout = io.StringIO()
+            serve_stdio(svc, stdin=stdin, stdout=stdout)
+            frames = [json.loads(x) for x in stdout.getvalue().splitlines()]
+            # the string frame produced SOME response frame (an error) and
+            # the following ping still succeeded
+            assert any(f.get("id") == 7 and "result" in f for f in frames)
+            assert any("error" in f for f in frames)
+        finally:
+            if lock:
+                lock.release()
+
+    def test_http_queries_cap(self, indexed):
+        from codesearch_tpu.server.http import make_server
+
+        root, db = indexed
+        httpd, state = make_server(root, host="127.0.0.1", port=0,
+                                   initial_index=False)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"queries": ["q"] * 65,
+                                 "mode": "hybrid"}).encode(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("should have failed")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            if state.manager:
+                state.manager.stop()
+
+    def test_stack_query_args_pads_batch_axis_and_checks_epoch(self, indexed):
+        import numpy as np
+
+        from codesearch_tpu.fts.store import stack_query_args
+
+        root, db = indexed
+        meta = read_metadata(db)
+        service = EmbeddingService(meta["model"])
+        stores, lock = SharedStores.new_or_readonly(db, service.dims)
+        try:
+            stores.fts.device_min_docs = 1
+            a1 = stores.fts.device_query_args("parse config", None, 10)
+            a2 = stores.fts.device_query_args("search index", None, 10)
+            assert a1 is not None and a2 is not None
+            dev, cs, cl, kid = (stack_query_args([a1, a2])[i]
+                                for i in (0, 1, 2, 4))
+            # batch axis padded to the pow2 bucket with masked rows
+            assert cs.shape[0] == 4
+            assert (cl[2:] == 0).all() and (kid[2:] == -1).all()
+            # wave sizes 3 and 4 land in the SAME bucket (one executable)
+            a3 = stores.fts.device_query_args("content hash", None, 10)
+            assert stack_query_args([a1, a2, a3])[1].shape[0] == 4
+            # a device-epoch mismatch is rejected, not silently mis-indexed
+            fake_dev = ((np.zeros(1),) + a2[0][1:],) + a2[1:]
+            import pytest as _pytest
+            with _pytest.raises(ValueError):
+                stack_query_args([a1, fake_dev])
+        finally:
+            if lock:
+                lock.release()
