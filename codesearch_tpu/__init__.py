@@ -30,16 +30,38 @@ def _configure_jax() -> None:
         import jax
 
         if not jax.config.jax_compilation_cache_dir:
+            # scope the cache per host CPU fingerprint: serialized
+            # executables embed XLA:CPU AOT results compiled for the
+            # writing host's CPU features — reloading them on a different
+            # machine warns and can SIGILL
+            import hashlib as _hashlib
+            import platform as _platform
+
+            host_key = _platform.machine() or "any"
+            try:
+                with open("/proc/cpuinfo") as _f:
+                    flags = next(
+                        (ln for ln in _f if ln.startswith(("flags", "Features"))),
+                        "",
+                    )
+                if flags:
+                    host_key += "-" + _hashlib.sha256(
+                        flags.encode()
+                    ).hexdigest()[:8]
+            except OSError:
+                pass
             jax.config.update(
                 "jax_compilation_cache_dir",
-                _os.path.expanduser("~/.codesearch/jax_cache"),
+                _os.path.expanduser(f"~/.codesearch/jax_cache/{host_key}"),
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-            # XLA-internal AOT caches spam machine-feature mismatch errors
-            # on reload (observed with the CPU backend); the JAX-level
-            # executable cache is the one that matters
-            jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+        # XLA-internal AOT caches spam machine-feature mismatch errors on
+        # reload and can SIGILL when the cache was written on a host with
+        # different CPU features; the JAX-level executable cache is the one
+        # that matters. Applied even when the environment pre-set a cache
+        # dir (some rigs pre-import jax with their own).
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # jax misconfiguration must never break the CLI
         pass
 
