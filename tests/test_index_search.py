@@ -727,3 +727,61 @@ class TestEmptyVectorStoreHybrid:
         finally:
             monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
             mesh_mod.reset_corpus_mesh()
+
+
+class TestSearchManyEpochChange:
+    def test_device_resync_between_preps_falls_back(self, tmp_path, monkeypatch):
+        """If a writer re-syncs the resident FTS postings between two
+        queries' preps, the stacked batch would index the wrong layout —
+        search_many must detect the epoch change and fall back to
+        per-query dispatch with correct results."""
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file."""\n'
+            "    return path\n\n"
+            "def render_widget(canvas):\n"
+            '    """Draw the widget."""\n'
+            "    canvas.blit()\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            s = SearchSession(stats.db_path, readonly=True)
+            s.fts.device_min_docs = 1
+            orig = s.fts.device_query_args
+            calls = {"n": 0}
+
+            def flaky(query, kind, limit):
+                out = orig(query, kind, limit)
+                calls["n"] += 1
+                if calls["n"] == 1 and out is not None:
+                    # simulate a writer re-sync: a NEW postings buffer
+                    import jax.numpy as jnp
+
+                    dev = out[0]
+                    out = ((jnp.array(dev[0]),) + tuple(dev[1:]),) + out[1:]
+                return out
+
+            s.fts.device_query_args = flaky
+            batched = s.search_many(
+                ["parse configuration file", "draw the widget"],
+                SearchOptions(limit=3),
+            )
+            s.fts.device_query_args = orig
+            s2 = SearchSession(stats.db_path, readonly=True)
+            s2.fts.device_min_docs = 1
+            for b, q in zip(batched, ["parse configuration file",
+                                      "draw the widget"]):
+                want = s2.search(q, SearchOptions(limit=3))
+                assert [(h.chunk_id, round(h.score, 6)) for h in b.hits] == \
+                       [(h.chunk_id, round(h.score, 6)) for h in want.hits], q
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
