@@ -702,3 +702,80 @@ class TestReviewFixes:
         finally:
             if lock:
                 lock.release()
+
+
+class TestServingUnderChurn:
+    """Serving correctness while the index is being rewritten underneath:
+    concurrent hybrid HTTP requests (riding the dynamic batcher) race a
+    writer that keeps re-indexing changing files. No request may error;
+    after the churn settles, results reflect the final corpus."""
+
+    def test_concurrent_hybrid_during_reindex(self, tmp_repo):
+        from codesearch_tpu.server.http import make_server
+
+        stats = index(tmp_repo, IndexOptions(quiet=True))
+        httpd, state = make_server(tmp_repo, host="127.0.0.1", port=0,
+                                   initial_index=False)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        errors: list = []
+        stop = threading.Event()
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=60).read())
+
+        def reader(i):
+            qs = ["parse the configuration", "search index class",
+                  "content hash function"]
+            try:
+                while not stop.is_set():
+                    out = post({"query": qs[i % 3], "limit": 3,
+                                "mode": "hybrid"})
+                    assert "results" in out
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        def writer():
+            try:
+                for gen in range(4):
+                    (tmp_repo / "src" / "gen.py").write_text(
+                        f"def generated_fn_{gen}(x):\n"
+                        f'    """Generated helper generation {gen}."""\n'
+                        f"    return x + {gen}\n"
+                    )
+                    if state.manager is not None:
+                        state.manager.perform_incremental_refresh()
+                    time.sleep(0.05)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        readers = [threading.Thread(target=reader, args=(i,)) for i in range(3)]
+        for t in readers:
+            t.start()
+        wt = threading.Thread(target=writer)
+        wt.start()
+        wt.join(timeout=120)
+        stop.set()
+        for t in readers:
+            t.join(timeout=60)
+        try:
+            assert not errors, errors
+            # final state is consistent: the last generation is searchable
+            out = post({"query": "generated helper generation", "limit": 5,
+                        "mode": "hybrid"})
+            paths = [r["path"] for r in out["results"]]
+            assert any("gen.py" in p for p in paths), paths
+            snippets = [r["snippet"] for r in out["results"]
+                        if "gen.py" in r["path"]]
+            assert any("generation 3" in sn for sn in snippets), snippets
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            if state.manager:
+                state.manager.stop()
