@@ -785,3 +785,65 @@ class TestSearchManyEpochChange:
         finally:
             monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
             mesh_mod.reset_corpus_mesh()
+
+
+class TestSearchManyInt8:
+    """Batched serving over an int8-quantized device corpus must equal
+    per-query search on one device AND on the 8-device mesh (covers the
+    *_many_int8 kernels end to end)."""
+
+    def _build(self, tmp_path):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file into key/value pairs."""\n'
+            "    return dict(l.split('=') for l in open(path))\n\n"
+            "def render_widget(canvas):\n"
+            '    """Draw the widget to the canvas."""\n'
+            "    canvas.blit()\n\n"
+            "def flush_buffer(buf):\n"
+            '    """Write pending bytes out."""\n'
+            "    buf.sync()\n"
+        )
+        return index(root, IndexOptions(quiet=True, int8=True))
+
+    def _assert_equiv(self, db_path):
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        queries = ["parse configuration file", "draw the widget",
+                   "flush_buffer pending bytes"]
+        s1 = SearchSession(db_path, readonly=True)
+        s1.fts.device_min_docs = 1
+        assert s1.store.int8
+        batched = s1.search_many(queries, SearchOptions(limit=5))
+        s2 = SearchSession(db_path, readonly=True)
+        s2.fts.device_min_docs = 1
+        for b, q in zip(batched, queries):
+            want = s2.search(q, SearchOptions(limit=5))
+            assert [(h.chunk_id, round(h.score, 5)) for h in b.hits] == \
+                   [(h.chunk_id, round(h.score, 5)) for h in want.hits], q
+
+    def test_single_device(self, tmp_path, monkeypatch):
+        from codesearch_tpu.parallel import mesh as mesh_mod
+
+        stats = self._build(tmp_path)
+        monkeypatch.setenv("CODESEARCH_SINGLE_DEVICE", "1")
+        mesh_mod.reset_corpus_mesh()
+        try:
+            self._assert_equiv(stats.db_path)
+        finally:
+            monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
+            mesh_mod.reset_corpus_mesh()
+
+    def test_mesh(self, tmp_path):
+        from codesearch_tpu.parallel import mesh as mesh_mod
+
+        stats = self._build(tmp_path)
+        mesh_mod.reset_corpus_mesh()
+        try:
+            self._assert_equiv(stats.db_path)
+        finally:
+            mesh_mod.reset_corpus_mesh()
