@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("path", nargs="?", default=".")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=7878)
+    srv.add_argument("--no-create-index", action="store_true",
+                     help="fail if no index exists instead of building one")
 
     t = sub.add_parser("train", help="fine-tune the embedding model on this repo")
     t.add_argument("path", nargs="?", default=".")
@@ -210,7 +212,8 @@ def _dispatch(args) -> int:
     if cmd == "serve":
         from ..server.http import serve
 
-        return serve(Path(args.path), host=args.host, port=args.port)
+        return serve(Path(args.path), host=args.host, port=args.port,
+                     initial_index=not args.no_create_index)
     build_parser().print_help(sys.stderr)
     return 2
 
@@ -396,6 +399,8 @@ def _cmd_stats(args) -> int:
             f"model: {s['model']} ({s['vector'].get('dims', '?')}d)\n"
             f"files: {s['files']}  chunks: {s['vector'].get('chunks', '?')}\n"
             f"fts terms: {s['fts']['docs']} docs / {s['fts']['terms']} terms\n"
+            f"bloat ratio: {s['vector'].get('bloat_ratio', 1.0)}"
+            "  (allocated/live rows; >2.0: rebuild reclaims HBM)\n"
             f"indexed_at: {s['indexed_at']}\n"
             f"primary_language: {s['primary_language']}"
         )

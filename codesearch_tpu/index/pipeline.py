@@ -446,6 +446,12 @@ def db_stats(db_path: Path) -> dict:
             "tombstones": s.tombstones,
             "device_bytes": s.device_bytes,
             "disk_bytes": s.disk_bytes,
+            # health analog of the reference's LMDB bloat ratio
+            # (README.md:329-347): allocated rows / live rows; >2.0 means
+            # half the matrix is tombstones and a rebuild would halve HBM
+            "bloat_ratio": round(
+                (s.chunk_count + s.tombstones) / s.chunk_count, 2
+            ) if s.chunk_count else 1.0,
         }
     except Exception as e:
         vec = {"error": str(e)}

@@ -271,9 +271,11 @@ def _start_http_warmup(state: ServerState) -> None:
     start_search_warmup(ready, fire)
 
 
-def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878) -> int:
+def serve(project_path: Path, host: str = "127.0.0.1", port: int = 7878,
+          initial_index: bool = True) -> int:
     init_logger(quiet=False)
-    httpd, state = make_server(project_path, host, port)
+    httpd, state = make_server(project_path, host, port,
+                               initial_index=initial_index)
     info_print(f"codesearch http server on http://{host}:{port} (db: {state.db})")
     try:
         httpd.serve_forever()
