@@ -38,21 +38,36 @@ def _configure_jax() -> None:
             import platform as _platform
 
             host_key = _platform.machine() or "any"
+            fingerprint = ""
             try:
                 with open("/proc/cpuinfo") as _f:
-                    flags = next(
+                    fingerprint = next(
                         (ln for ln in _f if ln.startswith(("flags", "Features"))),
                         "",
                     )
-                if flags:
-                    host_key += "-" + _hashlib.sha256(
-                        flags.encode()
-                    ).hexdigest()[:8]
+            except OSError:
+                pass
+            if not fingerprint:
+                # non-Linux fallback: uname (incl. hostname) — two machines
+                # sharing a synced home must not share AOT entries
+                fingerprint = "|".join(_platform.uname())
+            host_key += "-" + _hashlib.sha256(
+                fingerprint.encode()
+            ).hexdigest()[:8]
+            cache_root = _os.path.expanduser("~/.codesearch/jax_cache")
+            # one-time cleanup: entries written by older builds sit flat in
+            # cache_root (never read again after per-host scoping) — delete
+            # regular files there so they don't pin disk forever
+            try:
+                for name in _os.listdir(cache_root):
+                    p = _os.path.join(cache_root, name)
+                    if _os.path.isfile(p):
+                        _os.unlink(p)
             except OSError:
                 pass
             jax.config.update(
                 "jax_compilation_cache_dir",
-                _os.path.expanduser(f"~/.codesearch/jax_cache/{host_key}"),
+                _os.path.join(cache_root, host_key),
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

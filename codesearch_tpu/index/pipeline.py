@@ -448,10 +448,12 @@ def db_stats(db_path: Path) -> dict:
             "disk_bytes": s.disk_bytes,
             # health analog of the reference's LMDB bloat ratio
             # (README.md:329-347): allocated rows / live rows; >2.0 means
-            # half the matrix is tombstones and a rebuild would halve HBM
+            # half the matrix is tombstones and a rebuild would halve HBM.
+            # With zero live rows the ratio is the whole allocation (the
+            # all-tombstones case is the one that matters most).
             "bloat_ratio": round(
-                (s.chunk_count + s.tombstones) / s.chunk_count, 2
-            ) if s.chunk_count else 1.0,
+                (s.chunk_count + s.tombstones) / max(s.chunk_count, 1), 2
+            ),
         }
     except Exception as e:
         vec = {"error": str(e)}

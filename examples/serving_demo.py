@@ -21,13 +21,24 @@ from pathlib import Path
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--platform" in sys.argv:
-        import jax
+    import os
 
-        jax.config.update(
-            "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
-        )
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # mute XLA E-spam
+    argv = sys.argv[1:]
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--platform":
+            if i + 1 >= len(argv):
+                print("--platform requires a value (cpu|tpu)", file=sys.stderr)
+                return 2
+            import jax
+
+            jax.config.update("jax_platforms", argv[i + 1])
+            i += 2
+            continue
+        args.append(argv[i])
+        i += 1
     corpus = Path(args[0] if args else "codesearch_tpu").resolve()
 
     from codesearch_tpu.index.pipeline import IndexOptions, index
@@ -45,7 +56,11 @@ def main() -> int:
 
     # ---- 1. library batched serving ------------------------------------
     session = SearchSession(stats.db_path, readonly=True)
-    session.search("warmup query", SearchOptions(limit=5))  # compile
+    # warm BOTH executables (single-query AND batched wave shapes — a
+    # first-use compile inside the timed region would invert the numbers);
+    # warm with the same query mix so the wave shapes match exactly
+    session.search("warmup query", SearchOptions(limit=5))
+    session.search_many([q + " warm" for q in queries], SearchOptions(limit=5))
     t0 = time.time()
     wave = session.search_many(queries, SearchOptions(limit=5))
     wave_ms = (time.time() - t0) * 1000

@@ -163,8 +163,9 @@ class TestVectorStoreModel:
 class TestChunkerFuzz:
     """Crash-freedom + span sanity over adversarial inputs for every
     supported language: whatever bytes arrive, chunking must not raise,
-    spans must lie inside the source, and chunk content must be a
-    substring of the source."""
+    spans must be ordered and lie inside the source's line range, and
+    chunks must be non-empty. (Content is NOT asserted to be a verbatim
+    substring: split parts legitimately carry a "[Part i/N]" header.)"""
 
     def test_random_inputs_never_crash(self):
         from codesearch_tpu.chunker import SemanticChunker
@@ -186,6 +187,9 @@ class TestChunkerFuzz:
                 rng.shuffle(parts)
                 src = "".join(parts)
                 chunks = chunker.chunk_semantic(lang, Path("fuzz.x"), src)
+                n_lines = src.count("\n") + 1
                 for c in chunks:
-                    assert 0 <= c.start_line <= c.end_line
+                    assert 0 <= c.start_line <= c.end_line <= n_lines, (
+                        lang, c.start_line, c.end_line, n_lines
+                    )
                     assert c.content  # non-empty
