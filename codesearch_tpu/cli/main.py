@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True, help="build the index first if none exists (default)")
     s.add_argument("--no-create-index", dest="create_index", action="store_false",
                    help="fail instead of auto-indexing when no index exists")
+    s.add_argument("--all-repos", action="store_true",
+                   help="federated: run the query against every discoverable "
+                        "index (cwd/parents + global registry), grouped per repo")
 
     i = sub.add_parser("index", help="build or refresh the index")
     i.add_argument("args", nargs="*", default=[],
@@ -246,6 +249,8 @@ def _cmd_search(args) -> int:
     if args.files_only and (args.json_out or args.compact):
         error_print("--files-only cannot combine with --json/--compact")
         return 1
+    if args.all_repos:
+        return _search_all_repos(args, options)
     resp = search(args.query, args.path, options)
     if args.files_only:
         seen = set()
@@ -262,6 +267,49 @@ def _cmd_search(args) -> int:
     else:
         _pretty_print(resp, args.scores)
     return 0
+
+
+def _search_all_repos(args, options) -> int:
+    """Federated output: one section per database, results grouped (RRF
+    scores are only comparable within a corpus). Unopenable databases are
+    reported and skipped."""
+    from ..search import search_all
+
+    grouped = search_all(args.query, args.path, options)
+    if not grouped:
+        error_print("no indexes found (cwd/parents or global registry)")
+        return 1
+    if args.json_out:
+        payload = []
+        for db, resp in grouped:
+            if isinstance(resp, Exception):
+                payload.append({"db_path": db, "error": str(resp)})
+            else:
+                payload.append({"db_path": db,
+                                **_response_json(resp, args.scores)})
+        result_print(json.dumps(payload, indent=2))
+        return 0
+    any_hits = False
+    for db, resp in grouped:
+        if isinstance(resp, Exception):
+            error_print(f"[{db}] skipped: {resp}")
+            continue
+        result_print(f"=== {db} ({resp.total_chunks} chunks)")
+        if args.files_only:
+            seen = set()
+            for h in resp.hits:
+                if h.path not in seen:
+                    result_print(h.path)
+                    seen.add(h.path)
+        elif args.compact:
+            for h in resp.hits:
+                result_print(
+                    f"{h.path}:{h.start_line + 1}-{h.end_line} {h.score:.3f} "
+                    f"{h.kind} {h.signature or ''}".rstrip())
+        else:
+            _pretty_print(resp, args.scores)
+        any_hits = any_hits or bool(resp.hits)
+    return 0 if any_hits else 1
 
 
 def _response_json(resp, scores: bool) -> dict:

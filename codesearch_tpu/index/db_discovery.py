@@ -80,8 +80,14 @@ def find_databases(start: Path | None = None) -> list[Path]:
             break
         consider(parent / DB_DIR_NAME)
         cur = parent
-    for repo in registered_repos():
+    reg = _read_registry()
+    for repo in reg.get("repos", []):
         consider(Path(repo) / DB_DIR_NAME)
+    # globally-tracked databases (--global): the db lives under the config
+    # dir, not the project tree (reference README: find_databases covers
+    # "globally tracked repositories")
+    for db in reg.get("global_dbs", {}).values():
+        consider(Path(db))
     return found
 
 

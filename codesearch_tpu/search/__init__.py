@@ -12,4 +12,5 @@ from .pipeline import (  # noqa: F401
     SearchResponse,
     SearchSession,
     search,
+    search_all,
 )

@@ -820,3 +820,28 @@ def search(
         index_quiet(path)
     session = SearchSession(db, model=options.model, readonly=True)
     return session.search(query, options)
+
+
+def search_all(
+    query: str,
+    path: str | Path = ".",
+    options: SearchOptions | None = None,
+) -> list[tuple[str, "SearchResponse | Exception"]]:
+    """Federated search: the same query against EVERY index discoverable
+    from ``path`` (cwd/children/parents + the global registry — the same
+    set `codesearch list` and the MCP find_databases tool report). Results
+    stay grouped per database: RRF scores are query-relative and
+    comparable within one corpus, so interleaving repos by score would be
+    meaningless. A database that fails to open (stale embedder version,
+    corruption) contributes its exception instead of aborting the rest."""
+    from ..index.db_discovery import find_databases
+
+    options = options or SearchOptions()
+    out: list[tuple[str, SearchResponse | Exception]] = []
+    for db in find_databases(Path(path)):
+        try:
+            session = SearchSession(db, readonly=True)
+            out.append((str(db), session.search(query, options)))
+        except Exception as e:  # per-db isolation
+            out.append((str(db), e))
+    return out

@@ -847,3 +847,60 @@ class TestSearchManyInt8:
             self._assert_equiv(stats.db_path)
         finally:
             mesh_mod.reset_corpus_mesh()
+
+
+class TestFederatedSearch:
+    def test_search_all_repos(self, tmp_path, monkeypatch):
+        """One query against every discoverable index (global registry),
+        grouped per database; a broken db is reported, not fatal."""
+        monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path / "home"))
+        repo_a = tmp_path / "alpha"
+        repo_a.mkdir()
+        (repo_a / "auth.py").write_text(
+            "def authenticate_user(token):\n"
+            '    """Validate a login token."""\n'
+            "    return token == 'ok'\n"
+        )
+        repo_b = tmp_path / "beta"
+        repo_b.mkdir()
+        (repo_b / "render.py").write_text(
+            "def render_widget(canvas):\n"
+            '    """Draw the widget."""\n'
+            "    canvas.blit()\n"
+        )
+        index(repo_a, IndexOptions(quiet=True, global_db=True))
+        index(repo_b, IndexOptions(quiet=True, global_db=True))
+        from codesearch_tpu.search import search_all
+
+        grouped = search_all("authenticate user login", tmp_path,
+                             SearchOptions(limit=3))
+        assert len(grouped) == 2
+        by_db = {db: resp for db, resp in grouped}
+        hits = {db: [h.path for h in resp.hits]
+                for db, resp in by_db.items()
+                if not isinstance(resp, Exception)}
+        assert len(hits) == 2
+        # the repo that contains the answer surfaces it; grouping is per-db
+        all_paths = [p for ps in hits.values() for p in ps]
+        assert any("auth.py" in p for p in all_paths)
+
+    def test_search_all_isolates_broken_db(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path / "home"))
+        repo = tmp_path / "ok"
+        repo.mkdir()
+        (repo / "a.py").write_text("def parse_config(p):\n    return p\n")
+        stats = index(repo, IndexOptions(quiet=True, global_db=True))
+        # a second registered db that is corrupt
+        from codesearch_tpu.index.db_discovery import register_global_db
+
+        bad_root = tmp_path / "bad"
+        bad_db = tmp_path / "home" / "dbs" / "bad.codesearch.db"
+        bad_db.mkdir(parents=True)
+        (bad_db / "metadata.json").write_text("{not json")
+        register_global_db(bad_root, bad_db)
+        from codesearch_tpu.search import search_all
+
+        grouped = search_all("parse config", tmp_path, SearchOptions(limit=3))
+        good = [r for _db, r in grouped if not isinstance(r, Exception)]
+        assert good and good[0].hits
+        assert stats.db_path  # good db resolved
