@@ -403,7 +403,7 @@ class TestDynamicBatching:
         root, db = indexed
         stores, service, lock = self._stores(root, db)
         try:
-            batcher = DynamicBatcher(stores, service, window_s=0.2)
+            batcher = DynamicBatcher(stores, service, window_s=0.5)
             # simulate an active traffic stream so the first leader waits
             # the collection window (a lone request after idle skips it)
             batcher._last_arrival = time.monotonic()
@@ -779,3 +779,52 @@ class TestServingUnderChurn:
             httpd.server_close()
             if state.manager:
                 state.manager.stop()
+
+
+class TestBatcherOverflowPromotion:
+    def test_followers_self_promote_past_max_wave(self, indexed):
+        """More concurrent requests than max_wave: the leader serves only
+        its wave; stranded followers must self-promote (poll the queue
+        head) and serve the remainder — nobody hangs."""
+        from codesearch_tpu.server.readplane import (
+            DynamicBatcher,
+            device_candidates,
+        )
+
+        root, db = indexed
+        meta = read_metadata(db)
+        service = EmbeddingService(meta["model"])
+        stores, lock = SharedStores.new_or_readonly(db, service.dims)
+        try:
+            batcher = DynamicBatcher(stores, service, window_s=0.3,
+                                     max_wave=2)
+            batcher._last_arrival = time.monotonic()
+            queries = [f"parse the configuration {i}" for i in range(5)]
+            results = [None] * 5
+            errors = []
+            barrier = threading.Barrier(5)
+
+            def worker(i):
+                try:
+                    barrier.wait(timeout=10)
+                    results[i] = batcher.get(queries[i], None, 15)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+
+            ts = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=120)
+            assert not errors, errors
+            assert all(r is not None for r in results)
+            assert batcher.batched_queries == 5
+            assert batcher.waves >= 3   # ceil(5 / max_wave=2)
+            for i, q in enumerate(queries):
+                with stores.lock:
+                    vres, fres = device_candidates(stores, service, q, None, 15)
+                assert [(c, round(s, 4)) for c, s in results[i][0]] == \
+                       [(r.chunk_id, round(r.score, 4)) for r in vres]
+        finally:
+            if lock:
+                lock.release()
