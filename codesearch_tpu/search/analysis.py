@@ -75,6 +75,21 @@ _ABBREVIATIONS = [
 MAX_TOTAL_VARIANTS = 9
 
 
+import re as _re
+
+_PHRASE_RE = _re.compile(r'"([^"]+)"')
+
+
+def detect_phrases(query: str) -> list[str]:
+    """Quoted spans are exact-phrase requirements (parity with tantivy's
+    QueryParser phrase queries, fts/tantivy_store.rs:403-429). The index
+    is position-free, so the constraint applies as a verbatim
+    (case-insensitive) content filter at hit materialization: candidates
+    retrieve by the phrase's terms as usual, results must contain each
+    phrase."""
+    return [m.strip() for m in _PHRASE_RE.findall(query) if m.strip()]
+
+
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}
 _QUESTION_FILLER = {
     "do", "does", "did", "we", "i", "you", "is", "are", "was", "were",

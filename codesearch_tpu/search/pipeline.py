@@ -31,6 +31,7 @@ from ..vectordb import VectorStore
 from .analysis import (
     adapt_rrf_k,
     detect_identifiers,
+    detect_phrases,
     detect_structural_intent,
     expand_query,
 )
@@ -370,9 +371,13 @@ class SearchSession:
 
         primary = self.metadata.get("primary_language")
         boost_cap = LANGUAGE_BOOST * KIND_BOOST
+        # quoted spans are hard phrase constraints (tantivy QueryParser
+        # parity): verbatim case-insensitive containment, checked at
+        # materialization since the index is position-free
+        phrases = [p.casefold() for p in detect_phrases(query)]
         unbounded = bool(
             options.path_filter or options.min_score is not None
-            or (options.per_file or 0) > 0
+            or (options.per_file or 0) > 0 or phrases
         )
         if options.rerank:
             need = max(options.rerank_top if options.rerank_top is not None
@@ -391,6 +396,10 @@ class SearchSession:
             meta = meta_of.get(f.chunk_id) or self.store.get_chunk(f.chunk_id)
             if meta is None:
                 continue
+            if phrases:
+                body = meta.content.casefold()
+                if not all(p in body for p in phrases):
+                    continue
             score = f.rrf_score
             if primary and meta.language == primary:
                 score *= LANGUAGE_BOOST

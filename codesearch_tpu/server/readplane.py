@@ -21,6 +21,7 @@ from ..rerank import rrf_fusion_with_exact
 from ..search.analysis import (
     adapt_rrf_k,
     detect_identifiers,
+    detect_phrases,
     detect_structural_intent,
 )
 
@@ -276,12 +277,16 @@ def rank_candidates(
         vector_k=vector_k, fts_k=fts_k,
     )
     primary = metadata.get("primary_language")
+    # quoted spans are hard phrase constraints (tantivy QueryParser parity)
+    phrases = [p.casefold() for p in detect_phrases(query)]
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
         if meta is None:
             continue
         if filter_path and filter_path not in meta.path:
+            continue
+        if phrases and not all(p in meta.content.casefold() for p in phrases):
             continue
         score = f.rrf_score
         if primary and meta.language == primary:

@@ -904,3 +904,70 @@ class TestFederatedSearch:
         good = [r for _db, r in grouped if not isinstance(r, Exception)]
         assert good and good[0].hits
         assert stats.db_path  # good db resolved
+
+
+class TestPhraseQueries:
+    """Quoted spans are exact-phrase constraints (tantivy QueryParser
+    parity): results must contain each phrase verbatim, case-insensitive."""
+
+    def test_detect_phrases(self):
+        from codesearch_tpu.search.analysis import detect_phrases
+
+        assert detect_phrases('find "error handling" code') == ["error handling"]
+        assert detect_phrases('"a b" and "c d"') == ["a b", "c d"]
+        assert detect_phrases("no quotes here") == []
+        assert detect_phrases('dangling " quote') == []
+
+    def test_phrase_filters_results(self, tmp_path):
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def handle_errors(e):\n"
+            '    """Central error handling for the pipeline."""\n'
+            "    raise e\n\n"
+            "def handle_events(e):\n"
+            '    """Event handling for errors in the UI loop."""\n'
+            "    return e\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        # both chunks mention errors+handling; only one contains the phrase
+        loose = s.search("error handling", SearchOptions(limit=5))
+        assert len(loose.hits) == 2
+        strict = s.search('"error handling"', SearchOptions(limit=5))
+        assert len(strict.hits) == 1
+        assert "error handling" in strict.hits[0].content.casefold()
+        # a phrase present nowhere returns nothing (hard constraint)
+        none = s.search('"handling error pipeline"', SearchOptions(limit=5))
+        assert none.hits == []
+
+    def test_phrase_filters_serving_readplane(self, tmp_path):
+        from codesearch_tpu.embed import EmbeddingService
+        from codesearch_tpu.index.manager import SharedStores
+        from codesearch_tpu.index.pipeline import read_metadata
+        from codesearch_tpu.server.readplane import ranked_chunks
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def handle_errors(e):\n"
+            '    """Central error handling for the pipeline."""\n'
+            "    raise e\n\n"
+            "def handle_events(e):\n"
+            '    """Event handling for errors in the UI loop."""\n'
+            "    return e\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        meta = read_metadata(stats.db_path)
+        service = EmbeddingService(meta["model"])
+        stores, lock = SharedStores.new_or_readonly(stats.db_path, service.dims)
+        try:
+            with stores.lock:
+                scored = ranked_chunks(
+                    stores, service, meta, '"error handling"', 5
+                )
+            assert len(scored) == 1
+            assert "error handling" in scored[0][2].content.casefold()
+        finally:
+            if lock:
+                lock.release()
