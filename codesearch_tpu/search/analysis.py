@@ -80,14 +80,48 @@ import re as _re
 _PHRASE_RE = _re.compile(r'"([^"]+)"')
 
 
+_EXCLUDE_RE = _re.compile(r'(?:^|\s)-(?:"([^"]+)"|([^\s"][^\s]*))')
+
+
 def detect_phrases(query: str) -> list[str]:
     """Quoted spans are exact-phrase requirements (parity with tantivy's
     QueryParser phrase queries, fts/tantivy_store.rs:403-429). The index
     is position-free, so the constraint applies as a verbatim
     (case-insensitive) content filter at hit materialization: candidates
     retrieve by the phrase's terms as usual, results must contain each
-    phrase."""
-    return [m.strip() for m in _PHRASE_RE.findall(query) if m.strip()]
+    phrase. Excluded spans (-"...") are not requirements."""
+    excluded = {m[0] for m in _EXCLUDE_RE.findall(query) if m[0]}
+    return [m.strip() for m in _PHRASE_RE.findall(query)
+            if m.strip() and m not in excluded]
+
+
+def detect_exclusions(query: str) -> list[tuple[str, bool]]:
+    """Leading-minus tokens are MustNot constraints (tantivy QueryParser
+    parity): ``-word`` excludes results whose content contains the word
+    as a token, ``-"a phrase"`` excludes verbatim phrase containment.
+    Returns [(text, is_phrase)]. Filter-only approximation: the excluded
+    term may still attract candidates during retrieval (the featurizers
+    ignore operators), but no excluded result can surface."""
+    out = []
+    for phrase, word in _EXCLUDE_RE.findall(query):
+        if phrase.strip():
+            out.append((phrase.strip(), True))
+        elif word:
+            out.append((word, False))
+    return out
+
+
+def _excluded(content_folded: str, exclusions) -> bool:
+    for text, is_phrase in exclusions:
+        t = text.casefold()
+        if is_phrase:
+            if t in content_folded:
+                return True
+        elif _re.search(
+            rf"(?<![a-z0-9_]){_re.escape(t)}(?![a-z0-9_])", content_folded
+        ):
+            return True
+    return False
 
 
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}

@@ -371,13 +371,16 @@ class SearchSession:
 
         primary = self.metadata.get("primary_language")
         boost_cap = LANGUAGE_BOOST * KIND_BOOST
-        # quoted spans are hard phrase constraints (tantivy QueryParser
-        # parity): verbatim case-insensitive containment, checked at
+        # quoted spans are hard phrase constraints and -term/-"phrase" are
+        # MustNot exclusions (tantivy QueryParser parity): checked at
         # materialization since the index is position-free
+        from .analysis import _excluded, detect_exclusions
+
         phrases = [p.casefold() for p in detect_phrases(query)]
+        exclusions = detect_exclusions(query)
         unbounded = bool(
             options.path_filter or options.min_score is not None
-            or (options.per_file or 0) > 0 or phrases
+            or (options.per_file or 0) > 0 or phrases or exclusions
         )
         if options.rerank:
             need = max(options.rerank_top if options.rerank_top is not None
@@ -396,9 +399,11 @@ class SearchSession:
             meta = meta_of.get(f.chunk_id) or self.store.get_chunk(f.chunk_id)
             if meta is None:
                 continue
-            if phrases:
+            if phrases or exclusions:
                 body = meta.content.casefold()
-                if not all(p in body for p in phrases):
+                if phrases and not all(p in body for p in phrases):
+                    continue
+                if exclusions and _excluded(body, exclusions):
                     continue
             score = f.rrf_score
             if primary and meta.language == primary:

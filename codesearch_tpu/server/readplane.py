@@ -277,8 +277,12 @@ def rank_candidates(
         vector_k=vector_k, fts_k=fts_k,
     )
     primary = metadata.get("primary_language")
-    # quoted spans are hard phrase constraints (tantivy QueryParser parity)
+    # quoted spans are hard phrase constraints; -term/-"phrase" are MustNot
+    # exclusions (tantivy QueryParser parity)
+    from ..search.analysis import _excluded, detect_exclusions
+
     phrases = [p.casefold() for p in detect_phrases(query)]
+    exclusions = detect_exclusions(query)
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
@@ -286,8 +290,12 @@ def rank_candidates(
             continue
         if filter_path and filter_path not in meta.path:
             continue
-        if phrases and not all(p in meta.content.casefold() for p in phrases):
-            continue
+        if phrases or exclusions:
+            body = meta.content.casefold()
+            if phrases and not all(p in body for p in phrases):
+                continue
+            if exclusions and _excluded(body, exclusions):
+                continue
         score = f.rrf_score
         if primary and meta.language == primary:
             score *= 1.2

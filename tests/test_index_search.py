@@ -971,3 +971,50 @@ class TestPhraseQueries:
         finally:
             if lock:
                 lock.release()
+
+
+class TestExclusionQueries:
+    def test_detect_exclusions(self):
+        from codesearch_tpu.search.analysis import (
+            detect_exclusions,
+            detect_phrases,
+        )
+
+        assert detect_exclusions("parse config -test") == [("test", False)]
+        assert detect_exclusions('errors -"unit test" -mock') == \
+            [("unit test", True), ("mock", False)]
+        # mid-word hyphens are NOT exclusions
+        assert detect_exclusions("tree-sitter grammar") == []
+        # an excluded phrase is not also a required phrase
+        assert detect_phrases('errors -"unit test"') == []
+
+    def test_exclusion_filters_results(self, tmp_path):
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def handle_errors(e):\n"
+            '    """Central error handling for the pipeline."""\n'
+            "    raise e\n\n"
+            "def test_handle_errors(e):\n"
+            '    """Unit test for error handling."""\n'
+            "    assert handle_errors\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        loose = s.search("error handling", SearchOptions(limit=5))
+        assert len(loose.hits) == 2
+        strict = s.search("error handling -test", SearchOptions(limit=5))
+        assert len(strict.hits) == 1
+        assert "unit test" not in strict.hits[0].content.casefold()
+        # token-boundary: -test must not exclude "latest" (substring only)
+        (root / "b.py").write_text(
+            "def latest_errors(e):\n"
+            '    """Return the latest error handling snapshot."""\n'
+            "    return e\n"
+        )
+        stats2 = index(root, IndexOptions(quiet=True))
+        s2 = SearchSession(stats2.db_path, readonly=True)
+        got = s2.search("error handling -test", SearchOptions(limit=5))
+        paths = [h.path for h in got.hits]
+        assert any("b.py" in p for p in paths), paths
+        assert all("test_handle" not in h.content for h in got.hits)
