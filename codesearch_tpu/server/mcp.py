@@ -85,6 +85,8 @@ DO / DON'T
 
   ✓ start broad, then narrow with filter_path or more specific phrasing
   ✓ use full phrases ("parse the gitignore stack"), not fragments ("git")
+  ✓ operators: "double quotes" require the exact phrase verbatim;
+    -term or -"a phrase" exclude matches (e.g. `error handling -test`)
   ✓ trust scores: results ≥0.8 are near-certain matches; <0.3 are noise
   ✗ never grep for symbol usages — find_references is ranked and complete
   ✗ don't search subdirectories expecting separate indexes (one per repo)
