@@ -127,14 +127,17 @@ def term_keys(text: str) -> np.ndarray:
 
 
 def query_term_keys(query: str) -> np.ndarray:
-    """Unique term keys for BM25 query scoring. Interrogative queries are
-    reduced to their content core first ("how do we detect binary files" →
-    "detect binary files"): scaffolding terms select prose chunks and
-    dilute the per-doc score mass (search/analysis.strip_question)."""
-    from ..search.analysis import strip_question
+    """Unique term keys for BM25 query scoring. Operators are stripped
+    first — an excluded term must not SELECT the candidates it exists to
+    reject, and phrase quotes are transparent — then interrogative
+    queries reduce to their content core ("how do we detect binary
+    files" → "detect binary files"): scaffolding terms select prose
+    chunks and dilute the per-doc score mass (search/analysis)."""
+    from ..search.analysis import parse_operators, strip_question
 
-    core = strip_question(query)
-    return np.unique(term_keys(core if core is not None else query))
+    retrieval, _phrases, _exclusions = parse_operators(query)
+    core = strip_question(retrieval)
+    return np.unique(term_keys(core if core is not None else retrieval))
 
 
 def term_keys_batch(texts: list[str]) -> list[np.ndarray]:

@@ -77,51 +77,90 @@ MAX_TOTAL_VARIANTS = 9
 
 import re as _re
 
-_PHRASE_RE = _re.compile(r'"([^"]+)"')
+
+_TOKEN_RE = _re.compile(
+    r'(?P<neg>(?:(?<=\s)|^)-)?(?:"(?P<phrase>[^"]*)"|(?P<word>\S+))'
+)
+_IDENTIFIER_WORD_RE = _re.compile(r"[A-Za-z_]\w*$")
 
 
-_EXCLUDE_RE = _re.compile(r'(?:^|\s)-(?:"([^"]+)"|([^\s"][^\s]*))')
+def parse_operators(query: str) -> tuple[str, list[str], list]:
+    """One positional, quote-aware scan of the query's operator syntax
+    (the useful subset of tantivy's QueryParser, fts/tantivy_store.rs:
+    403-429): quoted spans are required phrases, ``-word`` / ``-"a
+    phrase"`` are MustNot exclusions. A bare-word exclusion must look
+    like an identifier — ``->`` or ``--flag`` are code, not operators,
+    and a minus INSIDE a quoted phrase is literal text. Returns
+    (retrieval_text, phrases, exclusions): retrieval_text has operators
+    stripped (exclusions removed entirely so they cannot attract the
+    very candidates they reject; phrase quotes dropped), phrases are the
+    required spans, exclusions are [(text, is_phrase)]. The index is
+    position-free, so both constraint kinds apply as content filters at
+    hit materialization (passes_operators)."""
+    phrases: list[str] = []
+    exclusions: list[tuple[str, bool]] = []
+    keep: list[str] = []
+    for m in _TOKEN_RE.finditer(query):
+        neg = bool(m.group("neg"))
+        ph = m.group("phrase")
+        w = m.group("word")
+        if ph is not None:
+            ph = ph.strip()
+            if not ph:
+                continue
+            if neg:
+                exclusions.append((ph, True))
+            else:
+                phrases.append(ph)
+                keep.append(ph)
+        elif neg and w and _IDENTIFIER_WORD_RE.match(w):
+            exclusions.append((w, False))
+        else:
+            keep.append(m.group(0))
+    return " ".join(keep), phrases, exclusions
 
 
 def detect_phrases(query: str) -> list[str]:
-    """Quoted spans are exact-phrase requirements (parity with tantivy's
-    QueryParser phrase queries, fts/tantivy_store.rs:403-429). The index
-    is position-free, so the constraint applies as a verbatim
-    (case-insensitive) content filter at hit materialization: candidates
-    retrieve by the phrase's terms as usual, results must contain each
-    phrase. Excluded spans (-"...") are not requirements."""
-    excluded = {m[0] for m in _EXCLUDE_RE.findall(query) if m[0]}
-    return [m.strip() for m in _PHRASE_RE.findall(query)
-            if m.strip() and m not in excluded]
+    """Required exact phrases of ``query`` (see parse_operators)."""
+    return parse_operators(query)[1]
 
 
 def detect_exclusions(query: str) -> list[tuple[str, bool]]:
-    """Leading-minus tokens are MustNot constraints (tantivy QueryParser
-    parity): ``-word`` excludes results whose content contains the word
-    as a token, ``-"a phrase"`` excludes verbatim phrase containment.
-    Returns [(text, is_phrase)]. Filter-only approximation: the excluded
-    term may still attract candidates during retrieval (the featurizers
-    ignore operators), but no excluded result can surface."""
-    out = []
-    for phrase, word in _EXCLUDE_RE.findall(query):
-        if phrase.strip():
-            out.append((phrase.strip(), True))
-        elif word:
-            out.append((word, False))
-    return out
+    """MustNot constraints of ``query`` (see parse_operators)."""
+    return parse_operators(query)[2]
 
 
-def _excluded(content_folded: str, exclusions) -> bool:
+def compile_operators(phrases: list[str], exclusions: list) -> tuple:
+    """Pre-fold/pre-compile the per-query constraint set ONCE — the
+    filter runs per materialized candidate (hundreds per query on one
+    host core)."""
+    folded = [p.casefold() for p in phrases]
+    matchers = []
     for text, is_phrase in exclusions:
         t = text.casefold()
         if is_phrase:
-            if t in content_folded:
-                return True
-        elif _re.search(
-            rf"(?<![a-z0-9_]){_re.escape(t)}(?![a-z0-9_])", content_folded
-        ):
-            return True
-    return False
+            matchers.append(t)
+        else:
+            matchers.append(_re.compile(
+                rf"(?<![a-z0-9_]){_re.escape(t)}(?![a-z0-9_])"
+            ))
+    return folded, matchers
+
+
+def passes_operators(content: str, folded_phrases, matchers) -> bool:
+    """Does a candidate's content satisfy the compiled constraint set?
+    ONE implementation shared by the session pipeline and the serving
+    read plane, so operator semantics cannot drift between surfaces."""
+    body = content.casefold()
+    if folded_phrases and not all(p in body for p in folded_phrases):
+        return False
+    for mt in matchers:
+        if isinstance(mt, str):
+            if mt in body:
+                return False
+        elif mt.search(body):
+            return False
+    return True
 
 
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}

@@ -31,7 +31,6 @@ from ..vectordb import VectorStore
 from .analysis import (
     adapt_rrf_k,
     detect_identifiers,
-    detect_phrases,
     detect_structural_intent,
     expand_query,
 )
@@ -374,13 +373,16 @@ class SearchSession:
         # quoted spans are hard phrase constraints and -term/-"phrase" are
         # MustNot exclusions (tantivy QueryParser parity): checked at
         # materialization since the index is position-free
-        from .analysis import _excluded, detect_exclusions
+        from .analysis import compile_operators, parse_operators, passes_operators
 
-        phrases = [p.casefold() for p in detect_phrases(query)]
-        exclusions = detect_exclusions(query)
+        _retr, op_phrases, op_exclusions = parse_operators(query)
+        folded_phrases, excl_matchers = compile_operators(
+            op_phrases, op_exclusions
+        )
+        has_ops = bool(folded_phrases or excl_matchers)
         unbounded = bool(
             options.path_filter or options.min_score is not None
-            or (options.per_file or 0) > 0 or phrases or exclusions
+            or (options.per_file or 0) > 0 or has_ops
         )
         if options.rerank:
             need = max(options.rerank_top if options.rerank_top is not None
@@ -399,12 +401,10 @@ class SearchSession:
             meta = meta_of.get(f.chunk_id) or self.store.get_chunk(f.chunk_id)
             if meta is None:
                 continue
-            if phrases or exclusions:
-                body = meta.content.casefold()
-                if phrases and not all(p in body for p in phrases):
-                    continue
-                if exclusions and _excluded(body, exclusions):
-                    continue
+            if has_ops and not passes_operators(
+                meta.content, folded_phrases, excl_matchers
+            ):
+                continue
             score = f.rrf_score
             if primary and meta.language == primary:
                 score *= LANGUAGE_BOOST
@@ -506,19 +506,31 @@ class SearchSession:
         path/min-score/per-file filters prune AFTER retrieval."""
         if not query or not query.strip():
             raise SearchError("empty query")
-        identifiers = detect_identifiers(query)
-        intent = detect_structural_intent(query)
+        # operator syntax parses ONCE: retrieval runs on the stripped text
+        # (an excluded term must not attract the candidates it rejects;
+        # phrase quotes are transparent to the embedders), the constraints
+        # filter at materialization (_finish)
+        from .analysis import parse_operators
+
+        retrieval, phrases, exclusions = parse_operators(query)
+        retrieval = retrieval or query
+        identifiers = detect_identifiers(retrieval)
+        intent = detect_structural_intent(retrieval)
         if options.rrf_k is not None:
             vector_k = fts_k = float(options.rrf_k)
         else:
-            vector_k, fts_k = adapt_rrf_k(query)
-        variants = [query] if options.no_expand else expand_query(query)
+            vector_k, fts_k = adapt_rrf_k(retrieval)
+        variants = [retrieval] if options.no_expand else expand_query(retrieval)
         if options.mode == "vector":
             fetch = options.limit * 3
         elif identifiers:
             fetch = max(options.limit * 3, 100)
         else:
             fetch = max(options.limit * 5, 200)
+        if phrases or exclusions:
+            # hard content filters prune AFTER retrieval: deepen the pool
+            # so a rare phrase whose terms are common can still surface
+            fetch = max(fetch, 500)
         fused = self._fused_kind()
         feats = None
         bm_args = None

@@ -21,7 +21,6 @@ from ..rerank import rrf_fusion_with_exact
 from ..search.analysis import (
     adapt_rrf_k,
     detect_identifiers,
-    detect_phrases,
     detect_structural_intent,
 )
 
@@ -42,7 +41,10 @@ def device_candidates(stores, service, query: str, kind: str | None, fetch: int)
     fused_kind = _fused_kind(service)
     fres = None
     if fused_kind is not None:
-        prefixed = [service.spec.query_prefix + query]
+        from ..search.analysis import parse_operators
+
+        retrieval = parse_operators(query)[0] or query
+        prefixed = [service.spec.query_prefix + retrieval]
         if fused_kind == "hash":
             from ..models.hash_embedder import batch_features
 
@@ -97,7 +99,12 @@ def device_candidates_many(stores, service, items):
     if fused_kind is None or len(items) == 1:
         return [_single(*it) for it in items]
 
-    prefixed = [service.spec.query_prefix + q for q, _, _ in items]
+    from ..search.analysis import parse_operators
+
+    prefixed = [
+        service.spec.query_prefix + (parse_operators(q)[0] or q)
+        for q, _, _ in items
+    ]
     if fused_kind == "hash":
         from ..models.hash_embedder import batch_features
 
@@ -278,11 +285,13 @@ def rank_candidates(
     )
     primary = metadata.get("primary_language")
     # quoted spans are hard phrase constraints; -term/-"phrase" are MustNot
-    # exclusions (tantivy QueryParser parity)
-    from ..search.analysis import _excluded, detect_exclusions
+    # exclusions (tantivy QueryParser parity) — ONE shared implementation
+    # with the session pipeline (analysis.passes_operators)
+    from ..search.analysis import compile_operators, parse_operators, passes_operators
 
-    phrases = [p.casefold() for p in detect_phrases(query)]
-    exclusions = detect_exclusions(query)
+    _retr, op_phrases, op_exclusions = parse_operators(query)
+    folded_phrases, excl_matchers = compile_operators(op_phrases, op_exclusions)
+    has_ops = bool(folded_phrases or excl_matchers)
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
@@ -290,12 +299,10 @@ def rank_candidates(
             continue
         if filter_path and filter_path not in meta.path:
             continue
-        if phrases or exclusions:
-            body = meta.content.casefold()
-            if phrases and not all(p in body for p in phrases):
-                continue
-            if exclusions and _excluded(body, exclusions):
-                continue
+        if has_ops and not passes_operators(
+            meta.content, folded_phrases, excl_matchers
+        ):
+            continue
         score = f.rrf_score
         if primary and meta.language == primary:
             score *= 1.2
@@ -327,18 +334,31 @@ def ranked_chunks(
     intent = detect_structural_intent(query)
     kind = intent.value if intent else None
     vector_k, fts_k = adapt_rrf_k(query)
+    fetch = _serving_fetch(query, limit)
     if batcher is not None:
-        vpairs, fres = batcher.get(query, kind, limit * 3)
+        vpairs, fres = batcher.get(query, kind, fetch)
         with stores.lock:
             return rank_candidates(
                 stores, metadata, query, limit, kind, vector_k, fts_k,
                 vpairs, fres, filter_path,
             )
-    vres, fres = device_candidates(stores, service, query, kind, limit * 3)
+    vres, fres = device_candidates(stores, service, query, kind, fetch)
     return rank_candidates(
         stores, metadata, query, limit, kind, vector_k, fts_k,
         [(r.chunk_id, r.score) for r in vres], fres, filter_path,
     )
+
+
+def _serving_fetch(query: str, limit: int) -> int:
+    """Serving retrieval depth: limit*3 normally; deepened when operator
+    constraints prune after retrieval (a rare exact phrase whose terms
+    are common must still be reachable in the pool)."""
+    from ..search.analysis import parse_operators
+
+    _r, phrases, exclusions = parse_operators(query)
+    if phrases or exclusions:
+        return max(limit * 3, 200)
+    return limit * 3
 
 
 def ranked_chunks_wave(
@@ -363,7 +383,8 @@ def ranked_chunks_wave(
     with stores.lock:
         cands = device_candidates_many(
             stores, service,
-            [(q, kind, limit * 3) for q, limit, _, kind, _, _ in plans],
+            [(q, kind, _serving_fetch(q, limit))
+             for q, limit, _, kind, _, _ in plans],
         )
         return [
             rank_candidates(

@@ -985,6 +985,19 @@ class TestExclusionQueries:
             [("unit test", True), ("mock", False)]
         # mid-word hyphens are NOT exclusions
         assert detect_exclusions("tree-sitter grammar") == []
+        # punctuation/flag tokens are code, not operators
+        assert detect_exclusions("convert vector -> list") == []
+        assert detect_exclusions("parse --platform flag") == []
+        # a minus inside a required phrase is literal text
+        assert detect_exclusions('grep "foo -v bar"') == []
+        from codesearch_tpu.search.analysis import parse_operators
+        # exclusions are stripped from the retrieval text entirely
+        retrieval, phrases, excl = parse_operators('error handling -test')
+        assert retrieval == "error handling" and excl == [("test", False)]
+        # phrase quotes are transparent to retrieval
+        retrieval, phrases, _ = parse_operators('find "error handling" now')
+        assert retrieval == "find error handling now"
+        assert phrases == ["error handling"]
         # an excluded phrase is not also a required phrase
         assert detect_phrases('errors -"unit test"') == []
 
