@@ -625,6 +625,7 @@ class TestSearchMany:
                 "parse configuration file",
                 "draw the widget",
                 "flush_buffer pending bytes",   # identifier → exact overlap
+                '"configuration file" -widget',  # operators ride the wave
             ]
             s1 = SearchSession(stats.db_path, readonly=True)
             s1.fts.device_min_docs = 1
@@ -636,6 +637,9 @@ class TestSearchMany:
                 assert [(h.chunk_id, round(h.score, 6)) for h in b.hits] == \
                        [(h.chunk_id, round(h.score, 6)) for h in s.hits]
                 assert b.mode == s.mode
+            assert batched[3].hits and all(
+                "widget" not in h.content for h in batched[3].hits
+            )
         finally:
             monkeypatch.delenv("CODESEARCH_SINGLE_DEVICE")
             mesh_mod.reset_corpus_mesh()
