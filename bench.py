@@ -158,10 +158,17 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             t1 = time.time()
             session.search(q, SearchOptions(limit=10))
             lat_i.append((time.time() - t1) * 1000)
-        # batched serving: waves of 16 distinct queries through
-        # SearchSession.search_many (all dispatches enqueued before any
-        # readback) — the concurrent-load product throughput
+        # batched serving: waves of 16 distinct queries through ONE fused
+        # dispatch (SearchSession.search_many) — the concurrent-load
+        # product throughput. Warm the wave-shape executables first: the
+        # batched kernel is a different executable from the single-query
+        # one, and a first-use compile inside the timed loop would
+        # understate the steady state.
         wave_n = 16
+        session.search_many(
+            [f"warm the {nouns[j % 15]} shape w{j}" for j in range(wave_n)],
+            SearchOptions(limit=10),
+        )
         batch_lat = []
         for w in range(4):
             wave = [
