@@ -852,6 +852,42 @@ class TestSearchManyInt8:
         finally:
             mesh_mod.reset_corpus_mesh()
 
+    def test_bert_backend_int8_mesh(self, tmp_path):
+        """The bert-family int8 batched hybrid (sharded encoder forward +
+        int8 top-k + batched BM25) — the one *_many kernel combination the
+        other tests don't reach."""
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+        from codesearch_tpu.parallel import mesh as mesh_mod
+        from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse a configuration file."""\n'
+            "    return path\n\n"
+            "def render_widget(canvas):\n"
+            '    """Draw the widget."""\n'
+            "    canvas.blit()\n"
+        )
+        stats = index(root, IndexOptions(quiet=True, int8=True,
+                                         model="minilm-l6"))
+        mesh_mod.reset_corpus_mesh()
+        try:
+            queries = ["parse configuration file", "draw the widget"]
+            s1 = SearchSession(stats.db_path, readonly=True)
+            s1.fts.device_min_docs = 1
+            assert s1.store.int8 and s1.service.fused_kind() == "bert"
+            batched = s1.search_many(queries, SearchOptions(limit=3))
+            s2 = SearchSession(stats.db_path, readonly=True)
+            s2.fts.device_min_docs = 1
+            for b, q in zip(batched, queries):
+                want = s2.search(q, SearchOptions(limit=3))
+                assert [(h.chunk_id, round(h.score, 5)) for h in b.hits] == \
+                       [(h.chunk_id, round(h.score, 5)) for h in want.hits], q
+        finally:
+            mesh_mod.reset_corpus_mesh()
+
 
 class TestFederatedSearch:
     def test_search_all_repos(self, tmp_path, monkeypatch):
