@@ -79,50 +79,56 @@ import re as _re
 
 
 _TOKEN_RE = _re.compile(
-    r'(?P<neg>(?:(?<=\s)|^)-)?(?:"(?P<phrase>[^"]*)"|(?P<word>\S+))'
+    r'(?P<op>(?:(?<=\s)|^)[-+])?(?:"(?P<phrase>[^"]*)"|(?P<word>\S+))'
 )
 _IDENTIFIER_WORD_RE = _re.compile(r"[A-Za-z_]\w*$")
 
 
-def parse_operators(query: str) -> tuple[str, list[str], list]:
+def parse_operators(query: str) -> tuple[str, list, list]:
     """One positional, quote-aware scan of the query's operator syntax
     (the useful subset of tantivy's QueryParser, fts/tantivy_store.rs:
-    403-429): quoted spans are required phrases, ``-word`` / ``-"a
-    phrase"`` are MustNot exclusions. A bare-word exclusion must look
-    like an identifier — ``->`` or ``--flag`` are code, not operators,
-    and a minus INSIDE a quoted phrase is literal text. Returns
-    (retrieval_text, phrases, exclusions): retrieval_text has operators
-    stripped (exclusions removed entirely so they cannot attract the
-    very candidates they reject; phrase quotes dropped), phrases are the
-    required spans, exclusions are [(text, is_phrase)]. The index is
-    position-free, so both constraint kinds apply as content filters at
-    hit materialization (passes_operators)."""
-    phrases: list[str] = []
+    403-429): quoted spans and ``+word`` are Must requirements, ``-word``
+    / ``-"a phrase"`` are MustNot exclusions. A bare-word operator must
+    look like an identifier — ``->``, ``--flag`` or ``+1`` are code, not
+    operators, and an operator character INSIDE a quoted phrase is
+    literal text. Returns (retrieval_text, requirements, exclusions):
+    retrieval_text has operators stripped (exclusions removed entirely
+    so they cannot attract the very candidates they reject; phrase
+    quotes and ``+`` dropped), requirements are [(text, is_phrase)]
+    (phrases match by containment, words on token boundaries), and
+    exclusions mirror that. The index is position-free, so all
+    constraints apply as content filters at hit materialization
+    (passes_operators)."""
+    requirements: list[tuple[str, bool]] = []
     exclusions: list[tuple[str, bool]] = []
     keep: list[str] = []
     for m in _TOKEN_RE.finditer(query):
-        neg = bool(m.group("neg"))
+        op = m.group("op")
         ph = m.group("phrase")
         w = m.group("word")
         if ph is not None:
             ph = ph.strip()
             if not ph:
                 continue
-            if neg:
+            if op == "-":
                 exclusions.append((ph, True))
             else:
-                phrases.append(ph)
+                requirements.append((ph, True))
                 keep.append(ph)
-        elif neg and w and _IDENTIFIER_WORD_RE.match(w):
-            exclusions.append((w, False))
+        elif op and w and _IDENTIFIER_WORD_RE.match(w):
+            if op == "-":
+                exclusions.append((w, False))
+            else:
+                requirements.append((w, False))
+                keep.append(w)
         else:
             keep.append(m.group(0))
-    return " ".join(keep), phrases, exclusions
+    return " ".join(keep), requirements, exclusions
 
 
 def detect_phrases(query: str) -> list[str]:
     """Required exact phrases of ``query`` (see parse_operators)."""
-    return parse_operators(query)[1]
+    return [t for t, is_ph in parse_operators(query)[1] if is_ph]
 
 
 def detect_exclusions(query: str) -> list[tuple[str, bool]]:
@@ -130,37 +136,41 @@ def detect_exclusions(query: str) -> list[tuple[str, bool]]:
     return parse_operators(query)[2]
 
 
-def compile_operators(phrases: list[str], exclusions: list) -> tuple:
+def _compile_constraints(constraints: list) -> list:
+    """(text, is_phrase) → matcher: phrases fold to containment strings,
+    words to token-boundary patterns."""
+    out = []
+    for text, is_phrase in constraints:
+        t = text.casefold()
+        if is_phrase:
+            out.append(t)
+        else:
+            out.append(_re.compile(
+                rf"(?<![a-z0-9_]){_re.escape(t)}(?![a-z0-9_])"
+            ))
+    return out
+
+
+def compile_operators(requirements: list, exclusions: list) -> tuple:
     """Pre-fold/pre-compile the per-query constraint set ONCE — the
     filter runs per materialized candidate (hundreds per query on one
     host core)."""
-    folded = [p.casefold() for p in phrases]
-    matchers = []
-    for text, is_phrase in exclusions:
-        t = text.casefold()
-        if is_phrase:
-            matchers.append(t)
-        else:
-            matchers.append(_re.compile(
-                rf"(?<![a-z0-9_]){_re.escape(t)}(?![a-z0-9_])"
-            ))
-    return folded, matchers
+    return _compile_constraints(requirements), _compile_constraints(exclusions)
 
 
-def passes_operators(content: str, folded_phrases, matchers) -> bool:
+def _matches(matcher, body: str) -> bool:
+    return (matcher in body) if isinstance(matcher, str) \
+        else bool(matcher.search(body))
+
+
+def passes_operators(content: str, req_matchers, excl_matchers) -> bool:
     """Does a candidate's content satisfy the compiled constraint set?
     ONE implementation shared by the session pipeline and the serving
     read plane, so operator semantics cannot drift between surfaces."""
     body = content.casefold()
-    if folded_phrases and not all(p in body for p in folded_phrases):
+    if req_matchers and not all(_matches(mt, body) for mt in req_matchers):
         return False
-    for mt in matchers:
-        if isinstance(mt, str):
-            if mt in body:
-                return False
-        elif mt.search(body):
-            return False
-    return True
+    return not any(_matches(mt, body) for mt in excl_matchers)
 
 
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}

@@ -375,11 +375,11 @@ class SearchSession:
         # materialization since the index is position-free
         from .analysis import compile_operators, parse_operators, passes_operators
 
-        _retr, op_phrases, op_exclusions = parse_operators(query)
-        folded_phrases, excl_matchers = compile_operators(
-            op_phrases, op_exclusions
+        _retr, op_requirements, op_exclusions = parse_operators(query)
+        req_matchers, excl_matchers = compile_operators(
+            op_requirements, op_exclusions
         )
-        has_ops = bool(folded_phrases or excl_matchers)
+        has_ops = bool(req_matchers or excl_matchers)
         unbounded = bool(
             options.path_filter or options.min_score is not None
             or (options.per_file or 0) > 0 or has_ops
@@ -402,7 +402,7 @@ class SearchSession:
             if meta is None:
                 continue
             if has_ops and not passes_operators(
-                meta.content, folded_phrases, excl_matchers
+                meta.content, req_matchers, excl_matchers
             ):
                 continue
             score = f.rrf_score

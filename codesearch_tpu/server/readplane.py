@@ -289,9 +289,9 @@ def rank_candidates(
     # with the session pipeline (analysis.passes_operators)
     from ..search.analysis import compile_operators, parse_operators, passes_operators
 
-    _retr, op_phrases, op_exclusions = parse_operators(query)
-    folded_phrases, excl_matchers = compile_operators(op_phrases, op_exclusions)
-    has_ops = bool(folded_phrases or excl_matchers)
+    _retr, op_requirements, op_exclusions = parse_operators(query)
+    req_matchers, excl_matchers = compile_operators(op_requirements, op_exclusions)
+    has_ops = bool(req_matchers or excl_matchers)
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
@@ -300,7 +300,7 @@ def rank_candidates(
         if filter_path and filter_path not in meta.path:
             continue
         if has_ops and not passes_operators(
-            meta.content, folded_phrases, excl_matchers
+            meta.content, req_matchers, excl_matchers
         ):
             continue
         score = f.rrf_score

@@ -1035,9 +1035,9 @@ class TestExclusionQueries:
         retrieval, phrases, excl = parse_operators('error handling -test')
         assert retrieval == "error handling" and excl == [("test", False)]
         # phrase quotes are transparent to retrieval
-        retrieval, phrases, _ = parse_operators('find "error handling" now')
+        retrieval, reqs, _ = parse_operators('find "error handling" now')
         assert retrieval == "find error handling now"
-        assert phrases == ["error handling"]
+        assert reqs == [("error handling", True)]
         # an excluded phrase is not also a required phrase
         assert detect_phrases('errors -"unit test"') == []
 
@@ -1071,3 +1071,41 @@ class TestExclusionQueries:
         paths = [h.path for h in got.hits]
         assert any("b.py" in p for p in paths), paths
         assert all("test_handle" not in h.content for h in got.hits)
+
+
+class TestRequiredTermOperator:
+    def test_plus_requires_token(self, tmp_path):
+        from codesearch_tpu.search.analysis import parse_operators
+
+        retrieval, reqs, excl = parse_operators("error handling +test")
+        assert ("test", False) in reqs and excl == []
+        assert retrieval == "error handling test"
+        # code-shaped plus tokens are not operators
+        assert parse_operators("count +1 items")[1] == []
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def handle_errors(e):\n"
+            '    """Central error handling for the pipeline."""\n'
+            "    raise e\n\n"
+            "def test_handle_errors(e):\n"
+            '    """Unit test for error handling."""\n'
+            "    assert handle_errors\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        got = s.search("error handling +test", SearchOptions(limit=5))
+        assert len(got.hits) == 1
+        assert "unit test" in got.hits[0].content.casefold()
+        # required word matches on token boundaries: no "latest" smuggling
+        (root / "b.py").write_text(
+            "def latest_errors(e):\n"
+            '    """Latest error handling snapshot."""\n'
+            "    return e\n"
+        )
+        stats2 = index(root, IndexOptions(quiet=True))
+        s2 = SearchSession(stats2.db_path, readonly=True)
+        got2 = s2.search("error handling +test", SearchOptions(limit=5))
+        assert all("test" in h.content.casefold().split() or
+                   "test_handle_errors" in h.content for h in got2.hits)
