@@ -167,10 +167,13 @@ def _apply_platform(platform: str) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    # XLA's AOT-cache loader logs spurious machine-feature mismatch errors
-    # on every persistent-cache hit; silence C++ logs for CLI UX (python
-    # logging and our stderr output are unaffected)
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    # XLA's AOT-cache loader logs a ~6KB spurious machine-feature-mismatch
+    # error on EVERY persistent-cache hit (CPU backend); TF_CPP_MIN_LOG_LEVEL
+    # is latched before user code when the environment pre-imports jax, so
+    # filter the specific lines at the fd level instead
+    from ..utils.output import install_native_log_filter
+
+    install_native_log_filter()
     args = build_parser().parse_args(argv)
     _apply_platform(args.platform)
     set_quiet(args.quiet)
