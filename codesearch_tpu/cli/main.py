@@ -91,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("index", help="build or refresh the index")
     i.add_argument("args", nargs="*", default=[],
-                   help="[add|remove|list] [path] — registry subcommands, "
+                   help="[add|remove|rm|list] [path] — registry subcommands, "
                         "or just a path to index")
     i.add_argument("--force", "-f", action="store_true", help="full rebuild")
     i.add_argument("--dry-run", action="store_true",
@@ -377,7 +377,10 @@ def _cmd_index(args) -> int:
     from ..index import IndexOptions, index, register_repo
 
     rest = list(args.args)
-    action = rest.pop(0) if rest and rest[0] in ("add", "remove", "list") else None
+    action = (rest.pop(0)
+              if rest and rest[0] in ("add", "remove", "rm", "list") else None)
+    if action == "rm":   # reference alias (cli/mod.rs:23 visible_alias)
+        action = "remove"
     path = rest[0] if rest else "."
 
     if action == "add":

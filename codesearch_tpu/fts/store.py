@@ -1340,6 +1340,16 @@ class FtsStore:
         with self._lock:
             self._flush_mem()
             self._ensure_dense()
+            # same routing floor as search(): below it host bincount beats a
+            # dispatch, and building the resident device postings costs ~1 s
+            # of per-process trace/load time that a small corpus never
+            # amortizes. Callers treat None as "score BM25 on host".
+            if self._dnums_sorted.size < self.device_min_docs:
+                log.debug(
+                    "BM25 corpus %d docs below device floor %d — host path",
+                    self._dnums_sorted.size, self.device_min_docs,
+                )
+                return None
             # packed-posting limits: slot must fit SLOT_BITS and the kind id
             # 31-SLOT_BITS bits, minus one — the all-ones pattern
             # (kind 63, slot SLOT_MASK) IS the PACK_PAD sentinel. Beyond

@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 import math
 from collections import Counter
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -40,23 +41,84 @@ def save_table(table, path) -> None:
     os.replace(tmp, str(path))
 
 
-def load_table(path, dims: int, dtype=jnp.bfloat16) -> jax.Array:
-    """Load a fine-tuned table; falls back to the deterministic default."""
+def _round_bf16_f32(x: np.ndarray) -> np.ndarray:
+    """Round fp32 to the nearest bf16 (ties-to-even), kept as fp32 — the
+    exact values a device gather of the bf16 table yields, so the host
+    read plane scores with byte-identical inputs. Bit-level RNE: ~50 ms at
+    25M values where ml_dtypes' astype round-trip measures ~1.7 s on one
+    core. Finite inputs only (tables are); parity with ml_dtypes is
+    pinned by test."""
+    u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    r = (u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1))) \
+        & np.uint32(0xFFFF0000)
+    return r.view(np.float32)
+
+
+def load_table_host(path, dims: int) -> np.ndarray:
+    """Fine-tuned table as bf16-rounded host fp32; falls back to the
+    default table."""
     try:
-        data = np.load(str(path))["table"]
+        data = np.load(str(path))["table"].astype(np.float32)
         if data.shape[1] != dims:
             raise ValueError(f"table dims {data.shape[1]} != model dims {dims}")
-        return jnp.asarray(data, dtype)
+        return _round_bf16_f32(data)
     except Exception:
-        return make_table(dims, dtype=dtype)
+        return make_table_host(dims)
+
+
+def load_table(path, dims: int, dtype=jnp.bfloat16) -> jax.Array:
+    """Load a fine-tuned table; falls back to the deterministic default."""
+    return jnp.asarray(load_table_host(path, dims), dtype)
+
+
+def make_table_host(dims: int, buckets: int = VOCAB_BUCKETS) -> np.ndarray:
+    """Deterministic random table as bf16-rounded host fp32; rows
+    ~N(0, 1/sqrt(d)) (JL projection). The values are the historical jax
+    threefry stream — EMBEDDER_VERSION-stable, and measured to rank best
+    on the labeled sets (a numpy-Philox regeneration was ablated across
+    10 seeds: reference-corpus accuracy 8/9 → 6-8/9, self-corpus 6/9 →
+    2-5/9). Materializing the stream costs ~1 s of single-core work, so
+    the bf16 bits are cached under the config dir (48 MB at the default
+    shape; atomic best-effort write) and later processes load in ~0.1 s —
+    which is what lets the host read plane
+    (VectorStore.search_featurized_host) share the device table's exact
+    values without a device fetch. Generated on the CPU backend: threefry
+    is bit-identical across backends, and a tunneled-TPU rig must not pay
+    a 96 MB transfer (or the tunnel client's host-RSS leak) for it."""
+    import os
+
+    from ..utils.constants import get_config_dir
+
+    cache = None
+    try:
+        cache = (get_config_dir()
+                 / f"hash_table_{TABLE_SEED:08x}_{buckets}x{dims}.u16")
+        bits = np.fromfile(cache, np.uint16)
+        if bits.size == buckets * dims:
+            return ((bits.astype(np.uint32) << np.uint32(16))
+                    .view(np.float32).reshape(buckets, dims))
+    except OSError:
+        pass
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        t = jax.random.normal(
+            jax.random.PRNGKey(TABLE_SEED), (buckets, dims), dtype=jnp.float32
+        )
+        raw = np.asarray(t / math.sqrt(dims))
+    table = _round_bf16_f32(raw)
+    if cache is not None:
+        try:
+            tmp = Path(f"{cache}.{os.getpid()}.tmp")
+            (table.view(np.uint32) >> np.uint32(16)).astype(np.uint16).tofile(tmp)
+            os.replace(tmp, cache)
+        except OSError:
+            pass
+    return table
 
 
 def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> jax.Array:
-    """Deterministic random table; rows ~N(0, 1/sqrt(d)) (JL projection)."""
-    rng = jax.random.PRNGKey(TABLE_SEED)
-    table = jax.random.normal(rng, (buckets, dims), dtype=jnp.float32)
-    table = table / math.sqrt(dims)
-    return table.astype(dtype)
+    """Device copy of the deterministic default table."""
+    return jnp.asarray(make_table_host(dims, buckets), dtype)
 
 
 def _featurize_py(text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -158,9 +220,21 @@ class HashEmbedder:
     def __init__(self, dims: int, table_path=None):
         self.dims = dims
         if table_path is not None:
-            self.table = load_table(table_path, dims)
+            host = load_table_host(table_path, dims)
         else:
-            self.table = make_table(dims)
+            host = make_table_host(dims)
+        self.table = jnp.asarray(host, jnp.bfloat16)
+        # host twin for the small-corpus read plane: the loaders return
+        # bf16-rounded fp32, so host scores equal a device gather's values
+        # exactly. `.table` is only ever reassigned value-preserving (mesh
+        # replication's device_put); trained tables arrive via a fresh
+        # HashEmbedder.
+        self._host_table = host
+
+    def table_np(self) -> np.ndarray:
+        """Host fp32 copy of the device table (same values: bf16-rounded)
+        for VectorStore.search_featurized_host."""
+        return self._host_table
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:
         if not texts:

@@ -265,6 +265,10 @@ class SearchSession:
                 vv, vi, bv, bi = jax.device_get(dev_out)
                 raw = self.store.rows_to_ids(vv, vi)
                 fused_fts = self.fts.results_from_device(bv, bi, fetch)
+            elif st.get("host_vec"):
+                raw = self.store.search_featurized_host(
+                    hash_model.table_np(), feats[0], feats[1], fetch, raw=True
+                )
             elif fused_kind == "hash":
                 raw = self.store.search_featurized(
                     hash_model.table, feats[0], feats[1], fetch, raw=True
@@ -546,10 +550,20 @@ class SearchSession:
                 bm_args = self.fts.device_query_args(
                     query, intent.value if intent else None, fetch
                 )
+        # small-corpus host fast path: when the BM25 leg already routed to
+        # host (bm_args None — device floor or vector-only mode) and the
+        # corpus is under the host threshold, the hash-model vector leg
+        # scores in numpy too — the whole query then runs with zero device
+        # dispatches (a one-shot CLI process saves >1 s of trace/load)
+        host_vec = (
+            fused == "hash" and bm_args is None
+            and self.store.wants_host_path()
+        )
         return {
             "query": query, "identifiers": identifiers, "intent": intent,
             "vk": vector_k, "fk": fts_k, "fetch": fetch, "feats": feats,
             "bm": bm_args, "fused": fused, "variants": variants,
+            "host_vec": host_vec,
         }
 
     def search_many(
@@ -646,9 +660,17 @@ class SearchSession:
             if dev_out is None:   # store emptied under us
                 return self._search_many_waves(queries, options)
         elif fused_kind == "hash":
-            raw_all = self.store.search_featurized(
-                hash_model.table, ids_all, aux_all, kvmax, raw=True
-            )
+            # host fast path: a no-BM25 wave over a small corpus scores in
+            # numpy, mirroring the per-query routing (result equivalence
+            # between search() and search_many() is a tested invariant)
+            if all(st.get("host_vec") for st in live):
+                raw_all = self.store.search_featurized_host(
+                    hash_model.table_np(), ids_all, aux_all, kvmax, raw=True
+                )
+            else:
+                raw_all = self.store.search_featurized(
+                    hash_model.table, ids_all, aux_all, kvmax, raw=True
+                )
         else:
             raw_all = self.store.search_encoded(
                 backend.params, backend.cfg, ids_all, aux_all, kvmax, raw=True
@@ -763,9 +785,17 @@ class SearchSession:
                         fetch, bm_args, raw=True, defer=True,
                     )
             elif fused_kind == "hash":
-                dev_out = self.store.search_featurized(
-                    hash_model.table, feats[0], feats[1], fetch, raw=True
-                )
+                if self.store.wants_host_path():
+                    # mirror search()'s small-corpus host routing so the
+                    # wave fallback stays result-equivalent
+                    dev_out = self.store.search_featurized_host(
+                        hash_model.table_np(), feats[0], feats[1], fetch,
+                        raw=True,
+                    )
+                else:
+                    dev_out = self.store.search_featurized(
+                        hash_model.table, feats[0], feats[1], fetch, raw=True
+                    )
             else:
                 dev_out = self.store.search_encoded(
                     backend.params, backend.cfg, feats[0], feats[1], fetch,

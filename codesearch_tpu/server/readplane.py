@@ -65,9 +65,17 @@ def device_candidates(stores, service, query: str, kind: str | None, fetch: int)
             if bvv is not None:
                 fres = stores.fts.results_from_device(bvv, bii, fetch)
         elif fused_kind == "hash":
-            vres = stores.store.search_featurized(
-                hb.table, feats[0], feats[1], fetch
-            )[0]
+            if stores.store.wants_host_path():
+                # small corpus + BM25 already on host: score the vector leg
+                # in numpy too (zero device dispatches; same routing as the
+                # session pipeline)
+                vres = stores.store.search_featurized_host(
+                    hb.table_np(), feats[0], feats[1], fetch
+                )[0]
+            else:
+                vres = stores.store.search_featurized(
+                    hb.table, feats[0], feats[1], fetch
+                )[0]
         else:
             vres = stores.store.search_encoded(
                 backend.params, backend.cfg, feats[0], feats[1], fetch
@@ -151,9 +159,14 @@ def device_candidates_many(stores, service, items):
         vv, vi, bv, bi = jax.device_get(dev_out)
         cids, scores = stores.store.rows_to_ids(vv, vi)
     elif fused_kind == "hash":
-        cids, scores = stores.store.search_featurized(
-            hb.table, ids, aux, kvmax, raw=True
-        )
+        if stores.store.wants_host_path():
+            cids, scores = stores.store.search_featurized_host(
+                hb.table_np(), ids, aux, kvmax, raw=True
+            )
+        else:
+            cids, scores = stores.store.search_featurized(
+                hb.table, ids, aux, kvmax, raw=True
+            )
     else:
         cids, scores = stores.store.search_encoded(
             backend.params, backend.cfg, ids, aux, kvmax, raw=True

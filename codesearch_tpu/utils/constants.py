@@ -81,6 +81,14 @@ VEC_MAX_CAPACITY = int(os.environ.get("CODESEARCH_VEC_MAX_CAPACITY", 16_777_216)
 # appends — the analog of LMDB's incremental commit txns).
 VEC_COMPACT_RATIO = float(os.environ.get("CODESEARCH_VEC_COMPACT_RATIO", 0.25))
 
+# Below this many stored rows the hash-model read plane scores on HOST
+# numpy instead of the fused device dispatch: tracing + loading the fused
+# executable costs >1 s PER PROCESS (measured: 1.3 s even on all-cache-hit
+# loads), while a [V,384]×[384,N] fp32 matmul at N≤8192 is single-digit ms
+# on one core — one-shot CLI invocations and small-repo serving skip the
+# device entirely. 0 disables the host path.
+HOST_PATH_ROWS = int(os.environ.get("CODESEARCH_HOST_PATH_ROWS", 8192))
+
 # ---------------------------------------------------------------------------
 # Skip lists (reference: constants.rs:131-218)
 # ---------------------------------------------------------------------------
@@ -159,7 +167,9 @@ def get_global_models_cache_dir() -> Path:
 # whole-identifier flag counts UTF-8 code points like Python, not bytes —
 # weights change for indexes with non-ASCII identifiers); a mismatch forces
 # full re-embedding, like the reference's model-change invalidation
-# (cache/file_meta.rs:86-92).
+# (cache/file_meta.rs:86-92). NOTE: the hash table's bf16 VALUES are part
+# of this contract — make_table_host pins the historical threefry stream
+# (a Philox regeneration was ablated and ranks worse; see its docstring).
 EMBEDDER_VERSION = 4
 
 

@@ -55,6 +55,7 @@ import msgpack
 import numpy as np
 
 from ..utils.constants import (
+    HOST_PATH_ROWS,
     VEC_COMPACT_RATIO,
     VEC_EMBED_FILE,
     VEC_INITIAL_CAPACITY,
@@ -163,6 +164,8 @@ class VectorStore:
         self.dims = dims
         self.readonly = readonly
         self.int8 = int8
+        # small-corpus host fast path threshold (instance knob for tests)
+        self.host_path_rows = HOST_PATH_ROWS
         self._lock = threading.RLock()
 
         # row-indexed numpy columns (never Python dicts at corpus scale)
@@ -1282,6 +1285,58 @@ class VectorStore:
                 vals, idx = hash_embed_search(
                     table, jnp.asarray(ids), jnp.asarray(weights), dev[1], dev[3], k
                 )
+        if raw:
+            return self.rows_to_ids(vals, idx)
+        return self._materialize(vals, idx)
+
+    def wants_host_path(self) -> bool:
+        """Should queries score on host? True for corpora small enough that
+        numpy beats the per-process trace/load cost of the fused device
+        executable (constants.HOST_PATH_ROWS; instance knob for tests)."""
+        return 0 < self._rows <= self.host_path_rows
+
+    def search_featurized_host(
+        self, table_np: np.ndarray, ids: np.ndarray, weights: np.ndarray,
+        limit: int, raw: bool = False,
+    ):
+        """Pure-HOST twin of search_featurized for small corpora: hash
+        embedding + exact cosine + top-k in numpy — zero jit, zero device
+        state. A one-shot CLI search pays >1 s tracing and loading the
+        fused executable even on all-cache-hit warm starts (measured on the
+        CPU backend); at ≤HOST_PATH_ROWS rows the [V,384]×[384,N] fp32
+        matmul is single-digit milliseconds on one core. Scores accumulate
+        in fp32 where the device path's matmul is bf16 (int8 stores: the
+        fp16 source rows, i.e. higher precision than the quantized device
+        matrix) — equality of RANKING is what the equivalence tests pin."""
+        with self._lock:
+            n_valid = self._n_valid()
+            if n_valid == 0:
+                if raw:
+                    shape = (ids.shape[0], 0)
+                    return np.zeros(shape, np.int64), np.zeros(shape, np.float32)
+                return [[] for _ in range(ids.shape[0])]
+            rows = self._rows_range(0, self._rows)            # [N, d] fp32
+            dead = ~self._used_valid()[: self._rows]
+            gathered = table_np[ids].astype(np.float32)       # [V, T, d]
+            qv = np.einsum("btd,bt->bd", gathered,
+                           weights.astype(np.float32))
+            qv /= np.maximum(
+                np.linalg.norm(qv, axis=-1, keepdims=True), 1e-12
+            )
+            scores = qv @ rows.T                              # [V, N]
+            if dead.any():
+                scores[:, dead] = -1e30   # rows_to_ids drops < -1e29
+            k = min(limit, max(1, n_valid), scores.shape[1])
+            if k < scores.shape[1]:
+                part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+            else:
+                part = np.broadcast_to(
+                    np.arange(scores.shape[1]), scores.shape
+                ).copy()
+            pvals = np.take_along_axis(scores, part, axis=1)
+            order = np.argsort(-pvals, axis=1, kind="stable")
+            idx = np.take_along_axis(part, order, axis=1).astype(np.int32)
+            vals = np.take_along_axis(pvals, order, axis=1).astype(np.float32)
         if raw:
             return self.rows_to_ids(vals, idx)
         return self._materialize(vals, idx)

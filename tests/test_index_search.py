@@ -1109,3 +1109,93 @@ class TestRequiredTermOperator:
         got2 = s2.search("error handling +test", SearchOptions(limit=5))
         assert all("test" in h.content.casefold().split() or
                    "test_handle_errors" in h.content for h in got2.hits)
+
+
+class TestHostFastPath:
+    """Small corpora score entirely on host numpy (constants.HOST_PATH_ROWS):
+    a one-shot process pays >1 s tracing/loading the fused executable even
+    on warm caches, while an 8k-row fp32 matmul is single-digit ms."""
+
+    def _mk(self, tmp_path):
+        root = tmp_path / "repo"
+        root.mkdir()
+        (root / "a.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse configuration values from a file."""\n'
+            "    return dict(line.split('=') for line in open(path))\n\n"
+            "def watch_files(root):\n"
+            '    """Watch the tree for filesystem events."""\n'
+            "    return []\n"
+        )
+        (root / "b.py").write_text(
+            "class ErrorHandler:\n"
+            '    """Central error handling."""\n'
+            "    def handle(self, e):\n"
+            "        raise e\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        return stats.db_path
+
+    def test_small_corpus_runs_with_zero_device_dispatches(
+        self, tmp_path, monkeypatch
+    ):
+        db = self._mk(tmp_path)
+        import codesearch_tpu.ops.query_pipeline as qp
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("device dispatch on the host fast path")
+
+        for name in (
+            "hash_embed_search", "hash_embed_search_int8",
+            "hash_embed_hybrid_search", "hash_embed_hybrid_search_int8",
+        ):
+            monkeypatch.setattr(qp, name, boom)
+        s = SearchSession(db, readonly=True)
+        assert s.store.wants_host_path()
+        got = s.search("parse configuration values", SearchOptions(limit=5))
+        assert got.hits and "parse_config" in got.hits[0].content
+        # hybrid mode: the BM25 leg routed to host too (device floor)
+        assert got.mode == "hybrid"
+        # vector-only mode rides the same host path
+        got_v = s.search(
+            "error handling", SearchOptions(limit=5, mode="vector")
+        )
+        assert got_v.hits and any(
+            "ErrorHandler" in h.content for h in got_v.hits
+        )
+
+    def test_host_ranking_matches_device(self, tmp_path):
+        db = self._mk(tmp_path)
+        host = SearchSession(db, readonly=True)
+        assert host.store.wants_host_path()
+        dev = SearchSession(db, readonly=True)
+        dev.store.host_path_rows = 0          # force the device plane
+        assert not dev.store.wants_host_path()
+        for q in ("parse configuration values", "watch filesystem events",
+                  "error handling"):
+            h = host.search(q, SearchOptions(limit=5))
+            d = dev.search(q, SearchOptions(limit=5))
+            assert [x.chunk_id for x in h.hits] == [x.chunk_id for x in d.hits]
+            for a, b in zip(h.hits, d.hits):
+                # host accumulates fp32 where the device matmul is bf16
+                assert abs(a.score - b.score) < 2e-2
+
+    def test_wave_equals_per_query_on_host_path(self, tmp_path):
+        db = self._mk(tmp_path)
+        s = SearchSession(db, readonly=True)
+        queries = ["parse configuration values", "error handling"]
+        wave = s.search_many(queries, SearchOptions(limit=5))
+        s2 = SearchSession(db, readonly=True)
+        single = [s2.search(q, SearchOptions(limit=5)) for q in queries]
+        for w, g in zip(wave, single):
+            assert [x.chunk_id for x in w.hits] == [x.chunk_id for x in g.hits]
+
+    def test_fts_device_floor_routes_query_args_to_host(self, tmp_path):
+        db = self._mk(tmp_path)
+        s = SearchSession(db, readonly=True)
+        # default floor (50k) — a tiny corpus never builds device postings
+        assert s.fts.device_query_args("parse config", None, 10) is None
+        assert s.fts._dev is None
+        # forcing the floor down re-enables the device leg (test convention)
+        s.fts.device_min_docs = 1
+        assert s.fts.device_query_args("parse config", None, 10) is not None

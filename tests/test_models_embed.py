@@ -129,6 +129,46 @@ class TestHashEmbedder:
         v = e.embed_texts(["some code here"])
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
 
+    def test_bit_rounding_matches_ml_dtypes(self):
+        """The host table's bit-level bf16 rounding must equal ml_dtypes'
+        round-to-nearest-even exactly (the device stores bf16; the host
+        read plane must score with identical values)."""
+        import ml_dtypes
+
+        from codesearch_tpu.models.hash_embedder import _round_bf16_f32
+
+        rng = np.random.default_rng(7)
+        x = np.concatenate([
+            rng.standard_normal(4096).astype(np.float32),
+            np.array([0.0, -0.0, 1.0, -1.0, 1e-38, -1e38, 3.14159], np.float32),
+        ])
+        expect = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(_round_bf16_f32(x), expect)
+
+    def test_host_table_matches_device_table(self):
+        """table_np() values == a device gather of the bf16 table."""
+        import jax.numpy as jnp
+
+        e = HashEmbedder(64)
+        dev = np.asarray(jnp.asarray(e.table, jnp.float32))
+        np.testing.assert_array_equal(e.table_np(), dev)
+
+    def test_table_bits_cache_roundtrip(self, tmp_path, monkeypatch):
+        """Second make_table_host load comes from the cached bits file and
+        is byte-identical to the generated table."""
+        from codesearch_tpu.models.hash_embedder import make_table_host
+
+        monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path))
+        first = make_table_host(32, buckets=1024)
+        cached = list(tmp_path.glob("hash_table_*_1024x32.u16"))
+        assert len(cached) == 1
+        second = make_table_host(32, buckets=1024)
+        np.testing.assert_array_equal(first, second)
+        # corrupt cache (wrong size) falls back to regeneration
+        cached[0].write_bytes(b"\x00\x01\x02")
+        third = make_table_host(32, buckets=1024)
+        np.testing.assert_array_equal(first, third)
+
 
 class TestPrepareText:
     def test_prepare_text_sections(self):

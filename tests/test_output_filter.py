@@ -31,7 +31,10 @@ SPAM = (
 @contextlib.contextmanager
 def fd2_to(sink):
     """Point fd 2 at ``sink`` for the block, restoring the original fd 2
-    (and tearing down any leftover filter) afterwards."""
+    (and tearing down any leftover filter) afterwards. Earlier tests may
+    have installed the process-global filter through cli.main() — clear it
+    first so install() inside the block binds to OUR sink."""
+    uninstall_native_log_filter()
     fd = os.open(sink, os.O_CREAT | os.O_WRONLY)
     saved = os.dup(2)
     os.dup2(fd, 2)

@@ -211,6 +211,9 @@ class TestProductMeshWiring:
         )
         stats = index(root, IndexOptions(quiet=True))
         sess = SearchSession(stats.db_path, readonly=True)
+        # tiny corpora route to the host fast path by default; this test
+        # exists to prove the DEVICE plane is mesh-wired — force it
+        sess.store.host_path_rows = 0
         resp = sess.search("walk source files", SearchOptions(limit=2))
         assert resp.hits and resp.hits[0].path.endswith("a.py")
         assert len(sess.store._device[1].sharding.device_set) == 8
