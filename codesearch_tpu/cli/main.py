@@ -167,10 +167,13 @@ def _apply_platform(platform: str) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    # XLA's AOT-cache loader logs a ~6KB spurious machine-feature-mismatch
-    # error on EVERY persistent-cache hit (CPU backend); TF_CPP_MIN_LOG_LEVEL
-    # is latched before user code when the environment pre-imports jax, so
-    # filter the specific lines at the fd level instead
+    # Native-log hygiene, two layers: TF_CPP_MIN_LOG_LEVEL=2 hides C++
+    # INFO/WARNING chatter where jax is not yet imported (normal installs);
+    # where the environment PRE-imports jax the threshold is already
+    # latched, so the specific spurious ERROR line XLA's AOT-cache loader
+    # emits per persistent-cache hit (~6KB each) is dropped at the fd
+    # level. Genuine native errors pass through both layers.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
     from ..utils.output import install_native_log_filter
 
     install_native_log_filter()

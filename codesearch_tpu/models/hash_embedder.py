@@ -54,71 +54,94 @@ def _round_bf16_f32(x: np.ndarray) -> np.ndarray:
     return r.view(np.float32)
 
 
-def load_table_host(path, dims: int) -> np.ndarray:
-    """Fine-tuned table as bf16-rounded host fp32; falls back to the
-    default table."""
+def load_table_host(path, dims: int) -> np.ndarray | None:
+    """Fine-tuned table as bf16-rounded host fp32; None when missing or
+    invalid (caller falls back to the default table)."""
     try:
         data = np.load(str(path))["table"].astype(np.float32)
         if data.shape[1] != dims:
             raise ValueError(f"table dims {data.shape[1]} != model dims {dims}")
         return _round_bf16_f32(data)
     except Exception:
-        return make_table_host(dims)
+        return None
 
 
 def load_table(path, dims: int, dtype=jnp.bfloat16) -> jax.Array:
     """Load a fine-tuned table; falls back to the deterministic default."""
-    return jnp.asarray(load_table_host(path, dims), dtype)
+    host = load_table_host(path, dims)
+    if host is None:
+        return make_table(dims, dtype=dtype)
+    return jnp.asarray(host, dtype)
 
 
-def make_table_host(dims: int, buckets: int = VOCAB_BUCKETS) -> np.ndarray:
-    """Deterministic random table as bf16-rounded host fp32; rows
+def _table_bits_path(dims: int, buckets: int) -> Path:
+    from ..utils.constants import get_config_dir
+
+    # keyed per backend: threefry BITS are backend-identical, but
+    # random.normal's erf_inv lowering is not guaranteed bit-identical
+    # across backends — a twin must derive from the SAME backend's table
+    backend = jax.default_backend()
+    return (get_config_dir()
+            / f"hash_table_{TABLE_SEED:08x}_{buckets}x{dims}.{backend}.u16")
+
+
+def _load_table_bits(dims: int, buckets: int) -> np.ndarray | None:
+    """Cached bf16 bits of the default table ([buckets*dims] u16), or None."""
+    try:
+        bits = np.fromfile(_table_bits_path(dims, buckets), np.uint16)
+    except OSError:
+        return None
+    return bits if bits.size == buckets * dims else None
+
+
+def _save_table_bits(bits: np.ndarray, dims: int, buckets: int) -> None:
+    """Best-effort atomic write of the default table's bf16 bits."""
+    import os
+
+    cache = _table_bits_path(dims, buckets)
+    try:
+        tmp = Path(f"{cache}.{os.getpid()}.tmp")
+        np.ascontiguousarray(bits, np.uint16).tofile(tmp)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+
+
+def _bits_to_f32(bits: np.ndarray, dims: int, buckets: int) -> np.ndarray:
+    return ((bits.astype(np.uint32) << np.uint32(16))
+            .view(np.float32).reshape(buckets, dims))
+
+
+def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> jax.Array:
+    """Deterministic random table on the DEFAULT backend; rows
     ~N(0, 1/sqrt(d)) (JL projection). The values are the historical jax
     threefry stream — EMBEDDER_VERSION-stable, and measured to rank best
     on the labeled sets (a numpy-Philox regeneration was ablated across
     10 seeds: reference-corpus accuracy 8/9 → 6-8/9, self-corpus 6/9 →
-    2-5/9). Materializing the stream costs ~1 s of single-core work, so
-    the bf16 bits are cached under the config dir (48 MB at the default
-    shape; atomic best-effort write) and later processes load in ~0.1 s —
-    which is what lets the host read plane
-    (VectorStore.search_featurized_host) share the device table's exact
-    values without a device fetch. Generated on the CPU backend: threefry
-    is bit-identical across backends, and a tunneled-TPU rig must not pay
-    a 96 MB transfer (or the tunnel client's host-RSS leak) for it."""
-    import os
+    2-5/9).
 
-    from ..utils.constants import get_config_dir
+    Placement rules (rig-aware): on an accelerator the table is generated
+    ON DEVICE from the 8-byte PRNG key — never uploaded (the experimental
+    tunnel client leaks ~1× of every host→device transfer as host RSS).
+    On the CPU backend, materializing the stream costs ~1 s of single-core
+    erf_inv work, so the bf16 bits are cached under the config dir (48 MB
+    at the default shape; atomic best-effort write) and later processes
+    build the array from them in ~0.1 s. The same bits file feeds the host
+    read plane's twin (HashEmbedder.table_np)."""
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu and dtype == jnp.bfloat16:
+        import ml_dtypes
 
-    cache = None
-    try:
-        cache = (get_config_dir()
-                 / f"hash_table_{TABLE_SEED:08x}_{buckets}x{dims}.u16")
-        bits = np.fromfile(cache, np.uint16)
-        if bits.size == buckets * dims:
-            return ((bits.astype(np.uint32) << np.uint32(16))
-                    .view(np.float32).reshape(buckets, dims))
-    except OSError:
-        pass
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        t = jax.random.normal(
-            jax.random.PRNGKey(TABLE_SEED), (buckets, dims), dtype=jnp.float32
-        )
-        raw = np.asarray(t / math.sqrt(dims))
-    table = _round_bf16_f32(raw)
-    if cache is not None:
-        try:
-            tmp = Path(f"{cache}.{os.getpid()}.tmp")
-            (table.view(np.uint32) >> np.uint32(16)).astype(np.uint16).tofile(tmp)
-            os.replace(tmp, cache)
-        except OSError:
-            pass
-    return table
-
-
-def make_table(dims: int, buckets: int = VOCAB_BUCKETS, dtype=jnp.bfloat16) -> jax.Array:
-    """Device copy of the deterministic default table."""
-    return jnp.asarray(make_table_host(dims, buckets), dtype)
+        bits = _load_table_bits(dims, buckets)
+        if bits is not None:
+            return jnp.asarray(bits.view(ml_dtypes.bfloat16).reshape(buckets, dims))
+    t = jax.random.normal(
+        jax.random.PRNGKey(TABLE_SEED), (buckets, dims), dtype=jnp.float32
+    )
+    t = (t / math.sqrt(dims)).astype(dtype)
+    if on_cpu and dtype == jnp.bfloat16:
+        _save_table_bits(np.asarray(t).view(np.uint16).ravel(), dims, buckets)
+    return t
 
 
 def _featurize_py(text: str) -> tuple[np.ndarray, np.ndarray]:
@@ -219,21 +242,42 @@ class HashEmbedder:
 
     def __init__(self, dims: int, table_path=None):
         self.dims = dims
-        if table_path is not None:
-            host = load_table_host(table_path, dims)
+        self._host_table: np.ndarray | None = None
+        host = load_table_host(table_path, dims) if table_path is not None \
+            else None
+        if host is not None:   # fine-tuned table (small upload, rare path)
+            self.table = jnp.asarray(host, jnp.bfloat16)
+            self._host_table = host
         else:
-            host = make_table_host(dims)
-        self.table = jnp.asarray(host, jnp.bfloat16)
-        # host twin for the small-corpus read plane: the loaders return
-        # bf16-rounded fp32, so host scores equal a device gather's values
-        # exactly. `.table` is only ever reassigned value-preserving (mesh
-        # replication's device_put); trained tables arrive via a fresh
-        # HashEmbedder.
-        self._host_table = host
+            # default table: generated on the DEFAULT backend (on-device on
+            # accelerators — zero upload); host twin resolves lazily
+            self.table = make_table(dims)
 
     def table_np(self) -> np.ndarray:
-        """Host fp32 copy of the device table (same values: bf16-rounded)
-        for VectorStore.search_featurized_host."""
+        """Host fp32 twin of the device table (identical values:
+        bf16-rounded) for VectorStore.search_featurized_host. Lazy — only
+        small-corpus processes pay for it: served from the bits cache when
+        present, else fetched ONCE from the device table (device→host, the
+        leak-free direction on the tunneled rig) and cached to disk for
+        every later process. `.table` is only ever reassigned
+        value-preserving (mesh replication's device_put); trained tables
+        arrive via a fresh HashEmbedder."""
+        if self._host_table is None:
+            bits = _load_table_bits(self.dims, VOCAB_BUCKETS)
+            if bits is not None and self.table.shape == (VOCAB_BUCKETS, self.dims):
+                self._host_table = _bits_to_f32(bits, self.dims, VOCAB_BUCKETS)
+            else:
+                fetched = np.asarray(
+                    jnp.asarray(self.table, jnp.float32)
+                ).astype(np.float32)
+                if self.table.shape == (VOCAB_BUCKETS, self.dims) \
+                        and self.table.dtype == jnp.bfloat16:
+                    _save_table_bits(
+                        (fetched.view(np.uint32) >> np.uint32(16))
+                        .astype(np.uint16).ravel(),
+                        self.dims, VOCAB_BUCKETS,
+                    )
+                self._host_table = fetched
         return self._host_table
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:

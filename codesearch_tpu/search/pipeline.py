@@ -265,13 +265,9 @@ class SearchSession:
                 vv, vi, bv, bi = jax.device_get(dev_out)
                 raw = self.store.rows_to_ids(vv, vi)
                 fused_fts = self.fts.results_from_device(bv, bi, fetch)
-            elif st.get("host_vec"):
-                raw = self.store.search_featurized_host(
-                    hash_model.table_np(), feats[0], feats[1], fetch, raw=True
-                )
             elif fused_kind == "hash":
-                raw = self.store.search_featurized(
-                    hash_model.table, feats[0], feats[1], fetch, raw=True
+                raw = self.store.search_featurized_auto(
+                    hash_model, feats[0], feats[1], fetch, raw=True
                 )
             else:
                 raw = self.store.search_encoded(
@@ -550,20 +546,16 @@ class SearchSession:
                 bm_args = self.fts.device_query_args(
                     query, intent.value if intent else None, fetch
                 )
-        # small-corpus host fast path: when the BM25 leg already routed to
+        # Note the small-corpus host fast path: when the BM25 leg routes to
         # host (bm_args None — device floor or vector-only mode) and the
         # corpus is under the host threshold, the hash-model vector leg
-        # scores in numpy too — the whole query then runs with zero device
-        # dispatches (a one-shot CLI process saves >1 s of trace/load)
-        host_vec = (
-            fused == "hash" and bm_args is None
-            and self.store.wants_host_path()
-        )
+        # scores in numpy too (store.search_featurized_auto) — the whole
+        # query then runs with zero device dispatches (a one-shot CLI
+        # process saves >1 s of trace/load).
         return {
             "query": query, "identifiers": identifiers, "intent": intent,
             "vk": vector_k, "fk": fts_k, "fetch": fetch, "feats": feats,
             "bm": bm_args, "fused": fused, "variants": variants,
-            "host_vec": host_vec,
         }
 
     def search_many(
@@ -660,17 +652,13 @@ class SearchSession:
             if dev_out is None:   # store emptied under us
                 return self._search_many_waves(queries, options)
         elif fused_kind == "hash":
-            # host fast path: a no-BM25 wave over a small corpus scores in
-            # numpy, mirroring the per-query routing (result equivalence
-            # between search() and search_many() is a tested invariant)
-            if all(st.get("host_vec") for st in live):
-                raw_all = self.store.search_featurized_host(
-                    hash_model.table_np(), ids_all, aux_all, kvmax, raw=True
-                )
-            else:
-                raw_all = self.store.search_featurized(
-                    hash_model.table, ids_all, aux_all, kvmax, raw=True
-                )
+            # search_featurized_auto routes a no-BM25 wave over a small
+            # corpus to host numpy, mirroring the per-query routing (result
+            # equivalence between search() and search_many() is a tested
+            # invariant)
+            raw_all = self.store.search_featurized_auto(
+                hash_model, ids_all, aux_all, kvmax, raw=True
+            )
         else:
             raw_all = self.store.search_encoded(
                 backend.params, backend.cfg, ids_all, aux_all, kvmax, raw=True
@@ -735,8 +723,6 @@ class SearchSession:
         if fused_kind is None or options.rerank:
             return [self.search(q, options) for q in queries]
 
-        from ..models.hash_embedder import batch_features
-
         t_all = time.time()
         pending: list[dict | None] = []
         out: list[SearchResponse | None] = [None] * len(queries)
@@ -750,29 +736,11 @@ class SearchSession:
                 out[qi] = cached
                 pending.append(None)
                 continue
-            identifiers = detect_identifiers(query)
-            intent = detect_structural_intent(query)
-            if options.rrf_k is not None:
-                vector_k = fts_k = float(options.rrf_k)
-            else:
-                vector_k, fts_k = adapt_rrf_k(query)
-            variants = [query] if options.no_expand else expand_query(query)
-            if options.mode == "vector":
-                fetch = options.limit * 3
-            elif identifiers:
-                fetch = max(options.limit * 3, 100)
-            else:
-                fetch = max(options.limit * 5, 200)
-            prefixed = [self.service.spec.query_prefix + v for v in variants]
-            if fused_kind == "hash":
-                feats = batch_features(prefixed)
-            else:
-                feats = backend.featurize_queries(prefixed)
-            bm_args = None
-            if options.mode == "hybrid":
-                bm_args = self.fts.device_query_args(
-                    query, intent.value if intent else None, fetch
-                )
+            # ONE planning implementation (_prep_query) — operator
+            # stripping, adaptive depth, variant expansion and the BM25
+            # interval table must not fork from search()'s
+            st = self._prep_query(query, options)
+            feats, bm_args, fetch = st["feats"], st["bm"], st["fetch"]
             if bm_args is not None:
                 if fused_kind == "hash":
                     dev_out = self.store.hybrid_search_featurized(
@@ -785,27 +753,18 @@ class SearchSession:
                         fetch, bm_args, raw=True, defer=True,
                     )
             elif fused_kind == "hash":
-                if self.store.wants_host_path():
-                    # mirror search()'s small-corpus host routing so the
-                    # wave fallback stays result-equivalent
-                    dev_out = self.store.search_featurized_host(
-                        hash_model.table_np(), feats[0], feats[1], fetch,
-                        raw=True,
-                    )
-                else:
-                    dev_out = self.store.search_featurized(
-                        hash_model.table, feats[0], feats[1], fetch, raw=True
-                    )
+                # routed: small corpora score on host (result-equivalent
+                # to search()'s routing by construction)
+                dev_out = self.store.search_featurized_auto(
+                    hash_model, feats[0], feats[1], fetch, raw=True
+                )
             else:
                 dev_out = self.store.search_encoded(
                     backend.params, backend.cfg, feats[0], feats[1], fetch,
                     raw=True,
                 )
-            pending.append({
-                "key": key, "query": query, "identifiers": identifiers,
-                "intent": intent, "vk": vector_k, "fk": fts_k,
-                "fetch": fetch, "dev": dev_out, "hybrid": bm_args is not None,
-            })
+            st.update(key=key, dev=dev_out, hybrid=bm_args is not None)
+            pending.append(st)
         # all dispatches enqueued — do every host-side exact scan now
         for st in pending:
             if st is None or not st["hybrid"] or not st["identifiers"]:

@@ -65,17 +65,11 @@ def device_candidates(stores, service, query: str, kind: str | None, fetch: int)
             if bvv is not None:
                 fres = stores.fts.results_from_device(bvv, bii, fetch)
         elif fused_kind == "hash":
-            if stores.store.wants_host_path():
-                # small corpus + BM25 already on host: score the vector leg
-                # in numpy too (zero device dispatches; same routing as the
-                # session pipeline)
-                vres = stores.store.search_featurized_host(
-                    hb.table_np(), feats[0], feats[1], fetch
-                )[0]
-            else:
-                vres = stores.store.search_featurized(
-                    hb.table, feats[0], feats[1], fetch
-                )[0]
+            # routed: small corpora score the vector leg on host numpy
+            # (same decision point as the session pipeline)
+            vres = stores.store.search_featurized_auto(
+                hb, feats[0], feats[1], fetch
+            )[0]
         else:
             vres = stores.store.search_encoded(
                 backend.params, backend.cfg, feats[0], feats[1], fetch
@@ -159,14 +153,9 @@ def device_candidates_many(stores, service, items):
         vv, vi, bv, bi = jax.device_get(dev_out)
         cids, scores = stores.store.rows_to_ids(vv, vi)
     elif fused_kind == "hash":
-        if stores.store.wants_host_path():
-            cids, scores = stores.store.search_featurized_host(
-                hb.table_np(), ids, aux, kvmax, raw=True
-            )
-        else:
-            cids, scores = stores.store.search_featurized(
-                hb.table, ids, aux, kvmax, raw=True
-            )
+        cids, scores = stores.store.search_featurized_auto(
+            hb, ids, aux, kvmax, raw=True
+        )
     else:
         cids, scores = stores.store.search_encoded(
             backend.params, backend.cfg, ids, aux, kvmax, raw=True

@@ -168,7 +168,7 @@ def get_global_models_cache_dir() -> Path:
 # weights change for indexes with non-ASCII identifiers); a mismatch forces
 # full re-embedding, like the reference's model-change invalidation
 # (cache/file_meta.rs:86-92). NOTE: the hash table's bf16 VALUES are part
-# of this contract — make_table_host pins the historical threefry stream
+# of this contract — make_table pins the historical threefry stream
 # (a Philox regeneration was ablated and ranks worse; see its docstring).
 EMBEDDER_VERSION = 4
 

@@ -16,8 +16,14 @@ _QUIET = False
 _LOCK = threading.Lock()
 
 # stderr lines containing any of these are spurious native-library spam
-# (see install_native_log_filter)
-NATIVE_SPAM_PATTERNS = (b"cpu_aot_loader.cc",)
+# (see install_native_log_filter). Deliberately NARROW: XLA's AOT loader
+# complains about its own tuning pseudo-features (+prefer-no-scatter /
+# +prefer-no-gather), which never appear in a host CPUID list — so the
+# line fires even on the very host that wrote the cache entry. A GENUINE
+# cross-machine mismatch names a real ISA feature ("Target machine
+# feature +avx512f is not supported") and passes through, preserving the
+# one diagnostic that precedes a SIGILL.
+NATIVE_SPAM_PATTERNS = (b"Target machine feature +prefer-no-",)
 _FILTER_STATE: dict | None = None
 _STDERR_WAS_TTY: bool | None = None
 
@@ -42,8 +48,11 @@ def _might_be_spam_prefix(tail: bytes) -> bool:
     interactive \\r progress updates keep streaming."""
     if any(p in tail for p in NATIVE_SPAM_PATTERNS):
         return True
-    return len(tail) < 64 and len(tail) > 0 and tail[0:1] in b"EWIF" \
-        and tail[1:2].isdigit()
+    if not tail or len(tail) >= 256 or tail[0:1] not in b"EWIF":
+        return False
+    # one-byte tail: could still become a glog prefix — hold it (forwarding
+    # would strand an orphan severity byte when the rest gets dropped)
+    return len(tail) == 1 or tail[1:2].isdigit()
 
 
 def install_native_log_filter() -> None:

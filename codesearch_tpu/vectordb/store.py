@@ -1295,6 +1295,21 @@ class VectorStore:
         executable (constants.HOST_PATH_ROWS; instance knob for tests)."""
         return 0 < self._rows <= self.host_path_rows
 
+    def search_featurized_auto(
+        self, model, ids: np.ndarray, weights: np.ndarray, limit: int,
+        raw: bool = False,
+    ):
+        """ONE routing point between the fused device dispatch and the
+        small-corpus host twin, shared by every read surface (session
+        pipeline, wave paths, server read plane) so the host/device
+        decision cannot drift between them. ``model`` is the hash embedder
+        (provides both `.table` and `.table_np()`)."""
+        if self.wants_host_path():
+            return self.search_featurized_host(
+                model.table_np(), ids, weights, limit, raw=raw
+            )
+        return self.search_featurized(model.table, ids, weights, limit, raw=raw)
+
     def search_featurized_host(
         self, table_np: np.ndarray, ids: np.ndarray, weights: np.ndarray,
         limit: int, raw: bool = False,

@@ -154,20 +154,47 @@ class TestHashEmbedder:
         np.testing.assert_array_equal(e.table_np(), dev)
 
     def test_table_bits_cache_roundtrip(self, tmp_path, monkeypatch):
-        """Second make_table_host load comes from the cached bits file and
-        is byte-identical to the generated table."""
-        from codesearch_tpu.models.hash_embedder import make_table_host
+        """On the CPU backend make_table writes the bf16 bits cache; later
+        loads (device table AND host twin) are byte-identical to the
+        generated values, and a corrupt cache falls back to regeneration."""
+        import jax.numpy as jnp
+
+        from codesearch_tpu.models.hash_embedder import make_table
 
         monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path))
-        first = make_table_host(32, buckets=1024)
-        cached = list(tmp_path.glob("hash_table_*_1024x32.u16"))
+        first = np.asarray(jnp.asarray(make_table(32, buckets=1024),
+                                       jnp.float32))
+        cached = list(tmp_path.glob("hash_table_*_1024x32.*.u16"))
         assert len(cached) == 1
-        second = make_table_host(32, buckets=1024)
+        second = np.asarray(jnp.asarray(make_table(32, buckets=1024),
+                                        jnp.float32))
         np.testing.assert_array_equal(first, second)
         # corrupt cache (wrong size) falls back to regeneration
         cached[0].write_bytes(b"\x00\x01\x02")
-        third = make_table_host(32, buckets=1024)
+        third = np.asarray(jnp.asarray(make_table(32, buckets=1024),
+                                       jnp.float32))
         np.testing.assert_array_equal(first, third)
+
+    def test_table_np_lazy_fetch_writes_bits_cache(self, tmp_path, monkeypatch):
+        """Default-shape embedders resolve table_np from the device table
+        when no bits cache exists, then persist it for later processes."""
+        import codesearch_tpu.models.hash_embedder as he
+
+        monkeypatch.setenv("CODESEARCH_HOME", str(tmp_path))
+        e = he.HashEmbedder(16)   # default bucket count, tiny dims
+        # simulate a cold cache (make_table on CPU writes it eagerly)
+        for f in tmp_path.glob("hash_table_*.u16"):
+            f.unlink()
+        e._host_table = None
+        host = e.table_np()
+        import jax.numpy as jnp
+
+        dev = np.asarray(jnp.asarray(e.table, jnp.float32))
+        np.testing.assert_array_equal(host, dev)
+        assert list(tmp_path.glob("hash_table_*x16.*.u16"))
+        # a second embedder now loads the twin straight from the bits
+        e2 = he.HashEmbedder(16)
+        np.testing.assert_array_equal(e2.table_np(), dev)
 
 
 class TestPrepareText:

@@ -107,6 +107,24 @@ class TestNativeLogFilter:
             uninstall_native_log_filter()
         assert b"E9 short h" in sink.read_bytes()
 
+    def test_genuine_cross_machine_mismatch_passes_through(self, tmp_path):
+        """A REAL machine-feature mismatch (names an actual ISA feature) is
+        the one diagnostic preceding a SIGILL — it must NOT be dropped."""
+        real = (
+            b"E0818 01:52:07.357736 8967 cpu_aot_loader.cc:210] Loading "
+            b"XLA:CPU AOT result. Target machine feature +avx512f is not "
+            b"supported on the host machine.\n"
+        )
+        sink = tmp_path / "stderr.txt"
+        with fd2_to(sink):
+            install_native_log_filter()
+            os.write(2, real)
+            os.write(2, SPAM)
+            uninstall_native_log_filter()
+        out = sink.read_bytes()
+        assert b"+avx512f" in out
+        assert b"+prefer-no-" not in out
+
     def test_stderr_isatty_survives_filter(self, tmp_path):
         with fd2_to(tmp_path / "stderr.txt"):
             install_native_log_filter()
@@ -119,7 +137,8 @@ class TestNativeLogFilter:
 class TestPrefixHeuristic:
     def test_glog_prefixes_held(self):
         assert _might_be_spam_prefix(b"E0818 01:52:07")
-        assert _might_be_spam_prefix(b"E0818 01:52 cpu_aot_loader.cc:210] x" * 4)
+        assert _might_be_spam_prefix(SPAM[:80])
+        assert _might_be_spam_prefix(b"E")  # 1-byte tail: no orphan bytes
 
     def test_ordinary_partials_forwarded(self):
         assert not _might_be_spam_prefix(b"\r\x1b[2Kindexing: 5/10")
