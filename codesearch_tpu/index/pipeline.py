@@ -61,6 +61,9 @@ class IndexOptions:
     int8: bool = False              # quantized device corpus (halves HBM)
     global_db: bool = False         # place db under ~/.codesearch/dbs/
     dry_run: bool = False           # preview what would be indexed, no writes
+    # extra top-level names for the walker to skip (benchmark harnesses
+    # exclude self-referential dirs; mirrors FileWalker.extra_excludes)
+    extra_excludes: tuple = ()
 
 
 @dataclass
@@ -260,7 +263,9 @@ def index(
 
     if options.dry_run:
         # preview (index/mod.rs --dry-run): walk + diff, no writes
-        files, walk_stats = FileWalker(root).walk()
+        files, walk_stats = FileWalker(
+            root, extra_excludes=list(options.extra_excludes)
+        ).walk()
         stats.files_walked = len(files)
         fm = FileMetaStore.load_or_create(db_path, service.model_name)
         for f in files:
@@ -280,7 +285,10 @@ def index(
         return stats
 
     db_path.mkdir(parents=True, exist_ok=True)
-    ensure_db_ignored(root)
+    # only touch the project's .gitignore when the db actually lives inside
+    # it — an external --store must not write into a tree we don't own
+    if db_path.parent == root:
+        ensure_db_ignored(root)
     if stores is not None:
         store, fts = stores
     else:
@@ -291,7 +299,9 @@ def index(
     file_meta = FileMetaStore.load_or_create(db_path, service.model_name)
 
     # ---- phase 1: walk --------------------------------------------------
-    files, walk_stats = FileWalker(root).walk()
+    files, walk_stats = FileWalker(
+        root, extra_excludes=list(options.extra_excludes)
+    ).walk()
     stats.files_walked = len(files)
     if walk_stats.by_language:
         stats.primary_language = max(walk_stats.by_language.items(), key=lambda kv: kv[1])[0]

@@ -173,6 +173,43 @@ def passes_operators(content: str, req_matchers, excl_matchers) -> bool:
     return not any(_matches(mt, body) for mt in excl_matchers)
 
 
+# -- test-code down-weight (beyond the reference) ---------------------------
+# "how do we detect binary files" should land on the implementation, not the
+# test that exercises it — test files restate query terms ("test detect
+# binary") and routinely outrank the code they cover. Demote test-convention
+# paths at the boost stage UNLESS the query itself asks about tests. The
+# factor (1/1.15) mirrors the kind boost's magnitude, so an intent-matched
+# implementation cleanly outranks an intent-matched test without burying
+# tests entirely.
+TEST_PATH_PENALTY = 1.0 / 1.15
+
+_TEST_DIR_RE = _re.compile(r"(?:^|/)(?:tests?|__tests__|testing|spec)(?:/|$)")
+_TEST_FILE_RE = _re.compile(
+    r"(?:^|/)(?:test_[^/]*|conftest\.py"
+    r"|[^/]*(?:_test|\.test|\.spec|Test|Tests|Spec)\.[A-Za-z0-9]+)$"
+)
+_TEST_INTENT_WORDS = frozenset({
+    "test", "tests", "testing", "tested", "unittest", "pytest", "spec",
+    "specs", "fixture", "fixtures", "mock", "mocks", "mocking", "conftest",
+    "testcase", "assert", "assertion", "assertions",
+})
+
+
+def is_test_path(path: str) -> bool:
+    """Does ``path`` follow a test-code convention? (tests/ directories,
+    test_*.py / conftest.py, *_test.go, *.test.ts / *.spec.ts, FooTest.java
+    — lowercase '...test.py' like 'latest.py' is NOT a test.)"""
+    p = path.replace("\\", "/")
+    return bool(_TEST_DIR_RE.search(p) or _TEST_FILE_RE.search(p))
+
+
+def query_wants_tests(query: str) -> bool:
+    """Is the query itself about tests? (then test files are the answer
+    and the demotion is skipped)."""
+    return any(t in _TEST_INTENT_WORDS
+               for t in _re.findall(r"[a-z]+", query.casefold()))
+
+
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}
 _QUESTION_FILLER = {
     "do", "does", "did", "we", "i", "you", "is", "are", "was", "were",

@@ -373,12 +373,20 @@ class SearchSession:
         # quoted spans are hard phrase constraints and -term/-"phrase" are
         # MustNot exclusions (tantivy QueryParser parity): checked at
         # materialization since the index is position-free
-        from .analysis import compile_operators, parse_operators, passes_operators
+        from .analysis import (
+            TEST_PATH_PENALTY,
+            compile_operators,
+            is_test_path,
+            parse_operators,
+            passes_operators,
+            query_wants_tests,
+        )
 
         _retr, op_requirements, op_exclusions = parse_operators(query)
         req_matchers, excl_matchers = compile_operators(
             op_requirements, op_exclusions
         )
+        wants_tests = query_wants_tests(query)
         has_ops = bool(req_matchers or excl_matchers)
         unbounded = bool(
             options.path_filter or options.min_score is not None
@@ -410,6 +418,8 @@ class SearchSession:
                 score *= LANGUAGE_BOOST
             if intent is not None and meta.kind == intent.value:
                 score *= KIND_BOOST
+            if not wants_tests and is_test_path(meta.path):
+                score *= TEST_PATH_PENALTY
             hits.append(
                 SearchHit(
                     chunk_id=f.chunk_id,

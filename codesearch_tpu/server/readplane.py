@@ -289,11 +289,19 @@ def rank_candidates(
     # quoted spans are hard phrase constraints; -term/-"phrase" are MustNot
     # exclusions (tantivy QueryParser parity) — ONE shared implementation
     # with the session pipeline (analysis.passes_operators)
-    from ..search.analysis import compile_operators, parse_operators, passes_operators
+    from ..search.analysis import (
+        TEST_PATH_PENALTY,
+        compile_operators,
+        is_test_path,
+        parse_operators,
+        passes_operators,
+        query_wants_tests,
+    )
 
     _retr, op_requirements, op_exclusions = parse_operators(query)
     req_matchers, excl_matchers = compile_operators(op_requirements, op_exclusions)
     has_ops = bool(req_matchers or excl_matchers)
+    wants_tests = query_wants_tests(query)
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
@@ -310,6 +318,8 @@ def rank_candidates(
             score *= 1.2
         if kind and meta.kind == kind:
             score *= 1.15
+        if not wants_tests and is_test_path(meta.path):
+            score *= TEST_PATH_PENALTY
         scored.append((score, f.chunk_id, meta))
     scored.sort(key=lambda x: -x[0])
     return scored[:limit]

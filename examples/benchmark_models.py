@@ -49,121 +49,46 @@ FALSE_POSITIVE_QUERY = "kubernetes deployment yaml"
 
 def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
                   hybrid: bool = False, exclude: list[str] | None = None):
+    """Index ``corpus`` and answer the labeled queries through the REAL
+    product pipeline (index() + SearchSession.search) — query analysis,
+    expansion, fusion, boosts and the test-path demotion are all measured,
+    exactly what a user gets. The reference's harness likewise drives its
+    real search path (examples/benchmark_models.rs:16-90)."""
     corpus = corpus.resolve()
-    import numpy as np
-
-    from codesearch_tpu.chunker import SemanticChunker
-    from codesearch_tpu.embed import EmbeddingService
-    from codesearch_tpu.fileio import FileWalker
-    from codesearch_tpu.fts import FtsStore
-    from codesearch_tpu.rerank import rrf_fusion_with_exact
-    from codesearch_tpu.search.analysis import adapt_rrf_k, detect_identifiers
-    from codesearch_tpu.vectordb import ChunkMetadata, VectorStore
+    import shutil
     import tempfile
 
-    print(f"collecting files from {corpus} ...")
-    files, _ = FileWalker(corpus, extra_excludes=exclude or []).walk()
-    print(f"  {len(files)} indexable files")
-    chunker = SemanticChunker(100, 4000, 5)
-    all_chunks = []
-    for f in files:
-        try:
-            content = f.path.read_text(errors="replace")
-        except OSError:
-            continue
-        rel = f.path.relative_to(corpus)
-        all_chunks.extend(chunker.chunk_semantic(f.language, rel, content))
-    print(f"  {len(all_chunks)} chunks")
+    import numpy as np
+
+    from codesearch_tpu.index.pipeline import IndexOptions, index
+    from codesearch_tpu.search.pipeline import SearchOptions, SearchSession
 
     # pay the tunneled-TPU first-transfer init outside the timed sections
     from codesearch_tpu.utils.device import wait_for_warmup
 
     wait_for_warmup(timeout=600)
 
+    mode = "hybrid" if hybrid else "vector"
     rows = []
     for model_name in models:
         print(f"\n=== {model_name} ===")
+        tmp = Path(tempfile.mkdtemp())
+        db = tmp / "db"
         t0 = time.time()
-        svc = EmbeddingService(model_name, use_persistent_cache=False)
-        load_s = time.time() - t0
-        t0 = time.time()
-        embedded = svc.embed_chunks(all_chunks)
+        stats = index(corpus, IndexOptions(
+            model=model_name, quiet=True, store_path=db,
+            extra_excludes=tuple(exclude or ()),
+        ))
         index_s = time.time() - t0
-        store = VectorStore(Path(tempfile.mkdtemp()) / "db", dims=svc.dims)
-        metas = [
-            ChunkMetadata(
-                path=e.chunk.path, content=e.chunk.content,
-                start_line=e.chunk.start_line, end_line=e.chunk.end_line,
-                kind=e.chunk.kind.value, context=e.chunk.context,
-                signature=e.chunk.signature, docstring=e.chunk.docstring,
-            )
-            for e in embedded
-        ]
-        ids = store.insert_chunks_with_ids(
-            np.stack([e.embedding for e in embedded]), metas
-        )
-        store.build_index()
-        fts = None
-        if hybrid:
-            fts = FtsStore(Path(tempfile.mkdtemp()) / "fts")
-            fts.add_chunks([
-                (cid, m.content, m.path, m.signature, m.kind)
-                for cid, m in zip(ids, metas)
-            ])
-            fts.commit()
+        n_chunks = stats.chunks_added
+        t0 = time.time()
+        session = SearchSession(db, readonly=True)
+        load_s = time.time() - t0
 
         def _search(query, limit=3):
-            from codesearch_tpu.search.analysis import expand_query
-
-            variants = expand_query(query)
-            hb = getattr(svc.backend, "model", None)
-            if hb is not None and hasattr(hb, "table"):
-                # single-dispatch path (featurize → embed+top-k in one call)
-                # over the expanded variants, matching the product pipeline
-                from codesearch_tpu.models.hash_embedder import batch_features
-
-                ids_q, ws_q = batch_features(
-                    [svc.spec.query_prefix + v for v in variants]
-                )
-                per_variant = store.search_featurized(
-                    hb.table, ids_q, ws_q, limit * 3
-                )
-            else:
-                per_variant = [
-                    store.search(svc.embed_query(v), limit * 3)
-                    for v in variants
-                ]
-            # best score per chunk across variants (search/mod.rs:513-590)
-            best: dict[int, object] = {}
-            for results in per_variant:
-                for r in results:
-                    if (r.chunk_id not in best
-                            or r.score > best[r.chunk_id].score):
-                        best[r.chunk_id] = r
-            vres = sorted(best.values(), key=lambda r: -r.score)[:limit * 3]
-            if fts is None:
-                return vres[:limit]
-            vk, fk = adapt_rrf_k(query)
-            fres = fts.search(query, limit * 3)
-            eres = []
-            for ident in detect_identifiers(query):
-                eres.extend(fts.search_exact(ident, limit=limit * 3))
-            fused = rrf_fusion_with_exact(
-                [(r.chunk_id, r.score) for r in vres],
-                [(r.chunk_id, r.score) for r in fres],
-                [(r.chunk_id, r.score) for r in eres],
-                vector_k=vk, fts_k=fk,
-            )
-            by_id = {r.chunk_id: r for r in vres}
-
-            class _Hit:
-                def __init__(self, cid, score):
-                    meta = by_id[cid].metadata if cid in by_id else store.get_chunk(cid)
-                    self.metadata = meta
-                    self.score = score
-
-            return [_Hit(f.chunk_id, f.rrf_score) for f in fused[:limit]
-                    if f.chunk_id in by_id or store.get_chunk(f.chunk_id)]
+            return session.search(
+                query, SearchOptions(limit=limit, mode=mode)
+            ).hits
 
         hits, scores, q_times = 0, [], []
         for query, expect in queries:
@@ -172,21 +97,22 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             res = _search(query + " ", 3)  # cache-busting suffix, same shapes
             q_times.append(time.time() - t0)
             res = _search(query, 3)
-            ok = any(expect in r.metadata.path for r in res)
+            ok = any(expect in h.path for h in res)
             hits += ok
             if res:
                 scores.append(res[0].score)
-            print(f"  {'✓' if ok else '✗'} {query!r} → {res[0].metadata.path if res else '-'}")
-        fp = store.search(svc.embed_query(FALSE_POSITIVE_QUERY), 1)
+            print(f"  {'✓' if ok else '✗'} {query!r} → "
+                  f"{res[0].path if res else '-'}")
+        fp = _search(FALSE_POSITIVE_QUERY, 1)
         fp_score = fp[0].score if fp else 0.0
         acc = hits / len(queries)
         row = {
             "model": model_name,
-            "dims": svc.dims,
-            "chunks": len(all_chunks),
+            "dims": session.service.dims,
+            "chunks": n_chunks,
             "load_s": round(load_s, 2),
             "index_s": round(index_s, 2),
-            "chunks_per_s": round(len(all_chunks) / max(index_s, 1e-9)),
+            "chunks_per_s": round(n_chunks / max(index_s, 1e-9)),
             "accuracy": f"{hits}/{len(queries)} ({acc:.0%})",
             "avg_score": round(float(np.mean(scores)), 3) if scores else 0.0,
             "avg_query_ms": round(1000 * float(np.mean(q_times)), 2),
@@ -196,11 +122,14 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
         print(f"  accuracy={row['accuracy']} avg_score={row['avg_score']} "
               f"query={row['avg_query_ms']}ms index={index_s:.1f}s "
               f"({row['chunks_per_s']} chunks/s)")
+        shutil.rmtree(tmp, ignore_errors=True)
 
     if out:
         cols = list(rows[0].keys())
         lines = ["# Model benchmark", "",
-                 f"corpus: `{corpus}` — {len(all_chunks)} chunks", "",
+                 f"corpus: `{corpus}` — {rows[-1]['chunks']} chunks "
+                 f"(product pipeline: index() + SearchSession, "
+                 f"mode={mode})", "",
                  "| " + " | ".join(cols) + " |",
                  "|" + "---|" * len(cols)]
         for r in rows:
@@ -225,9 +154,11 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
     queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
-    # the reference labels expect src/… paths and the query strings live in
-    # examples/benchmark_models.rs — exclude self-referential directories
-    exclude = ["examples", "benchmarks"] if args.queries == "reference" else []
+    # exclude self-referential directories for BOTH corpora: the labeled
+    # query strings live verbatim in examples/benchmark_models.{rs,py} and
+    # benchmarks/*.md, and a literal copy of a query always outranks the
+    # code it asks about
+    exclude = ["examples", "benchmarks"]
     run_benchmark(args.corpus, args.models.split(","), queries, args.out,
                   hybrid=args.hybrid, exclude=exclude)
     return 0

@@ -1199,3 +1199,54 @@ class TestHostFastPath:
         # forcing the floor down re-enables the device leg (test convention)
         s.fts.device_min_docs = 1
         assert s.fts.device_query_args("parse config", None, 10) is not None
+
+
+class TestTestPathDemotion:
+    """Test-convention files are demoted at the boost stage unless the
+    query itself asks about tests (beyond the reference: its labeled sets
+    show tests restating query terms and outranking the implementation)."""
+
+    def test_is_test_path(self):
+        from codesearch_tpu.search.analysis import is_test_path
+
+        for p in ("tests/test_fts.py", "a/b/test/util.go", "conftest.py",
+                  "src/__tests__/app.tsx", "pkg/store_test.go",
+                  "web/app.spec.ts", "web/app.test.ts",
+                  "src/FooTest.java", "Specs/ParserSpec.cs"):
+            assert is_test_path(p), p
+        for p in ("src/store.py", "latest.py", "contest.js", "attest.go",
+                  "src/protest/x.py", "testament/scroll.py",
+                  "detesting.rs", "src/testing.py"):
+            assert not is_test_path(p), p
+
+    def test_query_wants_tests(self):
+        from codesearch_tpu.search.analysis import query_wants_tests
+
+        assert query_wants_tests("unit tests for the chunker")
+        assert query_wants_tests("where do we mock the embedder")
+        assert query_wants_tests("pytest fixtures for stores")
+        assert not query_wants_tests("where do we detect binary files")
+        assert not query_wants_tests("latest protest attestation")
+
+    def test_implementation_outranks_test(self, tmp_path):
+        root = tmp_path / "repo"
+        (root / "tests").mkdir(parents=True)
+        (root / "binary.py").write_text(
+            "def detect_binary(path):\n"
+            '    """Detect binary files by null bytes."""\n'
+            "    return b'\\0' in open(path, 'rb').read(512)\n"
+        )
+        (root / "tests" / "test_binary.py").write_text(
+            "def test_detect_binary_files(tmp_path):\n"
+            '    """Test that we detect binary files correctly."""\n'
+            "    assert detect_binary\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        got = s.search("detect binary files", SearchOptions(limit=2))
+        assert got.hits and got.hits[0].path.endswith("binary.py"), \
+            [h.path for h in got.hits]
+        # a test-intent query keeps the test file competitive (no penalty)
+        got_t = s.search("test that binary files are detected",
+                         SearchOptions(limit=2))
+        assert any("test_binary.py" in h.path for h in got_t.hits)
