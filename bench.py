@@ -218,6 +218,13 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
 
 def main() -> None:
     import jax
+
+    # BENCH_PLATFORM=cpu runs the whole harness on the CPU backend (smoke
+    # tests / tunnel outages). Env vars like JAX_PLATFORMS are consumed by
+    # this rig's sitecustomize before user code, so only jax.config works.
+    plat = os.environ.get("BENCH_PLATFORM", "")
+    if plat and plat != "auto":
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     import numpy as np
 
@@ -313,41 +320,47 @@ def main() -> None:
     embed_cps = 1024 * reps / (time.time() - t0)
 
     # (b) flagship BERT-class encoder (bge-small arch, 12L/384H), seq 128 —
-    # the reference's CPU ONNX path embeds ~51 chunks/s (demongrep_vs_osgrep)
-    from codesearch_tpu.models.encoder import encode, init_params
-    from codesearch_tpu.models.registry import MODELS
+    # the reference's CPU ONNX path embeds ~51 chunks/s (demongrep_vs_osgrep).
+    # BENCH_ENCODER=0 skips these rows (a 256×512 12-layer forward is
+    # minutes-per-rep on a CPU smoke run; the driver's TPU run keeps them).
+    bert_cps = bert_cps_512 = bert_cps_mixed = 0.0
+    if bool(int(os.environ.get("BENCH_ENCODER", "1"))):
+        from codesearch_tpu.models.encoder import encode, init_params
+        from codesearch_tpu.models.registry import MODELS
 
-    cfg = MODELS["bge-small"].arch
-    params = init_params(jax.random.PRNGKey(3), cfg)
+        cfg = MODELS["bge-small"].arch
+        params = init_params(jax.random.PRNGKey(3), cfg)
 
-    def bench_encode(bsz: int, seq: int, reps: int = 5) -> float:
-        bids = jax.random.randint(
-            jax.random.PRNGKey(4), (bsz, seq), 0, cfg.vocab_size, jnp.int32
-        )
-        bmask = jnp.ones((bsz, seq), jnp.int32)
-        out_b = encode(params, bids, bmask, cfg)
-        out_b.block_until_ready()
-        t0 = time.time()
-        for _ in range(reps):
+        def bench_encode(bsz: int, seq: int, reps: int = 5) -> float:
+            bids = jax.random.randint(
+                jax.random.PRNGKey(4), (bsz, seq), 0, cfg.vocab_size, jnp.int32
+            )
+            bmask = jnp.ones((bsz, seq), jnp.int32)
             out_b = encode(params, bids, bmask, cfg)
-        out_b.block_until_ready()
-        return bsz * reps / (time.time() - t0)
+            out_b.block_until_ready()
+            t0 = time.time()
+            for _ in range(reps):
+                out_b = encode(params, bids, bmask, cfg)
+            out_b.block_until_ready()
+            return bsz * reps / (time.time() - t0)
 
-    bert_cps = bench_encode(256, 128)
-    # seq-512 = worst-case long chunks (real usage buckets 16..512); this is
-    # matmul-envelope-bound: ~26.6 GFLOPs/chunk against the ~40 TF envelope
-    # this chip sustains on h=384-wide shapes
-    bert_cps_512 = bench_encode(256, 512)
-    # realistic MIXED-length indexing throughput: the bucket distribution
-    # measured on the reference corpus itself (prepare_text → tokenizer,
-    # pow2 buckets; 1,149 chunks, mean 160 tokens): what a real `index` run
-    # pays per chunk, not the all-512 worst case
-    mix = [(32, 0.084), (64, 0.218), (128, 0.316), (256, 0.185), (512, 0.198)]
-    per_bucket_cps = {seq: bench_encode(256, seq, reps=3) for seq, _ in mix}
-    # harmonic mix: seconds/chunk weighted by bucket frequency
-    bert_cps_mixed = 1.0 / sum(
-        frac / max(per_bucket_cps[seq], 1e-9) for seq, frac in mix
-    )
+        bert_cps = bench_encode(256, 128)
+        # seq-512 = worst-case long chunks (real usage buckets 16..512); this
+        # is matmul-envelope-bound: ~26.6 GFLOPs/chunk against the ~40 TF
+        # envelope this chip sustains on h=384-wide shapes
+        bert_cps_512 = bench_encode(256, 512)
+        # realistic MIXED-length indexing throughput: the bucket distribution
+        # measured on the reference corpus itself (prepare_text → tokenizer,
+        # pow2 buckets; 1,149 chunks, mean 160 tokens): what a real `index`
+        # run pays per chunk, not the all-512 worst case
+        mix = [(32, 0.084), (64, 0.218), (128, 0.316), (256, 0.185),
+               (512, 0.198)]
+        per_bucket_cps = {seq: bench_encode(256, seq, reps=3)
+                          for seq, _ in mix}
+        # harmonic mix: seconds/chunk weighted by bucket frequency
+        bert_cps_mixed = 1.0 / sum(
+            frac / max(per_bucket_cps[seq], 1e-9) for seq, frac in mix
+        )
 
     product = bench_product(PRODUCT_ROWS) if PRODUCT_ROWS else None
     # second product row: the model-agnostic fused read plane with a real
