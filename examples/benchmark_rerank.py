@@ -59,6 +59,9 @@ def main() -> int:
     print(f"indexing {args.corpus} ...")
     stats = index(args.corpus, IndexOptions(
         quiet=True, store_path=work / "db", model="code-hash-384",
+        # the labeled query strings live verbatim in examples/ and
+        # benchmarks/ — a literal copy always outranks the code it asks for
+        extra_excludes=("examples", "benchmarks"),
     ))
     print(f"  {stats.chunks_added} chunks")
 
