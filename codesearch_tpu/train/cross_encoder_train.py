@@ -89,9 +89,14 @@ def train_cross_encoder(
     batch_size: int = 32,
     learning_rate: float = 3e-4,
     seed: int = 0,
+    hard_negatives: list[list[str]] | None = None,
 ):
     """Returns (params, head, tokenizer, losses). ``pairs`` are positives;
-    in-batch shuffled docs are the negatives."""
+    in-batch shuffled docs are easy negatives, and — when provided —
+    ``hard_negatives[i]`` are retriever-confusable documents for pair i
+    (train/data.mine_hard_negatives): the reranker's whole job is
+    discriminating within a retrieved candidate list, so it must train
+    against the retriever's own confusions."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -132,14 +137,30 @@ def train_cross_encoder(
         order = rng.permutation(len(pairs))
         epoch_losses = []
         for i in range(0, len(order) - eff_bs + 1, eff_bs):
-            batch = [pairs[j] for j in order[i : i + eff_bs]]
+            take = order[i : i + eff_bs]
+            batch = [pairs[j] for j in take]
             qs = [p.query for p in batch]
             docs = [p.doc for p in batch]
-            # negatives: derangement-ish shuffle of the docs
+            # easy negatives: derangement-ish shuffle of the docs
             neg = docs[1:] + docs[:1]
-            ids, tt, mask = _pair_batch(tok, qs + qs, docs + neg, cfg.max_len)
+            all_q = qs + qs
+            all_d = docs + neg
+            n_neg = len(batch)
+            if hard_negatives is not None:
+                # one hard negative per positive, cycling through each
+                # pair's mined list across epochs
+                hq, hd = [], []
+                for pos, j in enumerate(take):
+                    negs = hard_negatives[j]
+                    if negs:
+                        hq.append(qs[pos])
+                        hd.append(negs[_epoch % len(negs)])
+                all_q += hq
+                all_d += hd
+                n_neg += len(hq)
+            ids, tt, mask = _pair_batch(tok, all_q, all_d, cfg.max_len)
             labels = np.concatenate(
-                [np.ones(len(batch), np.float32), np.zeros(len(batch), np.float32)]
+                [np.ones(len(batch), np.float32), np.zeros(n_neg, np.float32)]
             )
             import jax.numpy as jnp
 
@@ -215,10 +236,17 @@ def train_and_export(
     models_dir: Path,
     cfg: ArchConfig = SMALL_CE_CFG,
     epochs: int = 3,
+    mine_negatives: bool = True,
     **kw,
 ) -> tuple[Path, list[float]]:
     """Train on mined pairs and install under ``local-cross-encoder`` in
-    the models cache — NeuralReranker picks it up automatically."""
+    the models cache — NeuralReranker picks it up automatically. By
+    default retriever-mined hard negatives are added (the easy-negative
+    model measured WORSE than no rerank at top-1)."""
+    if mine_negatives and "hard_negatives" not in kw:
+        from .data import mine_hard_negatives
+
+        kw["hard_negatives"] = mine_hard_negatives(pairs)
     params, head, _tok, losses = train_cross_encoder(
         pairs, cfg=cfg, epochs=epochs, **kw
     )

@@ -110,3 +110,44 @@ class TestCheckpoint:
 
     def test_latest_empty(self, tmp_path):
         assert latest_step(tmp_path / "none") is None
+
+
+class TestHardNegatives:
+    def test_mined_negatives_are_confusable_and_not_self(self):
+        from codesearch_tpu.train.data import Pair, mine_hard_negatives
+
+        pairs = [
+            Pair("parse configuration values",
+                 "def parse_config(path):\n    return read(path)"),
+            Pair("parse yaml configuration",
+                 "def parse_yaml_config(path):\n    return yaml.load(path)"),
+            Pair("walk the directory tree",
+                 "def walk_tree(root):\n    return list(root.rglob('*'))"),
+            Pair("render a triangle",
+                 "def draw_triangle(canvas):\n    canvas.fill()"),
+        ]
+        negs = mine_hard_negatives(pairs, k=2)
+        assert len(negs) == len(pairs)
+        for p, nl in zip(pairs, negs):
+            assert p.doc not in nl
+            assert 0 < len(nl) <= 2
+        # the config query's hardest negative is the OTHER config doc,
+        # not the graphics one
+        assert "yaml" in negs[0][0]
+
+    def test_train_accepts_hard_negatives(self, tmp_path):
+        from codesearch_tpu.models.registry import ArchConfig
+        from codesearch_tpu.train.cross_encoder_train import train_cross_encoder
+        from codesearch_tpu.train.data import Pair
+
+        pairs = [Pair(f"query {i} topic_{i % 3}",
+                      f"def handler_{i}(x):\n    return topic_{i % 3}(x)")
+                 for i in range(12)]
+        negs = [[pairs[(i + 1) % 12].doc] for i in range(12)]
+        _, _, _, losses = train_cross_encoder(
+            pairs,
+            cfg=ArchConfig(vocab_size=2048, hidden=32, layers=1, heads=4,
+                           intermediate=64, max_len=64, pooling="cls"),
+            epochs=2, batch_size=6, hard_negatives=negs,
+        )
+        assert losses and all(np.isfinite(v) for v in losses)
