@@ -217,6 +217,9 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
 
 
 def main() -> None:
+    from codesearch_tpu.utils.output import install_native_log_filter
+
+    install_native_log_filter()  # drop spurious XLA AOT-cache stderr spam
     import jax
 
     # BENCH_PLATFORM=cpu runs the whole harness on the CPU backend (smoke

@@ -55,4 +55,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    from codesearch_tpu.utils.output import install_native_log_filter
+
+    install_native_log_filter()  # drop spurious XLA AOT-cache stderr spam
     sys.exit(main())
