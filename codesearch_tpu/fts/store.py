@@ -439,6 +439,52 @@ class FtsStore:
         self._n_live += 1
         self._dense_dirty = True
 
+    def _add_docs_fresh(
+        self,
+        dnums: np.ndarray,
+        cids: np.ndarray,
+        doc_lens: np.ndarray,
+        rows: list[tuple[int, str, str, str | None, str]],
+    ) -> None:
+        """Bulk ``_add_doc`` for slabs where every chunk id is FRESH
+        (> ``_max_cid``, no intra-slab duplicates — the bulk-indexing common
+        case, asserted by the caller): no replace detection, one columnar
+        extend per column, one dict.update for the id overlay."""
+        base = self._doc_dnum.n
+        kids = np.empty(len(rows), np.int32)
+        pids = np.empty(len(rows), np.int32)
+        last_kind: str | None = None
+        last_kid = -1
+        last_path: str | None = None
+        last_pid = -1
+        for i, (_cid, _content, path, _sig, kind) in enumerate(rows):
+            # kinds and paths repeat in runs (64 chunks/file is typical) —
+            # re-intern only on change
+            if kind != last_kind:
+                last_kid = self._kind_id(kind)
+                last_kind = kind
+            kids[i] = last_kid
+            if path != last_path:
+                last_pid = self._path_id(path)
+                last_path = path
+            pids[i] = last_pid
+        self._doc_dnum.extend(dnums)
+        self._doc_len.extend(doc_lens)
+        self._doc_kid.extend(kids)
+        self._doc_cid.extend(cids)
+        self._doc_pid.extend(pids)
+        self._extras.update(
+            zip(cids.tolist(), range(base, base + len(rows)))
+        )
+        self._max_cid = max(self._max_cid, int(cids.max()))
+        if len(self._extras) > EXTRAS_MAX:
+            # defer the argsort to the next lookup (see vectordb/store.py)
+            self._sorted_cids = None
+            self._sorted_slots = None
+            self._extras = {}
+        self._n_live += len(rows)
+        self._dense_dirty = True
+
     def _kill_dnum(self, dnum: int) -> None:
         slot = self._slot_of_dnum(dnum)
         if slot is not None and self._doc_len.a[slot] >= 0:
@@ -506,35 +552,45 @@ class FtsStore:
         if not rows:
             return
         with self._lock:
-            key_parts: list[np.ndarray] = []
-            dnum_parts: list[np.ndarray] = []
-            flag_parts: list[np.ndarray] = []
             texts: list[str] = []
             for _cid, content, _path, signature, _kind in rows:
                 texts.append(content)
                 texts.append(signature or "")
             all_keys = term_keys_batch(texts)
-            for row_i, (cid, content, path, signature, kind) in enumerate(rows):
-                dnum = self._next_dnum
-                self._next_dnum += 1
-                c_keys = all_keys[2 * row_i]
-                s_keys = all_keys[2 * row_i + 1]
-                doc_len = max(len(c_keys) + len(s_keys), 1)
-                self._add_doc(dnum, cid, doc_len, kind, path)
-                self.mutation_count += 1
-                if len(c_keys):
-                    key_parts.append(c_keys)
-                    dnum_parts.append(np.full(len(c_keys), dnum, np.int64))
-                    flag_parts.append(np.zeros(len(c_keys), np.int32))
-                if len(s_keys):
-                    key_parts.append(s_keys)
-                    dnum_parts.append(np.full(len(s_keys), dnum, np.int64))
-                    flag_parts.append(np.ones(len(s_keys), np.int32))
-            if not key_parts:
+            nrows = len(rows)
+            lens = np.fromiter(
+                (len(k) for k in all_keys), np.int64, len(all_keys)
+            )
+            doc_lens = np.maximum(
+                lens.reshape(-1, 2).sum(axis=1), 1
+            ).astype(np.int32)
+            cids = np.fromiter((r[0] for r in rows), np.int64, nrows)
+            row_dnums = np.arange(
+                self._next_dnum, self._next_dnum + nrows, dtype=np.int64
+            )
+            self._next_dnum += nrows
+            if (
+                self._max_cid >= 0 and int(cids.min()) <= self._max_cid
+            ) or len(np.unique(cids)) != nrows:
+                # re-adds or intra-slab duplicate ids: the per-doc path
+                # handles replace ordering exactly (kill old, then append)
+                for i, (cid, _content, path, _sig, kind) in enumerate(rows):
+                    self._add_doc(
+                        int(row_dnums[i]), cid, int(doc_lens[i]), kind, path
+                    )
+            else:
+                # bulk indexing: every id is fresh — one columnar append
+                # per column instead of 5 numpy scalar appends + dict ops
+                # per doc (measured ~20 µs/doc of pure Python at 10M scale)
+                self._add_docs_fresh(row_dnums, cids, doc_lens, rows)
+            self.mutation_count += nrows
+            if not int(lens.sum()):
                 return
-            keys = np.concatenate(key_parts)
-            dnums = np.concatenate(dnum_parts)
-            sflag = np.concatenate(flag_parts)
+            keys = np.concatenate(all_keys)
+            # per-text dnum/flag expanded once over the whole slab: texts
+            # alternate (content, signature) per row
+            dnums = np.repeat(np.repeat(row_dnums, 2), lens)
+            sflag = np.repeat(np.tile(np.array([0, 1], np.int32), nrows), lens)
             order = np.lexsort((keys, dnums))      # dnum-major, key-minor
             k_s, d_s, f_s = keys[order], dnums[order], sflag[order]
             new_run = np.empty(len(k_s), bool)

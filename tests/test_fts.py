@@ -332,6 +332,40 @@ class TestBatchIngest:
         assert s.search("new")[0].chunk_id == 1
         assert s.search("old") == []
 
+    def test_add_chunks_intra_slab_duplicate_ids(self, tmp_path):
+        """The same chunk id twice in ONE slab: last write wins (per-row
+        replace semantics, not two live docs)."""
+        s = FtsStore(tmp_path / "fts")
+        s.add_chunks([
+            (5, "first version alpha", "a.rs", None, ""),
+            (6, "other doc beta", "b.rs", None, ""),
+            (5, "second version gamma", "a.rs", None, ""),
+        ])
+        s.commit()
+        assert len(s) == 2
+        assert s.search("alpha") == []
+        assert s.search("gamma")[0].chunk_id == 5
+
+    def test_bulk_ingest_then_delete_and_replace(self, tmp_path):
+        """Slot overlay written by the bulk fresh path must serve
+        delete_chunk and later re-adds exactly like the per-row path."""
+        s = FtsStore(tmp_path / "fts")
+        rows = [(i, f"zzztok{i} shared", f"src/m{i // 4}.py",
+                 f"def f_{i}()", "Function") for i in range(32)]
+        s.add_chunks(rows)
+        s.delete_chunk(7)
+        assert s.search("zzztok7") == []
+        assert len(s) == 31
+        # re-add via the batch API → routes through the replace fallback
+        s.add_chunks([(3, "replacement body zeta", "src/m0.py", None, "")])
+        s.commit()
+        assert len(s) == 31
+        assert s.search("zeta")[0].chunk_id == 3
+        assert s.search("zzztok3") == []
+        # path/kind interning survived the bulk path
+        hit = s.search("zzztok9")[0]
+        assert hit.path == "src/m2.py" and hit.kind == "Function"
+
 
 class TestCrashRecovery:
     """The manifest rename is the single commit point: anything written
