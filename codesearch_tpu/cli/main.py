@@ -599,6 +599,7 @@ def _cmd_train_cross_encoder(args, db: Path, meta: dict) -> int:
                f"({epochs} epochs)")
     out, losses = train_and_export(
         pairs, get_global_models_cache_dir(), epochs=epochs,
+        on_epoch=lambda e, n, ls: info_print(f"  epoch {e}/{n}: loss {ls:.4f}"),
     )
     if not losses:
         error_print("training produced no steps")

@@ -90,6 +90,7 @@ def train_cross_encoder(
     learning_rate: float = 3e-4,
     seed: int = 0,
     hard_negatives: list[list[str]] | None = None,
+    on_epoch=None,
 ):
     """Returns (params, head, tokenizer, losses). ``pairs`` are positives;
     in-batch shuffled docs are easy negatives, and — when provided —
@@ -171,6 +172,10 @@ def train_cross_encoder(
             epoch_losses.append(float(loss))
         if epoch_losses:
             losses.append(float(np.mean(epoch_losses)))
+            log.info("cross-encoder epoch %d/%d: loss %.4f",
+                     _epoch + 1, epochs, losses[-1])
+            if on_epoch is not None:
+                on_epoch(_epoch + 1, epochs, losses[-1])
     params, head = trainable
     log.info("cross-encoder train: %d pairs, loss %.4f → %.4f",
              len(pairs), losses[0] if losses else 0.0,

@@ -98,7 +98,11 @@ def main() -> int:
     pairs = mine_pairs([m for _, m in store.iter_chunks()])
     print(f"  {len(pairs)} pairs")
     t0 = time.time()
-    out, losses = train_and_export(pairs, work / "models", epochs=args.epochs)
+    out, losses = train_and_export(
+        pairs, work / "models", epochs=args.epochs,
+        on_epoch=lambda e, n, ls: print(f"  epoch {e}/{n}: loss {ls:.4f}",
+                                        flush=True),
+    )
     train_s = time.time() - t0
     print(f"  loss {losses[0]:.4f} → {losses[-1]:.4f} in {train_s:.0f}s")
 
