@@ -172,19 +172,24 @@ class _BertBackend:
             mask[row, :L] = 1
         return ids, mask
 
-    def embed(self, texts: list[str]) -> np.ndarray:
+    def embed_async(self, texts: list[str]):
+        """Host tokenize + dispatch every length bucket WITHOUT materializing
+        results; returns a zero-arg callable that blocks and assembles the
+        [N, dims] matrix. Dispatching all buckets first pipelines them on
+        device, and the caller can overlap its own host work with the encoder
+        compute (SURVEY §7 "host/device pipeline overlap")."""
         import jax.numpy as jnp
 
         if not texts:
-            return np.zeros((0, self.spec.dims), np.float32)
+            return lambda: np.zeros((0, self.spec.dims), np.float32)
         encs = [self.tokenizer.encode(t) for t in texts]
-        out = np.zeros((len(texts), self.spec.dims), np.float32)
         # group by padded-length bucket, then emit device batches (scaled by
         # the mesh size so each chip still sees a full batch)
         order = sorted(range(len(encs)), key=lambda i: len(encs[i].ids))
         bs = _default_batch_size(self.spec.dims)
         if self.mesh is not None:
             bs *= self.mesh.shape["data"]
+        pending: list[tuple[list[int], object]] = []
         i = 0
         while i < len(order):
             j = min(i + bs, len(order))
@@ -199,15 +204,24 @@ class _BertBackend:
             if self.mesh is not None:
                 ids_d, mask_d = self._shard_batch(ids, mask)
                 vecs = self._encode(self.params, ids_d, mask_d, self.cfg)
-                out[batch_idx] = np.asarray(vecs, np.float32)[: len(batch_idx)]
             else:
                 vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
-                out[batch_idx] = np.asarray(vecs, np.float32)
+            pending.append((batch_idx, vecs))
             i = j
             # NOTE: no mid-embed shutdown break — returning partial zero
             # vectors would poison the caches and the store; cancellation is
             # honored between file batches in the index pipeline instead
-        return out
+
+        def finish() -> np.ndarray:
+            out = np.zeros((len(texts), self.spec.dims), np.float32)
+            for batch_idx, vecs in pending:
+                out[batch_idx] = np.asarray(vecs, np.float32)[: len(batch_idx)]
+            return out
+
+        return finish
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        return self.embed_async(texts)()
 
 
 class _HashBackend:
@@ -229,14 +243,30 @@ class _HashBackend:
                 self.model.table, NamedSharding(self.mesh, P())
             )
 
-    def embed(self, texts: list[str]) -> np.ndarray:
-        if self.mesh is None or len(texts) < 2 * self.mesh.shape["data"]:
-            return self.model.embed_texts(texts)
-        from ..models.hash_embedder import batch_features
-        from ..parallel.dp_embed import dp_embed_features
+    def embed_async(self, texts: list[str]):
+        """Featurize (host) + dispatch now; returns a zero-arg callable that
+        blocks on the device result — lets callers overlap host work with
+        the featurize matmul (SURVEY §7 "host/device pipeline overlap")."""
+        if not texts:
+            return lambda: np.zeros((0, self.spec.dims), np.float32)
+        import jax.numpy as jnp
+
+        from ..models.hash_embedder import batch_features, embed_features
 
         ids, ws = batch_features(texts)
-        return dp_embed_features(self.model.table, ids, ws, self.mesh)
+        if self.mesh is None or len(texts) < 2 * self.mesh.shape["data"]:
+            out = embed_features(
+                self.model.table, jnp.asarray(ids), jnp.asarray(ws)
+            )
+            return lambda: np.asarray(out)
+        from ..parallel.dp_embed import dp_embed_features
+
+        # the dp path materializes internally (shard_map gather) — no
+        # deferral, but featurization already happened above
+        return lambda: dp_embed_features(self.model.table, ids, ws, self.mesh)
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        return self.embed_async(texts)()
 
 
 class EmbeddingService:
@@ -342,14 +372,15 @@ class EmbeddingService:
                 self.persistent.put_batch(new)
         return [EmbeddedChunk(chunk=c, embedding=found[c.hash]) for c in chunks]
 
-    def embed_chunks_matrix(self, chunks: list[Chunk]) -> np.ndarray:
-        """Bulk-index fast path: identical cache semantics to embed_chunks
-        but returns ONE [N, dims] matrix. Freshly-computed rows land via a
-        single vectorized gather from the backend's batch output instead
-        of N per-row stacks (np.stack over 8k row views measured 1.7 s of
-        a 15.7 s 65k-chunk index run on the one host core)."""
+    def embed_chunks_matrix_async(self, chunks: list[Chunk]):
+        """Async bulk-index fast path: cache lookups + host featurize +
+        device dispatch happen NOW; the returned zero-arg callable blocks on
+        the device result, writes the caches, and returns the [N, dims]
+        matrix. The index pipeline keeps one slab in flight so slab N's
+        encoder compute overlaps slab N-1's host store/FTS work (SURVEY §7
+        "host/device pipeline overlap")."""
         if not chunks:
-            return np.zeros((0, self.dims), np.float32)
+            return lambda: np.zeros((0, self.dims), np.float32)
         hashes = [c.hash for c in chunks]
         found: dict[str, np.ndarray] = {}
         for h in hashes:
@@ -368,30 +399,45 @@ class EmbeddingService:
             if c.hash not in found and c.hash not in seen:
                 to_compute.append(i)
                 seen.add(c.hash)
-        row_of: dict[str, int] = {}
-        vecs = None
+        finish_backend = None
         if to_compute:
             texts = [prepare_text(chunks[i]) for i in to_compute]
-            vecs = np.asarray(self.backend.embed(texts))
-            new: dict[str, np.ndarray] = {}
-            for row, i in enumerate(to_compute):
-                h = chunks[i].hash
-                row_of[h] = row
-                v = vecs[row]
-                new[h] = v
-                self.mem_cache.put(h, v)
-            if self.persistent is not None:
-                self.persistent.put_batch(new)
-        out = np.empty((len(chunks), self.dims), np.float32)
-        fresh = [i for i, c in enumerate(chunks) if c.hash in row_of]
-        if fresh:
-            out[np.asarray(fresh)] = vecs[
-                np.asarray([row_of[chunks[i].hash] for i in fresh])
-            ]
-        for i, c in enumerate(chunks):
-            if c.hash not in row_of:
-                out[i] = found[c.hash]
-        return out
+            finish_backend = self.backend.embed_async(texts)
+
+        def finish() -> np.ndarray:
+            row_of: dict[str, int] = {}
+            vecs = None
+            if finish_backend is not None:
+                vecs = np.asarray(finish_backend())
+                new: dict[str, np.ndarray] = {}
+                for row, i in enumerate(to_compute):
+                    h = chunks[i].hash
+                    row_of[h] = row
+                    v = vecs[row]
+                    new[h] = v
+                    self.mem_cache.put(h, v)
+                if self.persistent is not None:
+                    self.persistent.put_batch(new)
+            out = np.empty((len(chunks), self.dims), np.float32)
+            fresh = [i for i, c in enumerate(chunks) if c.hash in row_of]
+            if fresh:
+                out[np.asarray(fresh)] = vecs[
+                    np.asarray([row_of[chunks[i].hash] for i in fresh])
+                ]
+            for i, c in enumerate(chunks):
+                if c.hash not in row_of:
+                    out[i] = found[c.hash]
+            return out
+
+        return finish
+
+    def embed_chunks_matrix(self, chunks: list[Chunk]) -> np.ndarray:
+        """Bulk-index fast path: identical cache semantics to embed_chunks
+        but returns ONE [N, dims] matrix. Freshly-computed rows land via a
+        single vectorized gather from the backend's batch output instead
+        of N per-row stacks (np.stack over 8k row views measured 1.7 s of
+        a 15.7 s 65k-chunk index run on the one host core)."""
+        return self.embed_chunks_matrix_async(chunks)()
 
     # -- queries ----------------------------------------------------------------
 

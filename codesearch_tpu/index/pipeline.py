@@ -337,44 +337,18 @@ def index(
     )
     progress = ProgressLine(len(changed))
     since_commit = 0
-    i = 0
-    while i < len(changed):
-        if is_shutdown_requested():
-            progress.finish()
-            info_print("cancelling — committing partial progress …")
-            stats.cancelled = True
-            break
-        batch_files = changed[i : i + EMBED_FILES_PER_BATCH]
-        i += len(batch_files)
-        per_file: list[tuple[Path, list]] = []
-        for f in batch_files:
-            try:
-                content = f.path.read_text(encoding="utf-8")
-            except UnicodeDecodeError:
-                try:
-                    content = f.path.read_text(encoding="utf-8", errors="replace")
-                except OSError:
-                    continue
-            except OSError:
-                continue
-            rel = f.path.relative_to(root) if f.path.is_relative_to(root) else f.path
-            chunks = chunker.chunk_semantic(f.language, rel, content)
-            for c in chunks:
-                # store the display language for boosts
-                c._language = f.language.display_name  # type: ignore[attr-defined]
-            per_file.append((f.path, chunks))
-        # delete prior chunks for every file in this batch — including files
-        # whose new content yields zero chunks (e.g. emptied files)
-        for fpath, _ in per_file:
-            old_ids = file_meta.chunk_ids_for(fpath)
-            if old_ids:
-                stats.chunks_deleted += store.delete_chunks(old_ids)
-                for cid in old_ids:
-                    fts.delete_chunk(cid)
 
-        flat = [c for _, cs in per_file for c in cs]
+    # one embed slab stays in flight: slab N's device dispatch happens
+    # before slab N-1's host store/FTS/manifest work, so encoder compute
+    # overlaps host writes (SURVEY §7 "host/device pipeline overlap" —
+    # the encoder is the throughput bound for BERT-family models)
+    pending: tuple[list, list, object] | None = None
+
+    def _finalize(p) -> None:
+        nonlocal since_commit
+        per_file, flat, finish = p
         if flat:
-            embs = service.embed_chunks_matrix(flat)
+            embs = finish()
             metas = [
                 ChunkMetadata(
                     path=c.path,
@@ -415,6 +389,57 @@ def index(
         progress.update(
             stats.files_indexed, extra=f", {stats.chunks_added} chunks"
         )
+
+    i = 0
+    while i < len(changed):
+        if is_shutdown_requested():
+            if pending is not None:
+                # drain the in-flight slab — its embeddings were already
+                # dispatched; dropping it would lose indexed files
+                _finalize(pending)
+                pending = None
+            progress.finish()
+            info_print("cancelling — committing partial progress …")
+            stats.cancelled = True
+            break
+        batch_files = changed[i : i + EMBED_FILES_PER_BATCH]
+        i += len(batch_files)
+        per_file: list[tuple[Path, list]] = []
+        for f in batch_files:
+            try:
+                content = f.path.read_text(encoding="utf-8")
+            except UnicodeDecodeError:
+                try:
+                    content = f.path.read_text(encoding="utf-8", errors="replace")
+                except OSError:
+                    continue
+            except OSError:
+                continue
+            rel = f.path.relative_to(root) if f.path.is_relative_to(root) else f.path
+            chunks = chunker.chunk_semantic(f.language, rel, content)
+            for c in chunks:
+                # store the display language for boosts
+                c._language = f.language.display_name  # type: ignore[attr-defined]
+            per_file.append((f.path, chunks))
+        # delete prior chunks for every file in this batch — including files
+        # whose new content yields zero chunks (e.g. emptied files)
+        for fpath, _ in per_file:
+            old_ids = file_meta.chunk_ids_for(fpath)
+            if old_ids:
+                stats.chunks_deleted += store.delete_chunks(old_ids)
+                for cid in old_ids:
+                    fts.delete_chunk(cid)
+
+        flat = [c for _, cs in per_file for c in cs]
+        finish = service.embed_chunks_matrix_async(flat) if flat else None
+        if pending is not None:
+            _finalize(pending)
+        pending = (per_file, flat, finish)
+
+    if pending is not None:
+        # drain the in-flight slab (also on cancellation — its embeddings
+        # were already dispatched and its files counted as processed)
+        _finalize(pending)
 
     # ---- finalize -------------------------------------------------------
     progress.finish()
