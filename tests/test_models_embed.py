@@ -297,3 +297,49 @@ class TestEmbeddingService:
         out = svc.embed_chunks(self._chunks(["def f(): pass"]))
         assert out[0].embedding.shape == (384,)
         np.testing.assert_allclose(np.linalg.norm(out[0].embedding), 1.0, atol=1e-4)
+
+
+class TestEmbedAsync:
+    """embed_chunks_matrix_async contract: dispatch now, finalize later;
+    cache puts happen at finalize (the index pipeline overlaps one
+    in-flight slab's device compute with the previous slab's host work)."""
+
+    def _chunks(self, texts):
+        return [
+            Chunk(content=t, start_line=0, end_line=1, kind=ChunkKind.FUNCTION, path="x")
+            for t in texts
+        ]
+
+    def test_async_matches_sync_hash(self, tmp_path):
+        svc = EmbeddingService("code-hash-384", cache_dir=tmp_path)
+        chunks = self._chunks(["alpha beta", "gamma delta", "alpha beta"])
+        sync = svc.embed_chunks_matrix(chunks)
+        svc2 = EmbeddingService("code-hash-384", cache_dir=tmp_path / "b")
+        finish = svc2.embed_chunks_matrix_async(chunks)
+        np.testing.assert_array_equal(sync, finish())
+
+    def test_async_matches_sync_bert(self, tmp_path):
+        texts = ["short", "x " * 40, "mid words here", "y " * 120]
+        svc = EmbeddingService("minilm-l6", cache_dir=tmp_path,
+                               use_persistent_cache=False)
+        # spread lengths across two buckets to cover multi-bucket assembly
+        sync = svc.embed_chunks_matrix(self._chunks(texts))
+        # fresh service: the async leg must go through the backend's
+        # bucket dispatch, not the mem cache
+        svc2 = EmbeddingService("minilm-l6", cache_dir=tmp_path / "b",
+                                use_persistent_cache=False)
+        finish = svc2.embed_chunks_matrix_async(self._chunks(texts))
+        np.testing.assert_allclose(sync, finish(), rtol=1e-5, atol=1e-6)
+
+    def test_cache_puts_deferred_to_finalize(self, tmp_path):
+        svc = EmbeddingService("code-hash-384", cache_dir=tmp_path)
+        chunks = self._chunks(["deferred cache row"])
+        h = chunks[0].hash
+        finish = svc.embed_chunks_matrix_async(chunks)
+        assert svc.mem_cache.get(h) is None, "put must wait for finalize"
+        out = finish()
+        np.testing.assert_array_equal(svc.mem_cache.get(h), out[0])
+
+    def test_empty_slab(self, tmp_path):
+        svc = EmbeddingService("code-hash-384", cache_dir=tmp_path)
+        assert svc.embed_chunks_matrix_async([])().shape == (0, 384)
