@@ -823,3 +823,36 @@ class TestCommitAtomicity:
         s3 = FtsStore(d)
         assert s3.search("gamma")[0].path == "c.rs"
         assert s3.search("alpha")[0].path == "a.rs"
+
+
+class TestPathTerms:
+    """Path tokens ride the signature field: filename/directory names are
+    retrieval signals (src/main.rs must surface for 'main entry point'
+    style queries; the reference's tantivy path field is an unsearchable
+    raw STRING)."""
+
+    def test_filename_terms_retrievable(self, tmp_path):
+        s = FtsStore(tmp_path / "fts")
+        s.add_chunk(1, "fn start() { run() }", "src/main.rs", None, "")
+        s.add_chunk(2, "fn helper() { aux() }", "src/util/strings.rs", None, "")
+        s.commit()
+        hits = s.search("main")
+        assert hits and hits[0].chunk_id == 1
+        hits = s.search("strings util")
+        assert hits and hits[0].chunk_id == 2
+
+    def test_batch_matches_single_with_paths(self, tmp_path):
+        rows = [(i, f"body_{i} stuff", f"pkg/mod_{i % 3}/file_{i}.py",
+                 f"def f_{i}()", "Function") for i in range(12)]
+        a = FtsStore(tmp_path / "a")
+        for r in rows:
+            a.add_chunk(*r)
+        a.commit()
+        b = FtsStore(tmp_path / "b")
+        b.add_chunks(rows)
+        b.commit()
+        assert a.stats()["postings"] == b.stats()["postings"]
+        for q in ("file_7", "mod_1 body_4", "pkg"):
+            ra = [(r.chunk_id, round(r.score, 6)) for r in a.search(q)]
+            rb = [(r.chunk_id, round(r.score, 6)) for r in b.search(q)]
+            assert ra == rb
