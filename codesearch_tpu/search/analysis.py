@@ -210,6 +210,51 @@ def query_wants_tests(query: str) -> bool:
                for t in _re.findall(r"[a-z]+", query.casefold()))
 
 
+# -- documentation down-weight (beyond the reference) -----------------------
+# BM25 loves prose: a documentation-phrased query ("how does incremental
+# indexing work") restates README/guide sentences verbatim, so doc files can
+# outrank the code that implements the behavior — a weakness class the
+# reference records against itself (benchmarks/improvement-plan.md). Demote
+# doc-convention paths at the boost stage UNLESS the query asks about
+# documentation. Same magnitude as the test demotion: code with matched
+# language/kind boosts cleanly clears a doc hit without burying docs (they
+# remain the top answer when nothing in code matches).
+DOC_PATH_PENALTY = 1.0 / 1.15
+
+_DOC_DIR_RE = _re.compile(r"(?:^|/)(?:docs?|documentation|wiki|man(?:ual)?s?)(?:/|$)")
+_DOC_FILE_RE = _re.compile(r"\.(?:md|markdown|rst|adoc|asciidoc|txt)$", _re.I)
+_DOC_BASENAME_RE = _re.compile(
+    r"(?:^|/)(?:readme|changelog|changes|license|licence|copying|notice"
+    r"|contributing|authors|install|news|todo|faq)"
+    r"(?:[-_.][A-Za-z0-9._-]+)?$",
+    _re.I,
+)
+_DOC_INTENT_WORDS = frozenset({
+    "readme", "documentation", "docs", "doc", "documented", "changelog",
+    "license", "licence", "guide", "tutorial", "manual", "markdown",
+    "install", "installation", "contributing", "faq",
+})
+
+
+def is_doc_path(path: str) -> bool:
+    """Does ``path`` follow a documentation convention? (docs/ directories,
+    *.md / *.rst / *.txt, README / CHANGELOG / LICENSE basenames in any
+    case and extension.)"""
+    p = path.replace("\\", "/")
+    return bool(
+        _DOC_FILE_RE.search(p)
+        or _DOC_DIR_RE.search(p)
+        or _DOC_BASENAME_RE.search(p)
+    )
+
+
+def query_wants_docs(query: str) -> bool:
+    """Is the query itself about documentation? (then doc files are the
+    answer and the demotion is skipped)."""
+    return any(t in _DOC_INTENT_WORDS
+               for t in _re.findall(r"[a-z]+", query.casefold()))
+
+
 _QUESTION_WORDS = {"how", "where", "what", "why", "when", "which", "who"}
 _QUESTION_FILLER = {
     "do", "does", "did", "we", "i", "you", "is", "are", "was", "were",

@@ -374,11 +374,14 @@ class SearchSession:
         # MustNot exclusions (tantivy QueryParser parity): checked at
         # materialization since the index is position-free
         from .analysis import (
+            DOC_PATH_PENALTY,
             TEST_PATH_PENALTY,
             compile_operators,
+            is_doc_path,
             is_test_path,
             parse_operators,
             passes_operators,
+            query_wants_docs,
             query_wants_tests,
         )
 
@@ -387,6 +390,7 @@ class SearchSession:
             op_requirements, op_exclusions
         )
         wants_tests = query_wants_tests(query)
+        wants_docs = query_wants_docs(query)
         has_ops = bool(req_matchers or excl_matchers)
         unbounded = bool(
             options.path_filter or options.min_score is not None
@@ -420,6 +424,8 @@ class SearchSession:
                 score *= KIND_BOOST
             if not wants_tests and is_test_path(meta.path):
                 score *= TEST_PATH_PENALTY
+            if not wants_docs and is_doc_path(meta.path):
+                score *= DOC_PATH_PENALTY
             hits.append(
                 SearchHit(
                     chunk_id=f.chunk_id,

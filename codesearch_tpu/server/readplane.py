@@ -290,11 +290,14 @@ def rank_candidates(
     # exclusions (tantivy QueryParser parity) — ONE shared implementation
     # with the session pipeline (analysis.passes_operators)
     from ..search.analysis import (
+        DOC_PATH_PENALTY,
         TEST_PATH_PENALTY,
         compile_operators,
+        is_doc_path,
         is_test_path,
         parse_operators,
         passes_operators,
+        query_wants_docs,
         query_wants_tests,
     )
 
@@ -302,6 +305,7 @@ def rank_candidates(
     req_matchers, excl_matchers = compile_operators(op_requirements, op_exclusions)
     has_ops = bool(req_matchers or excl_matchers)
     wants_tests = query_wants_tests(query)
+    wants_docs = query_wants_docs(query)
     scored = []
     for f in fused:
         meta = stores.store.get_chunk(f.chunk_id)
@@ -320,6 +324,8 @@ def rank_candidates(
             score *= 1.15
         if not wants_tests and is_test_path(meta.path):
             score *= TEST_PATH_PENALTY
+        if not wants_docs and is_doc_path(meta.path):
+            score *= DOC_PATH_PENALTY
         scored.append((score, f.chunk_id, meta))
     scored.sort(key=lambda x: -x[0])
     return scored[:limit]

@@ -1250,3 +1250,62 @@ class TestTestPathDemotion:
         got_t = s.search("test that binary files are detected",
                          SearchOptions(limit=2))
         assert any("test_binary.py" in h.path for h in got_t.hits)
+
+
+class TestDocPathDemotion:
+    """Doc-convention files are demoted at the boost stage unless the query
+    itself asks about documentation (beyond the reference: its own
+    improvement-plan records README/BM25 prose outranking code for
+    documentation-phrased queries)."""
+
+    def test_is_doc_path(self):
+        from codesearch_tpu.search.analysis import is_doc_path
+
+        for p in ("README.md", "docs/guide.html", "doc/api/index.html",
+                  "CHANGELOG", "LICENSE-MIT", "notes.txt", "a/b/design.rst",
+                  "wiki/Home.adoc", "INSTALL", "contributing.md"):
+            assert is_doc_path(p), p
+        for p in ("src/store.py", "src/docstring.py", "readme_parser.go",
+                  "mandoline/cut.rs", "src/document.ts", "install.sh.c"):
+            assert not is_doc_path(p), p
+
+    def test_query_wants_docs(self):
+        from codesearch_tpu.search.analysis import query_wants_docs
+
+        assert query_wants_docs("update the readme")
+        assert query_wants_docs("where is the installation guide")
+        assert query_wants_docs("documentation for the chunker")
+        assert not query_wants_docs("where do we detect binary files")
+        assert not query_wants_docs("parse the document tree")
+
+    def test_code_outranks_doc(self, tmp_path):
+        root = tmp_path / "repo"
+        root.mkdir(parents=True)
+        (root / "watcher.py").write_text(
+            "def refresh_incremental(changed):\n"
+            '    """Incremental indexing: re-embed only changed files."""\n'
+            "    return [embed(f) for f in changed]\n"
+        )
+        # a couple of unrelated code files so the corpus has a realistic
+        # code-majority primary language (a 1:1 md:py corpus is a tie)
+        (root / "util.py").write_text(
+            "def clamp(x, lo, hi):\n    return min(max(x, lo), hi)\n"
+        )
+        (root / "colors.py").write_text(
+            "PALETTE = {'red': '#f00', 'green': '#0f0'}\n"
+        )
+        (root / "README.md").write_text(
+            "# Incremental indexing\n\n"
+            "Incremental indexing re-embeds only changed files. The watcher\n"
+            "batches changed files and the index updates in place.\n"
+        )
+        stats = index(root, IndexOptions(quiet=True))
+        s = SearchSession(stats.db_path, readonly=True)
+        got = s.search("incremental indexing of changed files",
+                       SearchOptions(limit=2))
+        assert got.hits and got.hits[0].path.endswith("watcher.py"), \
+            [h.path for h in got.hits]
+        # a docs-intent query keeps the README competitive (no penalty)
+        got_d = s.search("readme section about incremental indexing",
+                         SearchOptions(limit=2))
+        assert any(h.path.endswith("README.md") for h in got_d.hits)
