@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-score", type=float, default=None)
     s.add_argument("--json", action="store_true", dest="json_out")
     s.add_argument("--compact", action="store_true")
+    s.add_argument("--full", action="store_true",
+                   help="print full chunk content instead of 3-line snippets "
+                        "(reference parity: cli/mod.rs:97-99)")
     s.add_argument("--scores", action="store_true", help="show stage timings")
     s.add_argument("--sync", action="store_true", help="incremental refresh before searching")
     s.add_argument("--no-expand", action="store_true", help="disable query expansion")
@@ -271,7 +274,7 @@ def _cmd_search(args) -> int:
             result_print(f"{h.path}:{h.start_line + 1}-{h.end_line} {h.score:.3f} "
                          f"{h.kind} {h.signature or ''}".rstrip())
     else:
-        _pretty_print(resp, args.scores)
+        _pretty_print(resp, args.scores, full=getattr(args, 'full', False))
     return 0
 
 
@@ -313,7 +316,7 @@ def _search_all_repos(args, options) -> int:
                     f"{h.path}:{h.start_line + 1}-{h.end_line} {h.score:.3f} "
                     f"{h.kind} {h.signature or ''}".rstrip())
         else:
-            _pretty_print(resp, args.scores)
+            _pretty_print(resp, args.scores, full=getattr(args, 'full', False))
         any_hits = any_hits or bool(resp.hits)
     return 0 if any_hits else 1
 
@@ -344,7 +347,7 @@ def _response_json(resp, scores: bool) -> dict:
     return out
 
 
-def _pretty_print(resp, scores: bool) -> None:
+def _pretty_print(resp, scores: bool, full: bool = False) -> None:
     if not resp.hits:
         result_print(f"no results for {resp.query!r}")
         return
@@ -357,10 +360,11 @@ def _pretty_print(resp, scores: bool) -> None:
         if h.signature:
             lines.append(f"   {h.signature}")
         snippet = h.content.strip().split("\n")
-        for sline in snippet[:3]:
-            lines.append(f"   | {sline[:120]}")
-        if len(snippet) > 3:
-            lines.append(f"   | … ({len(snippet) - 3} more lines)")
+        shown = snippet if full else snippet[:3]
+        for sline in shown:
+            lines.append(f"   | {sline if full else sline[:120]}")
+        if len(snippet) > len(shown):
+            lines.append(f"   | … ({len(snippet) - len(shown)} more lines)")
         lines.append("")
     if resp.rerank_mode == "proxy-bi-encoder":
         lines.append(

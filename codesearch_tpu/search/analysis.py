@@ -223,16 +223,26 @@ DOC_PATH_PENALTY = 1.0 / 1.15
 
 _DOC_DIR_RE = _re.compile(r"(?:^|/)(?:docs?|documentation|wiki|man(?:ual)?s?)(?:/|$)")
 _DOC_FILE_RE = _re.compile(r"\.(?:md|markdown|rst|adoc|asciidoc|txt)$", _re.I)
+# .txt files that are build/dependency manifests, not prose — never demote.
+_NON_DOC_TXT_RE = _re.compile(
+    r"(?:^|/)(?:requirements[^/]*|constraints[^/]*|CMakeLists|robots)\.txt$",
+    _re.I,
+)
+# A doc basename is the convention word alone (README, INSTALL), optionally
+# a single hyphenated variant (LICENSE-MIT), optionally ONE doc-or-no
+# extension (README.md, CHANGELOG.rst). Underscore joiners and code
+# extensions mean a source file (readme_parser.go, install.sh.c) — the
+# stem must end at the convention word, not merely start with it.
 _DOC_BASENAME_RE = _re.compile(
     r"(?:^|/)(?:readme|changelog|changes|license|licence|copying|notice"
     r"|contributing|authors|install|news|todo|faq)"
-    r"(?:[-_.][A-Za-z0-9._-]+)?$",
+    r"(?:-[A-Za-z0-9]+)?(?:\.(?:md|markdown|rst|adoc|asciidoc|txt|html?))?$",
     _re.I,
 )
 _DOC_INTENT_WORDS = frozenset({
     "readme", "documentation", "docs", "doc", "documented", "changelog",
     "license", "licence", "guide", "tutorial", "manual", "markdown",
-    "install", "installation", "contributing", "faq",
+    "installation", "contributing", "faq",
 })
 
 
@@ -241,6 +251,8 @@ def is_doc_path(path: str) -> bool:
     *.md / *.rst / *.txt, README / CHANGELOG / LICENSE basenames in any
     case and extension.)"""
     p = path.replace("\\", "/")
+    if _NON_DOC_TXT_RE.search(p):
+        return False
     return bool(
         _DOC_FILE_RE.search(p)
         or _DOC_DIR_RE.search(p)

@@ -122,10 +122,10 @@ TOOLS = [
         "inputSchema": {
             "type": "object",
             "properties": {
-                "query": {"type": "string", "description": "The search query (natural language or code snippet)"},
-                "limit": {"type": "integer", "description": "Maximum number of results (default 10)"},
-                "compact": {"type": "boolean", "description": "Metadata-only results to save tokens (default true)"},
-                "filter_path": {"type": "string", "description": "Only results under this path prefix (e.g. src/api/)"},
+                "query": {"type": "string", "description": "What to look for — a plain-English description, an identifier, or a pasted fragment of code"},
+                "limit": {"type": "integer", "description": "Cap on returned hits; 10 if omitted"},
+                "compact": {"type": "boolean", "description": "true (the default) keeps each hit to location metadata, which is far cheaper in tokens"},
+                "filter_path": {"type": "string", "description": "Keep only hits whose file path begins with this prefix, e.g. src/api/"},
             },
             "required": ["query"],
         },
@@ -142,8 +142,8 @@ TOOLS = [
         "inputSchema": {
             "type": "object",
             "properties": {
-                "symbol": {"type": "string", "description": "Symbol name, e.g. authenticate, User, Config"},
-                "limit": {"type": "integer", "description": "Maximum references (default 50)"},
+                "symbol": {"type": "string", "description": "Bare identifier to look up — a function, class, method or constant name"},
+                "limit": {"type": "integer", "description": "Cap on returned reference sites; 50 if omitted"},
             },
             "required": ["symbol"],
         },
@@ -151,17 +151,21 @@ TOOLS = [
     {
         "name": "index_status",
         "description": (
-            "Get the status of the semantic search index including model info "
-            "and statistics. Check this before searching to verify the index "
-            "is ready."
+            "Readiness probe for the active index: reports whether it is "
+            "ready, still building, or errored, along with chunk/file "
+            "counts and the embedding model in use. Worth one call up "
+            "front — an empty or mid-build index explains poor results "
+            "better than rephrasing the query does."
         ),
         "inputSchema": {"type": "object", "properties": {}},
     },
     {
         "name": "find_databases",
         "description": (
-            "Find all available codesearch databases in current directory, "
-            "parent directories, and globally tracked repositories."
+            "Enumerate every index reachable from here — the working "
+            "directory, its immediate children, up to five parent levels, "
+            "and the machine-wide repo registry — with per-database stats, "
+            "so you can tell which project is actually indexed."
         ),
         "inputSchema": {"type": "object", "properties": {}},
     },

@@ -50,6 +50,20 @@ class TestCliFlow:
         assert lines and len(lines) == len(set(lines))   # unique paths only
         assert all(":" not in ln for ln in lines)        # bare paths
 
+    def test_search_full_content(self, cli_repo, capsys):
+        """--full prints the whole chunk body (reference cli/mod.rs:97-99);
+        the default pretty output truncates to a 3-line snippet."""
+        main(["--quiet", "index", "."])
+        capsys.readouterr()
+        assert main(["search", "parse_config", "."]) == 0
+        default_out = capsys.readouterr().out
+        assert main(["search", "parse_config", ".", "--full"]) == 0
+        full_out = capsys.readouterr().out
+        # the snippet view elides lines; the full view does not
+        assert "more lines)" in default_out
+        assert "more lines)" not in full_out
+        assert len(full_out) > len(default_out)
+
     def test_index_dry_run(self, cli_repo, capsys):
         assert main(["index", ".", "--dry-run"]) == 0
         out = capsys.readouterr()

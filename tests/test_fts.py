@@ -468,8 +468,11 @@ class TestExactTier:
     tiered results must be EXACT — identical to the full posting scan —
     with a logged fallback whenever the score bound can't prove it."""
 
-    def _build(self, tmp_path, n=360):
+    def _build(self, tmp_path, n=360, prewarm=None):
         s = FtsStore(tmp_path / "fts")
+        if prewarm is not None:
+            s.exact_tier_prewarm_df = prewarm   # before any commit: every
+            # persisted segment gets its tier sidecar
         for i in range(n):
             tf = 1 + (i % 3)
             body = ("hot_term " * tf) + ("filler " * (i % 37)) + f"uniq_{i}"
@@ -544,6 +547,50 @@ class TestExactTier:
             s.add_chunk(i, "hot_term " + "pad " * 200, f"g{i}.rs")
         s.commit()
         assert self._res(s, limit=10) == self._ref(s, limit=10)
+
+    def test_persisted_tier_serves_fresh_process(self, tmp_path):
+        """Tier sidecars written at commit make the first high-df exact
+        query in a NEW process a disk read, not a posting scan — and the
+        served results stay byte-identical to the full scan."""
+        s = self._build(tmp_path, prewarm=16)
+        ref = self._ref(s, limit=15)
+
+        s2 = FtsStore(tmp_path / "fts")      # fresh "process"
+        s2.exact_tier_df = 50
+        s2.exact_tier_cap = 64
+        got = [(r.chunk_id, round(r.score, 9))
+               for r in s2.search_exact("hot_term", limit=15)]
+        assert got == ref
+        assert s2.exact_tier_disk_hits >= 1, \
+            "fresh store rebuilt tiers instead of reading the sidecar"
+
+    def test_sidecar_pruned_with_merged_segment(self, tmp_path):
+        s = self._build(tmp_path, prewarm=16)
+        names_before = {p.name for p in s.dir.glob("seg-*.xtier.json")}
+        assert names_before, "no sidecars written"
+        # grow enough to trigger merges, then confirm dead sidecars gone
+        for i in range(5000, 5400):
+            s.add_chunk(i, "hot_term " + f"x_{i}", f"m{i}.rs")
+            if i % 80 == 79:
+                s.commit()
+        s.commit()
+        live = {f"{seg.name}.xtier.json" for seg in s._segments}
+        on_disk = {p.name for p in s.dir.glob("seg-*.xtier.json")}
+        assert on_disk <= live
+
+    def test_corrupt_sidecar_falls_back(self, tmp_path):
+        s = self._build(tmp_path, prewarm=16)
+        ref = self._ref(s, limit=15)
+        sidecars = list(s.dir.glob("seg-*.xtier.dn.npy"))
+        assert sidecars, "no sidecars written"
+        for p in sidecars:
+            p.write_bytes(b"garbage")
+        s2 = FtsStore(tmp_path / "fts")
+        s2.exact_tier_df = 50
+        s2.exact_tier_cap = 64
+        got = [(r.chunk_id, round(r.score, 9))
+               for r in s2.search_exact("hot_term", limit=15)]
+        assert got == ref                    # rebuilt on demand, still exact
 
     def test_merge_invalidates_via_new_segment_seq(self, tmp_path):
         s = self._build(tmp_path)

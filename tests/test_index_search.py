@@ -1266,7 +1266,11 @@ class TestDocPathDemotion:
                   "wiki/Home.adoc", "INSTALL", "contributing.md"):
             assert is_doc_path(p), p
         for p in ("src/store.py", "src/docstring.py", "readme_parser.go",
-                  "mandoline/cut.rs", "src/document.ts", "install.sh.c"):
+                  "mandoline/cut.rs", "src/document.ts", "install.sh.c",
+                  "install_utils.py", "news_feed.rs", "todo_list.ts",
+                  "license_check.py", "notice_handler.rs", "install.sh",
+                  "readme-parser.go", "requirements.txt", "CMakeLists.txt",
+                  "requirements-dev.txt", "constraints.txt"):
             assert not is_doc_path(p), p
 
     def test_query_wants_docs(self):
