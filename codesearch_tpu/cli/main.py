@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--dry-run", action="store_true",
                    help="show what would be indexed without indexing")
     i.add_argument("--register", action="store_true", help="add repo to the global registry")
+    i.add_argument("--dedup", action="store_true",
+                   help="drop repeated-content chunks (license headers, "
+                        "vendored code) before embedding; first occurrence "
+                        "wins within the run")
     i.add_argument("--int8", action="store_true",
                    help="int8-quantized device corpus (halves HBM; ~same ranking)")
     i.add_argument("--global", dest="global_db", action="store_true",
@@ -417,6 +421,7 @@ def _cmd_index(args) -> int:
             int8=args.int8,
             global_db=args.global_db,
             dry_run=args.dry_run,
+            dedup=args.dedup,
         ),
     )
     if args.dry_run:

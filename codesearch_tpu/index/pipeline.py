@@ -30,6 +30,7 @@ from ..chunker import (
     INDEX_OVERLAP_LINES,
     SemanticChunker,
 )
+from ..chunker.dedup import ChunkDeduplicator
 from ..embed import EmbeddingService
 from ..fileio import FileWalker
 from ..fts import FtsStore
@@ -64,6 +65,13 @@ class IndexOptions:
     # extra top-level names for the walker to skip (benchmark harnesses
     # exclude self-referential dirs; mirrors FileWalker.extra_excludes)
     extra_excludes: tuple = ()
+    # drop repeated-content chunks (license headers, vendored/generated
+    # code) before embedding — first occurrence wins, within one index run
+    # (chunker/dedup.py; the reference ships the same component unwired,
+    # dedup.rs:17-108). Off by default: a dropped duplicate belongs to ONE
+    # file's manifest, so deleting that file also drops the content for
+    # the files that still contain it until their next reindex.
+    dedup: bool = False
 
 
 @dataclass
@@ -75,6 +83,7 @@ class IndexStats:
     files_deleted: int = 0
     chunks_added: int = 0
     chunks_deleted: int = 0
+    chunks_deduped: int = 0
     cancelled: bool = False
     elapsed_s: float = 0.0
     primary_language: str | None = None
@@ -335,6 +344,7 @@ def index(
     chunker = SemanticChunker(
         INDEX_MAX_CHUNK_LINES, INDEX_MAX_CHUNK_CHARS, INDEX_OVERLAP_LINES
     )
+    deduper = ChunkDeduplicator() if options.dedup else None
     progress = ProgressLine(len(changed))
     since_commit = 0
 
@@ -417,6 +427,8 @@ def index(
                 continue
             rel = f.path.relative_to(root) if f.path.is_relative_to(root) else f.path
             chunks = chunker.chunk_semantic(f.language, rel, content)
+            if deduper is not None:
+                chunks = deduper.deduplicate(chunks)
             for c in chunks:
                 # store the display language for boosts
                 c._language = f.language.display_name  # type: ignore[attr-defined]
@@ -451,6 +463,14 @@ def index(
         warn_print(f"FTS commit failed: {e}")
     file_meta.save()
     write_metadata(db_path, service, stats)
+    if deduper is not None:
+        stats.chunks_deduped = deduper.stats.duplicates
+        if stats.chunks_deduped:
+            info_print(
+                f"deduplicated {stats.chunks_deduped} repeated chunks "
+                f"({deduper.stats.unique} unique of "
+                f"{deduper.stats.total_seen} seen)"
+            )
     stats.elapsed_s = time.time() - t0
     if stats.cancelled:
         info_print(

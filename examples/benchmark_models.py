@@ -31,6 +31,25 @@ SELF_QUERIES = [
     ("reciprocal rank fusion", "rerank/fusion.py"),
 ]
 
+# Corpus B: a SECOND labeled set over this repo's own package tree —
+# 10 queries written fresh in round 4, never used to tune ranking in
+# rounds 1-3 (the reference's external-repo protocol,
+# benchmarks/test_external_repo.sh: quality changes must win on a corpus
+# they were not tuned against). Gate ranking tweaks on BOTH this set and
+# the reference set.
+CORPUS_B_QUERIES = [
+    ("where are file watch events coalesced and deduplicated", "watch/watcher.py"),
+    ("polling fallback when inotify is unavailable", "watch/watcher.py"),
+    ("atomic rename makes the manifest the commit point", "fts/store.py"),
+    ("split oversized chunks with overlapping lines", "chunker/semantic.py"),
+    ("stack of gitignore patterns applied per directory", "fileio/ignore.py"),
+    ("update rows of the device matrix in place", "vectordb/store.py"),
+    ("merge ranked result lists with reciprocal rank fusion", "rerank/fusion.py"),
+    ("generate query variants for expansion", "search/analysis.py"),
+    ("which files changed since the last index run", "index/file_meta.py"),
+    ("read JSON-RPC requests from stdin", "server/mcp.py"),
+]
+
 # Labeled set against the reference Rust corpus (benchmark_models.rs:16-32)
 REFERENCE_QUERIES = [
     ("SemanticChunker struct", "src/chunker/semantic.rs"),
@@ -143,7 +162,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", type=Path, default=Path("codesearch_tpu"))
     ap.add_argument("--models", default="code-hash-384,code-hash-768")
-    ap.add_argument("--queries", choices=["self", "reference"], default="self")
+    ap.add_argument("--queries", choices=["self", "reference", "corpus-b"],
+                    default="self")
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--hybrid", action="store_true",
@@ -153,7 +173,8 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
+    queries = {"self": SELF_QUERIES, "reference": REFERENCE_QUERIES,
+               "corpus-b": CORPUS_B_QUERIES}[args.queries]
     # exclude self-referential directories for BOTH corpora: the labeled
     # query strings live verbatim in examples/benchmark_models.{rs,py} and
     # benchmarks/*.md, and a literal copy of a query always outranks the

@@ -26,13 +26,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from examples.benchmark_models import REFERENCE_QUERIES, SELF_QUERIES  # noqa: E402
+from examples.benchmark_models import (  # noqa: E402
+    CORPUS_B_QUERIES, REFERENCE_QUERIES, SELF_QUERIES)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", type=Path, default=Path("/root/reference"))
-    ap.add_argument("--queries", choices=["self", "reference"], default="reference")
+    ap.add_argument("--queries", choices=["self", "reference", "corpus-b"],
+                    default="reference")
     ap.add_argument("--out", type=Path, default=REPO / "benchmarks" / "rerank.md")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--epochs", type=int, default=3)
@@ -53,7 +55,8 @@ def main() -> int:
     from codesearch_tpu.train.data import mine_pairs
     from codesearch_tpu.vectordb import VectorStore
 
-    queries = SELF_QUERIES if args.queries == "self" else REFERENCE_QUERIES
+    queries = {"self": SELF_QUERIES, "reference": REFERENCE_QUERIES,
+               "corpus-b": CORPUS_B_QUERIES}[args.queries]
 
     work = Path(tempfile.mkdtemp(prefix="codesearch-rerank-bench-"))
     print(f"indexing {args.corpus} ...")
@@ -65,9 +68,9 @@ def main() -> int:
     ))
     print(f"  {stats.chunks_added} chunks")
 
-    def accuracy(session: SearchSession, rerank: bool) -> tuple[int, int, float]:
-        """(top1 hits, top3 hits, mean latency ms) over the labeled set."""
-        top1 = top3 = 0
+    def accuracy(session: SearchSession, rerank: bool):
+        """(top1, top3, top5 hits, mean latency ms) over the labeled set."""
+        top1 = top3 = top5 = 0
         lats = []
         for q, expected in queries:
             t0 = time.time()
@@ -78,19 +81,22 @@ def main() -> int:
                 top1 += 1
             if any(expected in p for p in paths[:3]):
                 top3 += 1
-        return top1, top3, sum(lats) / max(len(lats), 1)
+            if any(expected in p for p in paths[:5]):
+                top5 += 1
+        return top1, top3, top5, sum(lats) / max(len(lats), 1)
 
     rows = []
 
     session = SearchSession(stats.db_path, readonly=True)
-    t1, t3, ms = accuracy(session, rerank=False)
-    rows.append(("hybrid (no rerank)", "—", t1, t3, ms))
+    t1, t3, t5, ms = accuracy(session, rerank=False)
+    rows.append(("hybrid (no rerank)", "—", t1, t3, t5, ms))
     print(f"no-rerank: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     session = SearchSession(stats.db_path, readonly=True)
     session.reranker = NeuralReranker(CrossEncoder(work / "empty-models"))
-    t1, t3, ms = accuracy(session, rerank=True)
-    rows.append(("hybrid + proxy rerank", session.reranker.model.mode, t1, t3, ms))
+    t1, t3, t5, ms = accuracy(session, rerank=True)
+    rows.append(("hybrid + proxy rerank", session.reranker.model.mode,
+                 t1, t3, t5, ms))
     print(f"proxy: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     print("training local cross-encoder on mined pairs ...")
@@ -109,8 +115,9 @@ def main() -> int:
     session = SearchSession(stats.db_path, readonly=True)
     session.reranker = NeuralReranker(CrossEncoder(work / "models"))
     assert session.reranker.model.mode == "cross-encoder"
-    t1, t3, ms = accuracy(session, rerank=True)
-    rows.append(("hybrid + trained cross-encoder", "cross-encoder", t1, t3, ms))
+    t1, t3, t5, ms = accuracy(session, rerank=True)
+    rows.append(("hybrid + trained cross-encoder", "cross-encoder",
+                 t1, t3, t5, ms))
     print(f"trained: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     n = len(queries)
@@ -124,12 +131,13 @@ def main() -> int:
         f"pairs in {train_s:.0f}s ({args.epochs} epochs, loss "
         f"{losses[0]:.3f} → {losses[-1]:.3f}).",
         "",
-        "| configuration | rerank_mode | top-1 | top-3 | mean query ms |",
-        "|---|---|---|---|---|",
+        "| configuration | rerank_mode | top-1 | top-3 | top-5 | mean query ms |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, mode, t1, t3, ms in rows:
+    for name, mode, t1, t3, t5, ms in rows:
         lines.append(f"| {name} | {mode} | {t1}/{n} ({100 * t1 // n}%) "
-                     f"| {t3}/{n} ({100 * t3 // n}%) | {ms:.1f} |")
+                     f"| {t3}/{n} ({100 * t3 // n}%) "
+                     f"| {t5}/{n} ({100 * t5 // n}%) | {ms:.1f} |")
     lines.append("")
     lines.append("Reference baseline: rerank adds ~1.7 s/query on CPU "
                  "(README.md:693); accuracy delta is not published.")

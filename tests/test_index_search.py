@@ -228,6 +228,30 @@ class TestIndexPipeline:
             for h in session.search("content hash walker", SearchOptions(limit=10)).hits
         )
 
+    def test_dedup_drops_repeated_chunks(self, tmp_path):
+        """--dedup: identical chunk content across files is embedded once
+        (license headers / vendored code; chunker/dedup.py, wired behind
+        IndexOptions.dedup — the reference ships the component unwired,
+        dedup.rs:17-108)."""
+        root = tmp_path / "repo"
+        (root / "src").mkdir(parents=True)
+        header = ("def licensed_helper():\n"
+                  '    """Copyright (c) Example Corp. All rights reserved.\n'
+                  "    Redistribution permitted under the MIT license.\"\"\"\n"
+                  "    return None\n\n")
+        (root / "src" / "a.py").write_text(header + "def alpha():\n    return 1\n")
+        (root / "src" / "b.py").write_text(header + "def beta():\n    return 2\n")
+        plain = index(root, IndexOptions(quiet=True,
+                                         store_path=tmp_path / "db1"))
+        deduped = index(root, IndexOptions(quiet=True, dedup=True,
+                                           store_path=tmp_path / "db2"))
+        assert deduped.chunks_deduped >= 1
+        assert deduped.chunks_added == plain.chunks_added - deduped.chunks_deduped
+        # unique content still searchable
+        session = SearchSession(tmp_path / "db2")
+        resp = session.search("beta", SearchOptions(limit=5))
+        assert any("b.py" in h.path for h in resp.hits)
+
     def test_incremental_delete(self, indexed_repo):
         repo, _ = indexed_repo
         (repo / "src" / "lib.rs").unlink()
