@@ -172,12 +172,15 @@ class _BertBackend:
             mask[row, :L] = 1
         return ids, mask
 
-    def embed_async(self, texts: list[str]):
+    def embed_async(self, texts: list[str], half_transfer: bool = False):
         """Host tokenize + dispatch every length bucket WITHOUT materializing
         results; returns a zero-arg callable that blocks and assembles the
         [N, dims] matrix. Dispatching all buckets first pipelines them on
         device, and the caller can overlap its own host work with the encoder
-        compute (SURVEY §7 "host/device pipeline overlap")."""
+        compute (SURVEY §7 "host/device pipeline overlap").
+
+        ``half_transfer``: fp16 device→host copies (see _HashBackend
+        .embed_async — the bulk-index path stores fp16 rows anyway)."""
         import jax.numpy as jnp
 
         if not texts:
@@ -206,6 +209,8 @@ class _BertBackend:
                 vecs = self._encode(self.params, ids_d, mask_d, self.cfg)
             else:
                 vecs = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
+            if half_transfer:
+                vecs = vecs.astype(jnp.float16)
             pending.append((batch_idx, vecs))
             i = j
             # NOTE: no mid-embed shutdown break — returning partial zero
@@ -243,10 +248,18 @@ class _HashBackend:
                 self.model.table, NamedSharding(self.mesh, P())
             )
 
-    def embed_async(self, texts: list[str]):
+    def embed_async(self, texts: list[str], half_transfer: bool = False):
         """Featurize (host) + dispatch now; returns a zero-arg callable that
         blocks on the device result — lets callers overlap host work with
-        the featurize matmul (SURVEY §7 "host/device pipeline overlap")."""
+        the featurize matmul (SURVEY §7 "host/device pipeline overlap").
+
+        ``half_transfer``: convert to fp16 ON DEVICE before the device→host
+        copy. The bulk-index path quantizes every row to fp16 at store
+        insert anyway (vectordb/store.py _tail_append), so rounding early
+        loses nothing downstream while HALVING the dominant transfer of the
+        1M-row index bench (8192×384 f32 per slab through the tunnel; the
+        experimental tunnel also leaks host RSS proportional to bytes
+        moved — CLAUDE.md). Values return as f32 rounded through fp16."""
         if not texts:
             return lambda: np.zeros((0, self.spec.dims), np.float32)
         import jax.numpy as jnp
@@ -258,12 +271,17 @@ class _HashBackend:
             out = embed_features(
                 self.model.table, jnp.asarray(ids), jnp.asarray(ws)
             )
-            return lambda: np.asarray(out)
+            if half_transfer:
+                out = out.astype(jnp.float16)
+            return lambda: np.asarray(out, np.float32)
         from ..parallel.dp_embed import dp_embed_features
 
         # the dp path materializes internally (shard_map gather) — no
         # deferral, but featurization already happened above
-        return lambda: dp_embed_features(self.model.table, ids, ws, self.mesh)
+        return lambda: dp_embed_features(
+            self.model.table, ids, ws, self.mesh,
+            half_transfer=half_transfer,
+        )
 
     def embed(self, texts: list[str]) -> np.ndarray:
         return self.embed_async(texts)()
@@ -402,7 +420,13 @@ class EmbeddingService:
         finish_backend = None
         if to_compute:
             texts = [prepare_text(chunks[i]) for i in to_compute]
-            finish_backend = self.backend.embed_async(texts)
+            # fp16 device→host: every row is quantized to fp16 at store
+            # insert anyway; rounding before the copy halves the dominant
+            # transfer of a bulk index (and the tunnel's RSS leak rides
+            # bytes moved). Cached values round identically, so a later
+            # cache hit inserts the same fp16 row.
+            finish_backend = self.backend.embed_async(texts,
+                                                      half_transfer=True)
 
         def finish() -> np.ndarray:
             row_of: dict[str, int] = {}

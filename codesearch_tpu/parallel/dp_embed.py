@@ -16,8 +16,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def dp_embed_features(table, ids: np.ndarray, weights: np.ndarray, mesh) -> np.ndarray:
-    """Hash-model embed with the batch sharded over mesh axis "data"."""
+def dp_embed_features(table, ids: np.ndarray, weights: np.ndarray, mesh,
+                      half_transfer: bool = False) -> np.ndarray:
+    """Hash-model embed with the batch sharded over mesh axis "data".
+
+    ``half_transfer`` converts to fp16 on device before the gather back to
+    host (bulk indexing quantizes rows to fp16 at store insert anyway)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -36,7 +40,9 @@ def dp_embed_features(table, ids: np.ndarray, weights: np.ndarray, mesh) -> np.n
     w_d = jax.device_put(jnp.asarray(weights), batch_sh)
     table_d = jax.device_put(table, repl)
     out = embed_features(table_d, ids_d, w_d)
-    return np.asarray(out)[:n]
+    if half_transfer:
+        out = out.astype(jnp.float16)
+    return np.asarray(out, np.float32)[:n]
 
 
 def dp_encode(params, input_ids: np.ndarray, attention_mask: np.ndarray, cfg, mesh) -> np.ndarray:
