@@ -394,6 +394,22 @@ def main() -> None:
             frac / max(per_bucket_cps[seq], 1e-9) for seq, frac in mix
         )
 
+    # free the kernel-phase device buffers before the product phase builds
+    # its own device-resident index: at 10M int8 the kernel corpus (4 GB)
+    # plus the product matrix (pow2 capacity, 6.4 GB) plus resident FTS
+    # postings exceed one chip's HBM (observed RESOURCE_EXHAUSTED, r4)
+    def _free(*arrs):
+        for a in arrs:
+            try:
+                a.delete()
+            except Exception:
+                pass
+
+    run = None  # noqa: F841  (drops the closure's corpus references)
+    _free(corpus, corpus_q if INT8 else None, row_scale if INT8 else None,
+          valid, queries, v, i, pv, pi, probe)
+    corpus = None
+
     product = bench_product(PRODUCT_ROWS) if PRODUCT_ROWS else None
     # second product row: the model-agnostic fused read plane with a real
     # encoder forward in the dispatch (bge-small arch, 12L/384H)
