@@ -117,6 +117,25 @@ EXACT_TIER_PREWARM_DF = int(
 # build-time avg_len for the exactness bound)
 _XTIER_ARRAYS = ("keys", "off", "tail", "dn", "tfc", "tfs", "lens")
 
+# RESIDENT SCORE PLANES (ops/bm25.py plane_write/_merge_dense): a term whose
+# df exceeds this floor — or whose chunk footprint would blow the per-query
+# sparse budget below — scores through a cached per-term dense [N] column
+# instead of per-query chunk gathers. Without planes a df-2.6M term costs
+# every query ~2,560 chunk DMAs plus a multi-million-row sort (and each new
+# pow2 chunk-table bucket compiles another executable — the r3 10M bench
+# measured a 618 s first identifier query and 428 ms warm); with planes the
+# per-query cost is one [B, H]×[H, N] matmul row + the gated top-k,
+# identical for every query shape. Building a plane costs one O(df) gather
+# + scatter per (term, device epoch) — cached LRU in HBM.
+PLANE_DF_FLOOR = int(os.environ.get("CODESEARCH_PLANE_DF_FLOOR", 1 << 16))
+# HBM budget for the plane buffer; rows = clamp(budget/(4·ncap), 4, 32)
+PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 2048))
+PLANE_ROWS_MAX = 32
+# per-query cap on the sparse leg's chunk table: terms are promoted to
+# planes (largest footprint first) until the query fits, bounding both the
+# sort length and the run-end dense gather in ops/bm25.py _merge_dense
+SPARSE_CHUNK_BUDGET = int(os.environ.get("CODESEARCH_SPARSE_CHUNK_BUDGET", 64))
+
 
 def _to_i64(h: int) -> int:
     """Unsigned 64-bit hash → signed-int64 key (matches the native tier)."""
@@ -185,9 +204,17 @@ def stack_query_args(args_list: list) -> tuple:
     offsets would index the wrong postings layout; callers fall back to
     per-query dispatch."""
     dev = args_list[0][0]
-    for a in args_list[1:]:
+    planes = None
+    for a in args_list:
         if a[0][0] is not dev[0]:
             raise ValueError("device epoch changed between query preps")
+        if a[9] is not None:
+            if planes is None:
+                planes = a[9]
+            elif planes is not a[9]:
+                # a plane build between preps replaced the buffer — the
+                # older pw rows index the previous snapshot
+                raise ValueError("plane epoch changed between query preps")
     cmax = max(a[1].shape[0] for a in args_list)
     b = len(args_list)
     bpad = max(4, _pow2(b))
@@ -195,17 +222,22 @@ def stack_query_args(args_list: list) -> tuple:
     cl = np.zeros((bpad, cmax), np.int32)
     ci = np.zeros((bpad, cmax), np.float32)
     kid = np.full(bpad, -1, np.int32)
+    pw = None
+    if planes is not None:
+        pw = np.zeros((bpad, planes.shape[0]), np.float32)
     for row, a in enumerate(args_list):
-        _, cs_a, cl_a, ci_a, kid_a, _, _, _ = a
+        _, cs_a, cl_a, ci_a, kid_a = a[:5]
         m = cs_a.shape[0]
         cs[row, :m] = cs_a
         cl[row, :m] = cl_a
         ci[row, :m] = ci_a
         kid[row] = kid_a
+        if pw is not None and a[8] is not None:
+            pw[row] = a[8]
     k = max(a[5] for a in args_list)
     kpre = max(max(a[6] for a in args_list), k)
     imax = max(a[7] for a in args_list)
-    return dev, cs, cl, ci, kid, k, kpre, imax
+    return dev, cs, cl, ci, kid, k, kpre, imax, pw, planes
 
 
 @dataclass(slots=True)
@@ -327,6 +359,12 @@ class FtsStore:
         self._dev_pending_dead: list[int] = []       # slots killed since sync
         self._seg_seq = 0
         self.device_min_docs = DEVICE_MIN_DOCS
+        # resident score planes (instance knobs so tests can force routing)
+        self.plane_df_floor = PLANE_DF_FLOOR
+        self.sparse_chunk_budget = SPARSE_CHUNK_BUDGET
+        self.planes_enabled = True
+        self.plane_builds = 0                        # diagnostics for tests
+        self.plane_evictions = 0
         self.fts_full_uploads = 0                    # diagnostics for tests
         self.fts_incremental_updates = 0
         # exact-identifier impact tiers: (seg.seq, term key) → candidate
@@ -1211,6 +1249,9 @@ class FtsStore:
             "ncap": ncap, "pcap": pcap, "used": used, "garbage": 0,
             "seg_base": seg_base, "n_synced": n, "avg_len": self._avg_len,
             "dead_scattered": 0,
+            # resident score planes die with the device epoch (their columns
+            # index this epoch's slot layout and p_w normalization)
+            "planes": None, "plane_rows": {}, "plane_free": [],
         }
         self._dev_pending_dead = []
         self.fts_full_uploads += 1
@@ -1295,6 +1336,15 @@ class FtsStore:
             st["seg_base"][seg.seq] = st["used"]
             st["used"] += len(seg)
             self.fts_incremental_updates += 1
+        # 5. invalidate score planes whose term gained postings in a new
+        # segment (a merge-produced segment re-adds the same postings —
+        # the rebuild is then redundant but harmless); removed segments
+        # leave planes valid (their postings became garbage, the plane's
+        # column values are unchanged)
+        if new_segs and st.get("plane_rows"):
+            for key in list(st["plane_rows"]):
+                if any(sg.term_range(key) != (0, 0) for sg in new_segs):
+                    st["plane_free"].append(st["plane_rows"].pop(key))
         self._dev = (p_pos, p_w, meta)
         return self._dev
 
@@ -1453,11 +1503,10 @@ class FtsStore:
             keys = query_term_keys(query)
             if keys.size == 0:
                 return None
-            cstart, clen, cidf = [], [], []
-            n_intervals = 0
-            n_terms = 0
             max_df = max(MAX_DF_RATIO * self._n_live, 64.0)
             seg_base = self._dev_state["seg_base"]
+            # pass 1: per-term stats (absolute CSR ranges, df, idf, chunks)
+            infos = []
             for key in keys:
                 ranges = []
                 df = 0
@@ -1469,10 +1518,43 @@ class FtsStore:
                     df += shi - slo
                 if df == 0 or df > max_df:
                     continue
-                n_terms += 1
                 # idf N = raw doc count (tombstones included — tantivy
                 # parity, byte-consistent with _gather_query)
                 t_idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+                n_chunks = sum((rln + CHUNK - 1) // CHUNK for _, rln in ranges)
+                infos.append((key, df, ranges, t_idf, n_chunks))
+            if not infos:
+                return None
+            # pass 2: routing — high-df terms (and whatever else is needed
+            # to fit the per-query sparse chunk budget, largest footprint
+            # first) score via resident planes; the rest stay on the
+            # chunk-gather sparse leg, which therefore stays SMALL at any
+            # corpus scale (no new pow2 executable shapes, no giant sorts)
+            dense, sparse = [], []
+            if self.planes_enabled:
+                for it in infos:
+                    (dense if it[1] > self.plane_df_floor else sparse).append(it)
+                sparse.sort(key=lambda it: it[4])
+                while (
+                    sparse
+                    and sum(it[4] for it in sparse) > self.sparse_chunk_budget
+                ):
+                    dense.append(sparse.pop())
+                rows_cap = self._plane_rows_cap()
+                if len(dense) > rows_cap:
+                    # absurdly plane-heavy query: keep the highest-df terms
+                    # dense, spill the rest back to the sparse leg
+                    dense.sort(key=lambda it: it[1])
+                    while len(dense) > rows_cap:
+                        sparse.append(dense.pop(0))
+            else:
+                sparse = infos
+            pw = planes = None
+            if dense:
+                pw, planes = self._ensure_planes(dense)
+            cstart, clen, cidf = [], [], []
+            n_intervals = 0
+            for _key, _df, ranges, t_idf, _nc in sparse:
                 for rlo, rln in ranges:
                     n_intervals += 1
                     off = 0
@@ -1481,7 +1563,7 @@ class FtsStore:
                         clen.append(min(CHUNK, rln - off))
                         cidf.append(t_idf)
                         off += CHUNK
-            if not cstart:
+            if not cstart and planes is None:
                 return None
             if n_intervals > MAX_DEVICE_INTERVALS:
                 # no silent caps (VERDICT r2): make the host fallback visible
@@ -1510,12 +1592,75 @@ class FtsStore:
             # a (term, dnum) pair is unique within a segment and every dnum's
             # postings live in exactly ONE segment (adds buffer into a single
             # mem segment; merges only consolidate), so after the slot sort a
-            # run repeats at most once per distinct TERM — NOT per
-            # (term × segment) interval. Bounding on terms keeps the scan at
-            # 2-3 passes even over a many-segment 10M-doc store (interval
-            # count only sizes the chunk table / transfer).
-            imax = max(_pow2(n_terms), 4)
-            return dev, cs_a, cl_a, ci_a, kid, k, kpre, imax
+            # run repeats at most once per distinct SPARSE TERM — NOT per
+            # (term × segment) interval (dense terms never enter the sort).
+            imax = max(_pow2(max(len(sparse), 1)), 4)
+            return dev, cs_a, cl_a, ci_a, kid, k, kpre, imax, pw, planes
+
+    def _plane_rows_cap(self) -> int:
+        """Plane-buffer rows affordable under the HBM budget at this
+        corpus's slot capacity (allocated lazily on first dense routing)."""
+        ncap = max(self._dev_state["ncap"], 1)
+        return max(4, min(PLANE_ROWS_MAX, (PLANE_HBM_MB << 20) // (4 * ncap)))
+
+    def _ensure_planes(self, infos) -> tuple[np.ndarray, "object"]:
+        """Resolve (building on miss) the resident score planes for this
+        query's dense terms; returns (pw [H] f32 — idf at each term's row,
+        zeros elsewhere — and the plane buffer). LRU over buffer rows; a
+        build replaces the buffer object (functional update, no donation)
+        so in-flight queries keep their consistent snapshot — which is also
+        what stack_query_args' identity check keys on. Caller holds the
+        store lock."""
+        st = self._dev_state
+        if st.get("planes") is None:
+            rows_cap = self._plane_rows_cap()
+            st["planes"] = self._full_repl(
+                (rows_cap, st["ncap"]), 0.0, np.float32
+            )
+            st["plane_rows"] = {}
+            st["plane_free"] = list(range(rows_cap - 1, -1, -1))
+        rows: dict = st["plane_rows"]
+        pw = np.zeros(st["planes"].shape[0], np.float32)
+        for key, _df, ranges, idf, _nc in infos:
+            row = rows.pop(key, None)
+            if row is None:
+                if st["plane_free"]:
+                    row = st["plane_free"].pop()
+                else:
+                    row = rows.pop(next(iter(rows)))  # LRU-oldest row
+                    self.plane_evictions += 1
+                self._build_plane(row, ranges)
+                self.plane_builds += 1
+            rows[key] = row                       # LRU refresh / insert
+            pw[row] = idf
+        return pw, st["planes"]
+
+    def _build_plane(self, row: int, ranges) -> None:
+        """Scatter one term's idf-less contributions into plane ``row``
+        (ops/bm25.py plane_write): chunk table for THIS term only, pow2
+        bucketed so builds share O(log) executable shapes."""
+        import jax.numpy as jnp
+
+        from ..ops.bm25 import CHUNK, plane_write
+
+        cstart, clen = [], []
+        for rlo, rln in ranges:
+            off = 0
+            while off < rln:
+                cstart.append(rlo + off)
+                clen.append(min(CHUNK, rln - off))
+                off += CHUNK
+        cpad = max(_pow2(len(cstart)), 8)
+        cs = np.zeros(cpad, np.int32)
+        cl = np.zeros(cpad, np.int32)
+        cs[: len(cstart)] = cstart
+        cl[: len(clen)] = clen
+        st = self._dev_state
+        p_pos, p_w, _meta = self._dev
+        st["planes"] = plane_write(
+            st["planes"], p_pos, p_w, jnp.asarray(cs), jnp.asarray(cl),
+            jnp.int32(row),
+        )
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""
@@ -1559,11 +1704,13 @@ class FtsStore:
 
         from ..ops.bm25 import bm25_resident_topk
 
-        dev, cs, cl, ci, kid, k, kpre, imax = args
+        dev, cs, cl, ci, kid, k, kpre, imax, pw, planes = args
         vals, idx = bm25_resident_topk(
             dev[0], dev[1], dev[2],
             jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
             jnp.int32(kid), k, kpre, imax,
+            pw=jnp.asarray(pw) if planes is not None else None,
+            planes=planes,
         )
         vals, idx = jax.device_get((vals, idx))
         return vals[:limit], idx[:limit]

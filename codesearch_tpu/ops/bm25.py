@@ -46,6 +46,117 @@ SLOT_MASK = (1 << SLOT_BITS) - 1
 PACK_PAD = (1 << 31) - 1  # padding/dead posting sentinel — sorts last
 
 
+@jax.jit
+def plane_write(planes, p_pos, p_w, cstart, clen, row):
+    """Build ONE resident score plane (fts/store.py _ensure_planes): chunk
+    DMA-gather of the term's postings from the resident arrays, scatter-add
+    of the idf-less contributions into a fresh [N] column, contiguous row
+    write. Runs once per (term, device epoch) — queries then read the plane
+    via one matmul instead of re-gathering millions of postings. NOT
+    donated: in-flight queries may still hold the previous buffer (their
+    pw row assignments snapshot that epoch), so the old planes must stay
+    valid until they drain."""
+    n = planes.shape[1]
+    c = cstart.shape[0]
+    pos2 = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(p_pos, (s,), (CHUNK,))
+    )(cstart)
+    w2 = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(p_w, (s,), (CHUNK,))
+    )(cstart)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 1)
+    livem = j < clen[:, None]
+    # pads and PACK_PAD postings land out of range → dropped by the scatter
+    slots = jnp.where(livem, pos2 & SLOT_MASK, n).reshape(-1)
+    w = jnp.where(livem, w2, 0.0).reshape(-1)
+    col = jnp.zeros((n,), jnp.float32).at[slots].add(w, mode="drop")
+    return jax.lax.dynamic_update_slice(planes, col[None], (row, 0))
+
+
+def _dense_scores_topk(combined, slot_meta, boost_kid, kd):
+    """Top-kd of the PRECOMPUTED combined dense scores [B, N] (kind boost
+    applied, dead slots masked): gated Pallas kernel on TPU when the slot
+    count tiles evenly; XLA top_k otherwise (CPU tests, tiny corpora)."""
+    from .pallas_topk import DEFAULT_TILE, MAX_FUSED_K, fused_scores_topk
+
+    n = combined.shape[1]
+    kd = min(kd, n)
+    if (
+        jax.default_backend() == "tpu"
+        and kd <= MAX_FUSED_K
+        and n % DEFAULT_TILE == 0
+    ):
+        return fused_scores_topk(
+            combined, slot_meta, boost_kid, kd, DEAD_SLOT, tile=DEFAULT_TILE
+        )
+    boost = jnp.where(
+        slot_meta[None, :] == boost_kid[:, None], jnp.float32(KIND_BOOST), 1.0
+    )
+    scores = jnp.where(slot_meta[None, :] == DEAD_SLOT, -jnp.inf,
+                       combined * boost)
+    vals, idx = jax.lax.top_k(scores, kd)
+    return vals, idx.astype(jnp.int32)
+
+
+def _merge_dense(slot_meta, boost_kid, k, kp, pos_s, totals, is_end, slot_s,
+                 kind_s, pw, planes):
+    """Planes-enabled selection tail — EXACT top-k by construction.
+
+    The per-query dense contribution of every doc materializes once as
+    ``combined = pw @ planesᵀ`` [B, N] (an MXU matmul over the resident
+    plane matrix), then:
+
+    1. every sparse RUN END gets its dense part added (flat gather at the
+       run slots — the sparse row only ever carries the query's low-df
+       terms, so it is small by routing, fts/store.py device_query_args),
+       making the sparse leg's totals the TRUE full scores of every
+       sparse-matching doc;
+    2. the dense leg takes top-kp of ``combined`` (boosted, dead-masked) —
+       every doc with NO sparse match scores exactly its combined value.
+
+    Union of the two candidate lists provably contains the global top-k:
+    a doc missing from both lists either matches a sparse term (then ≥ kp
+    docs carry full scores ≥ its full score) or is dense-only (then every
+    dense-list entry above it is a distinct doc whose true score ≥ its
+    dense score). Docs surfaced by both legs keep the sparse copy (full
+    score) and mask the dense copy. Dead docs ride the existing
+    ``kpre ≥ k + dead-since-sync`` oversample contract."""
+    neg = jnp.float32(-3.0e37)
+    n = slot_meta.shape[0]
+    combined = jax.lax.dot_general(
+        pw, planes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [B, N]
+    dense_at = jnp.take_along_axis(
+        combined, jnp.minimum(slot_s, n - 1), axis=1
+    )
+    boost = jnp.where(
+        kind_s == boost_kid[:, None], jnp.float32(KIND_BOOST), 1.0
+    )
+    runs = jnp.where(
+        is_end & (pos_s < PACK_PAD), (totals + dense_at) * boost, -jnp.inf
+    )
+    sv, ridx = jax.lax.top_k(runs, kp)                    # full-score leg
+    scand = jnp.take_along_axis(slot_s, ridx, axis=1).astype(jnp.int32)
+    s_ok = sv > neg
+    dv, dcand = _dense_scores_topk(combined, slot_meta, boost_kid, kp)
+    cand = jnp.concatenate([scand, dcand], axis=1)
+    vals = jnp.concatenate([jnp.where(s_ok, sv, -jnp.inf), dv], axis=1)
+    cc = jnp.clip(cand, 0, n - 1)
+    live = (slot_meta[cc] != DEAD_SLOT) & (cand < n)
+    vals = jnp.where(live, vals, -jnp.inf)
+    # dedup: a doc surfaced by BOTH legs keeps the sparse (full-score) copy
+    s_sorted = jnp.sort(jnp.where(s_ok, scand, n + 1), axis=1)
+    di = jnp.clip(jax.vmap(jnp.searchsorted)(s_sorted, dcand), 0, kp - 1)
+    dup = jnp.take_along_axis(s_sorted, di, axis=1) == dcand
+    vals = jnp.concatenate(
+        [vals[:, :kp], jnp.where(dup, -jnp.inf, vals[:, kp:])], axis=1
+    )
+    out_v, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    out_c = jnp.take_along_axis(cand, sel, axis=1)
+    return out_v, out_c
+
+
 def _bm25_batch_core(
     p_pos: jax.Array,      # [P] i32 — RESIDENT: posting → slot | kind<<25
     p_w: jax.Array,        # [P] f32 — RESIDENT: (k1+1)·tf/(tf+K) per posting
@@ -57,7 +168,9 @@ def _bm25_batch_core(
     k: int,
     kpre: int,             # pre-liveness oversample ≥ k + dead-since-sync
     imax: int,             # static run-length bound (kept query terms)
-) -> tuple[jax.Array, jax.Array]:
+    pw: jax.Array | None = None,      # [B, H] f32 — per-plane idf weights
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
+):
     """Batched core: chunk DMA-gather → idf apply → per-row sort by packed
     slot → bounded shifted-add run reduction → kind boost from the packed
     high bits → per-row top-k. Only candidate postings are materialized —
@@ -113,11 +226,17 @@ def _bm25_batch_core(
 
     kind_s = pos_s >> SLOT_BITS                  # PACK_PAD → 63: never boosts
     slot_s = pos_s & SLOT_MASK
+    kp = min(max(kpre, k), totals.shape[1])
+    if planes is not None:
+        # high-df terms score via resident dense planes (see fts/store.py
+        # _ensure_planes): the sparse leg above only ever carries low-df
+        # terms, so its sort stays small at any corpus scale
+        return _merge_dense(slot_meta, boost_kid, k, kp, pos_s, totals,
+                            is_end, slot_s, kind_s, pw, planes)
     boost = jnp.where(
         kind_s == boost_kid[:, None], jnp.float32(KIND_BOOST), 1.0
     )
     runs = jnp.where(is_end & (pos_s < PACK_PAD), totals * boost, -jnp.inf)
-    kp = min(max(kpre, k), runs.shape[1])
     vals, ridx = jax.lax.top_k(runs, kp)
     cand = jnp.take_along_axis(slot_s, ridx, axis=1).astype(jnp.int32)
     if kp > k:
@@ -142,12 +261,15 @@ def bm25_resident_topk(
     k: int,
     kpre: int,             # pre-liveness oversample ≥ k + dead-since-sync
     imax: int,             # static run-length bound (kept query terms)
+    pw: jax.Array | None = None,      # [H] f32 — per-plane idf weights
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array]:
     """Single-query dispatch: the B=1 slice of ``_bm25_batch_core`` (the
     [1, L] sort/top_k lower identically to the unbatched forms)."""
     vals, cand = _bm25_batch_core(
         p_pos, p_w, slot_meta, cstart[None], clen[None], cidf[None],
         jnp.asarray(boost_kid, jnp.int32)[None], k, kpre, imax,
+        pw[None] if pw is not None else None, planes,
     )
     return vals[0], cand[0]
 
@@ -164,8 +286,11 @@ def bm25_resident_topk_batch(
     k: int,
     kpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32
+    planes: jax.Array | None = None,  # [H, N] f32
 ) -> tuple[jax.Array, jax.Array]:
     """B independent queries' BM25 top-k in ONE dispatch (search_many)."""
     return _bm25_batch_core(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, k, kpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, k, kpre, imax,
+        pw, planes,
     )

@@ -141,6 +141,62 @@ def _fused_kernel_int8(q_ref, qs_ref, c_ref, rs_ref, valid_ref,
     _score_select(scores, j, vals_ref, idx_ref, scores_scr, k=k, tile=tile)
 
 
+def _fused_kernel_scores(s_ref, kid_ref, meta_ref,
+                         vals_ref, idx_ref, scores_scr,
+                         *, k: int, tile: int, dead_slot: int):
+    """Selection-only variant for PRECOMPUTED score rows (the dense BM25
+    leg, ops/bm25.py _merge_dense): per-tile kind boost + dead masking,
+    then the same gated running top-k as the cosine kernels. The [Q, N]
+    scores already exist (they also feed the sparse run-end gather), so
+    this kernel replaces a flat ``lax.top_k`` over millions of columns
+    with the work-proportional gated selection."""
+    j = pl.program_id(0)
+    meta = meta_ref[:]                                    # [TILE] i32
+    boost = jnp.where(
+        meta[None, :] == kid_ref[:], jnp.float32(3.0), jnp.float32(1.0)
+    )
+    dead = (meta == dead_slot).astype(jnp.float32)        # pads & tombstones
+    scores = s_ref[:] * boost + dead[None, :] * _NEG_INF
+    _score_select(scores, j, vals_ref, idx_ref, scores_scr, k=k, tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "dead_slot", "interpret"))
+def fused_scores_topk(
+    scores: jax.Array,     # [Q, N] f32 — precomputed per-slot scores
+    slot_meta: jax.Array,  # [N] i32 — kind id when live, dead_slot otherwise
+    boost_kid: jax.Array,  # [Q] i32 — kind id boosted ×3 (-1: none)
+    k: int,
+    dead_slot: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact boosted top-k over precomputed score rows, streamed tile by
+    tile through the gated running-top-k selection."""
+    nq, n = scores.shape
+    assert n % tile == 0, f"score cols {n} must be a multiple of tile {tile}"
+    kk = min(k, tile)
+    return pl.pallas_call(
+        functools.partial(_fused_kernel_scores, k=kk, tile=tile,
+                          dead_slot=dead_slot),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((nq, tile), lambda j: (0, j)),
+            pl.BlockSpec((nq, 1), lambda j: (0, 0)),
+            pl.BlockSpec((tile,), lambda j: (j,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, kk), lambda j: (0, 0)),
+            pl.BlockSpec((nq, kk), lambda j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, kk), jnp.float32),
+            jax.ShapeDtypeStruct((nq, kk), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nq, tile), jnp.float32)],
+        interpret=interpret,
+    )(scores, boost_kid.astype(jnp.int32).reshape(nq, 1), slot_meta)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def fused_cosine_topk_int8(
     queries: jax.Array,    # [Q, d] f32

@@ -68,6 +68,8 @@ def hash_embed_hybrid_search(
     kb: int,               # BM25 top-k
     kbpre: int,            # BM25 pre-liveness oversample (ops/bm25.py kpre)
     imax: int,             # static run-length bound (kept query terms)
+    pw: jax.Array | None = None,      # [H] f32 — plane idf weights
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query: variant embedding + exact vector top-k + resident-
     postings BM25 top-k fused into ONE dispatch — the host→device transfer
@@ -84,7 +86,8 @@ def hash_embed_hybrid_search(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -107,6 +110,8 @@ def hash_embed_hybrid_search_many(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched serving: a WAVE of B queries (their variants concatenated
     along the row axis) through the whole hybrid read plane in ONE
@@ -123,7 +128,8 @@ def hash_embed_hybrid_search_many(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -147,6 +153,8 @@ def hash_embed_hybrid_search_many_int8(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from .bm25 import bm25_resident_topk_batch
@@ -155,7 +163,8 @@ def hash_embed_hybrid_search_many_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -179,6 +188,8 @@ def bert_embed_hybrid_search_many(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched serving for BERT-family backends: one encoder forward over
     every query's variants (a [Qtot, T] batch keeps the MXU fed far better
@@ -191,7 +202,8 @@ def bert_embed_hybrid_search_many(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -216,6 +228,8 @@ def bert_embed_hybrid_search_many_int8(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.encoder import encode
     from .bm25 import bm25_resident_topk_batch
@@ -224,7 +238,8 @@ def bert_embed_hybrid_search_many_int8(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -287,6 +302,8 @@ def bert_embed_hybrid_search(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """THE hybrid query for BERT-family backends: encoder forward + exact
     vector top-k + resident-postings BM25 top-k fused into ONE dispatch —
@@ -298,7 +315,8 @@ def bert_embed_hybrid_search(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk(q, corpus, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -323,6 +341,8 @@ def bert_embed_hybrid_search_int8(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.encoder import encode
     from .bm25 import bm25_resident_topk
@@ -331,7 +351,8 @@ def bert_embed_hybrid_search_int8(
     q = encode(params, ids, mask, cfg)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -355,6 +376,8 @@ def hash_embed_hybrid_search_int8(
     kb: int,
     kbpre: int,
     imax: int,
+    pw: jax.Array | None = None,      # [B, H] f32 (batched) / [H] f32
+    planes: jax.Array | None = None,  # [H, N] f32 — resident score planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from .bm25 import bm25_resident_topk
@@ -363,6 +386,7 @@ def hash_embed_hybrid_search_int8(
     q = embed_features(table, ids, weights)
     v_vals, v_idx = cosine_topk_int8(q, corpus_q, row_scale, valid, kv)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx

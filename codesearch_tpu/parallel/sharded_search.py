@@ -189,6 +189,8 @@ def sharded_hash_embed_hybrid(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip fused hybrid: the sharded vector top-k (local + all_gather
     merge over ICI) and the BM25 interval reduction (computed redundantly on
@@ -211,7 +213,8 @@ def sharded_hash_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -236,6 +239,8 @@ def sharded_hash_embed_hybrid_int8(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from ..ops.bm25 import bm25_resident_topk
@@ -253,7 +258,8 @@ def sharded_hash_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -337,6 +343,8 @@ def sharded_bert_embed_hybrid(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip fused hybrid for BERT-family backends: encoder forward +
     sharded vector top-k + replicated BM25 reduction in ONE jit (the
@@ -357,7 +365,8 @@ def sharded_bert_embed_hybrid(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -383,6 +392,8 @@ def sharded_bert_embed_hybrid_int8(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.encoder import encode
     from ..ops.bm25 import bm25_resident_topk
@@ -400,7 +411,8 @@ def sharded_bert_embed_hybrid_int8(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -459,6 +471,8 @@ def sharded_hash_embed_hybrid_many(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip batched hybrid: a WAVE of B queries through the sharded
     vector top-k (local gated kernel + all_gather merge over ICI) plus the
@@ -479,7 +493,8 @@ def sharded_hash_embed_hybrid_many(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus, valid)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -504,6 +519,8 @@ def sharded_hash_embed_hybrid_many_int8(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.hash_embedder import embed_features
     from ..ops.bm25 import bm25_resident_topk_batch
@@ -521,7 +538,8 @@ def sharded_hash_embed_hybrid_many_int8(
         out_specs=(P(), P()), check_vma=False,
     )(table, ids, weights, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -546,6 +564,8 @@ def sharded_bert_embed_hybrid_many(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip batched hybrid for BERT-family backends: ONE encoder
     forward over every query's variants + sharded vector top-k + batched
@@ -567,7 +587,8 @@ def sharded_bert_embed_hybrid_many(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus, valid)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx
 
@@ -593,6 +614,8 @@ def sharded_bert_embed_hybrid_many_int8(
     kbpre: int,
     imax: int,
     mesh: Mesh,
+    pw: jax.Array | None = None,      # plane idf weights
+    planes: jax.Array | None = None,  # [H, N] resident planes
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from ..models.encoder import encode
     from ..ops.bm25 import bm25_resident_topk_batch
@@ -610,6 +633,7 @@ def sharded_bert_embed_hybrid_many_int8(
         out_specs=(P(), P()), check_vma=False,
     )(q, corpus_q, row_scale, valid)
     b_vals, b_idx = bm25_resident_topk_batch(
-        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax
+        p_pos, p_w, slot_meta, cstart, clen, cidf, boost_kid, kb, kbpre, imax,
+        pw=pw, planes=planes,
     )
     return v_vals, v_idx, b_vals, b_idx

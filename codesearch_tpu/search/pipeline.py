@@ -653,9 +653,23 @@ class SearchSession:
             try:
                 bm_batch = stack_query_args([st["bm"] for st in hyb])
             except ValueError:
-                # a writer re-synced the resident postings between preps —
-                # the stacked offsets would index the wrong layout
-                return self._search_many_waves(queries, options)
+                # epoch moved between preps. Two causes: a COLD wave whose
+                # preps each built a score plane (every build replaces the
+                # buffer object), or a writer re-syncing the resident
+                # postings. Re-prep once — plane builds are now cached, so
+                # a stable epoch means this succeeds — else go sequential.
+                try:
+                    for st in hyb:
+                        st["bm"] = self.fts.device_query_args(
+                            st["query"],
+                            st["intent"].value if st["intent"] else None,
+                            st["fetch"],
+                        )
+                    if any(st["bm"] is None for st in hyb):
+                        raise ValueError("bm leg rerouted between preps")
+                    bm_batch = stack_query_args([st["bm"] for st in hyb])
+                except ValueError:
+                    return self._search_many_waves(queries, options)
             if fused_kind == "hash":
                 dev_out = self.store.hybrid_search_featurized_many(
                     hash_model.table, ids_all, aux_all, kvmax, bm_batch,

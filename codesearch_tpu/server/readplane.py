@@ -138,8 +138,20 @@ def device_candidates_many(stores, service, items):
 
         try:
             bm_batch = stack_query_args(bm_list)
-        except ValueError:  # device epoch changed between preps
-            return [_single(*it) for it in items]
+        except ValueError:
+            # epoch moved between preps (cold-wave plane builds or a
+            # writer resync) — re-prep once with the builds now cached
+            try:
+                bm_list = [
+                    stores.fts.device_query_args(items[i][0], items[i][1],
+                                                 items[i][2])
+                    for i in hyb_idx
+                ]
+                if any(bm is None for bm in bm_list):
+                    raise ValueError("bm leg rerouted between preps")
+                bm_batch = stack_query_args(bm_list)
+            except ValueError:
+                return [_single(*it) for it in items]
         if fused_kind == "hash":
             dev_out = stores.store.hybrid_search_featurized_many(
                 hb.table, ids, aux, kvmax, bm_batch

@@ -1377,7 +1377,11 @@ class VectorStore:
             hash_embed_hybrid_search_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax, b_pw, b_planes = bm_args
+        dense_kw = {}
+        if b_planes is not None:
+            import jax.numpy as _jnp
+            dense_kw = {"pw": _jnp.asarray(b_pw), "planes": b_planes}
         with self._lock:
             n_valid = self._n_valid()
             if n_valid == 0:
@@ -1408,6 +1412,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.int32(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
                 else:
                     vv, vi, bv, bi = sharded_hash_embed_hybrid(
@@ -1416,6 +1421,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.int32(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
             elif dev[0] == "int8":
                 vv, vi, bv, bi = hash_embed_hybrid_search_int8(
@@ -1424,6 +1430,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
             else:
                 vv, vi, bv, bi = hash_embed_hybrid_search(
@@ -1432,6 +1439,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
         if defer:
             # dispatch is enqueued; hand back un-fetched device arrays so
@@ -1461,7 +1469,11 @@ class VectorStore:
             hash_embed_hybrid_search_many_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax, b_pw, b_planes = bm_args
+        dense_kw = {}
+        if b_planes is not None:
+            import jax.numpy as _jnp
+            dense_kw = {"pw": _jnp.asarray(b_pw), "planes": b_planes}
         with self._lock:
             n_valid = self._n_valid()
             if n_valid == 0:
@@ -1482,6 +1494,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.asarray(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
                 return sharded_hash_embed_hybrid_many(
                     table, jnp.asarray(ids), jnp.asarray(weights),
@@ -1489,6 +1502,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.asarray(kid), kb, kbpre, imax, mesh,
+                    **dense_kw,
                 )
             if dev[0] == "int8":
                 return hash_embed_hybrid_search_many_int8(
@@ -1497,6 +1511,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.asarray(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
             return hash_embed_hybrid_search_many(
                 table, jnp.asarray(ids), jnp.asarray(weights),
@@ -1504,6 +1519,7 @@ class VectorStore:
                 fts_dev[0], fts_dev[1], fts_dev[2],
                 jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                 jnp.asarray(kid), kb, kbpre, imax,
+                **dense_kw,
             )
 
     def hybrid_search_encoded_many(
@@ -1521,7 +1537,11 @@ class VectorStore:
             bert_embed_hybrid_search_many_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax, b_pw, b_planes = bm_args
+        dense_kw = {}
+        if b_planes is not None:
+            import jax.numpy as _jnp
+            dense_kw = {"pw": _jnp.asarray(b_pw), "planes": b_planes}
         with self._lock:
             n_valid = self._n_valid()
             if n_valid == 0:
@@ -1542,6 +1562,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.asarray(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
                 return sharded_bert_embed_hybrid_many(
                     params, jnp.asarray(ids), jnp.asarray(mask), cfg,
@@ -1549,6 +1570,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.asarray(kid), kb, kbpre, imax, mesh,
+                    **dense_kw,
                 )
             if dev[0] == "int8":
                 return bert_embed_hybrid_search_many_int8(
@@ -1557,6 +1579,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.asarray(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
             return bert_embed_hybrid_search_many(
                 params, jnp.asarray(ids), jnp.asarray(mask), cfg,
@@ -1564,6 +1587,7 @@ class VectorStore:
                 fts_dev[0], fts_dev[1], fts_dev[2],
                 jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                 jnp.asarray(kid), kb, kbpre, imax,
+                **dense_kw,
             )
 
     def search_encoded(
@@ -1633,7 +1657,11 @@ class VectorStore:
             bert_embed_hybrid_search_int8,
         )
 
-        fts_dev, cs, cl, ci, kid, kb, kbpre, imax = bm_args
+        fts_dev, cs, cl, ci, kid, kb, kbpre, imax, b_pw, b_planes = bm_args
+        dense_kw = {}
+        if b_planes is not None:
+            import jax.numpy as _jnp
+            dense_kw = {"pw": _jnp.asarray(b_pw), "planes": b_planes}
         with self._lock:
             n_valid = self._n_valid()
             if n_valid == 0:
@@ -1664,6 +1692,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.int32(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
                 else:
                     vv, vi, bv, bi = sharded_bert_embed_hybrid(
@@ -1672,6 +1701,7 @@ class VectorStore:
                         fts_dev[0], fts_dev[1], fts_dev[2],
                         jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                         jnp.int32(kid), kb, kbpre, imax, mesh,
+                        **dense_kw,
                     )
             elif dev[0] == "int8":
                 vv, vi, bv, bi = bert_embed_hybrid_search_int8(
@@ -1680,6 +1710,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
             else:
                 vv, vi, bv, bi = bert_embed_hybrid_search(
@@ -1688,6 +1719,7 @@ class VectorStore:
                     fts_dev[0], fts_dev[1], fts_dev[2],
                     jnp.asarray(cs), jnp.asarray(cl), jnp.asarray(ci),
                     jnp.int32(kid), kb, kbpre, imax,
+                    **dense_kw,
                 )
         if defer:
             return vv, vi, bv, bi

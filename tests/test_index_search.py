@@ -1337,3 +1337,68 @@ class TestDocPathDemotion:
         got_d = s.search("readme section about incremental indexing",
                          SearchOptions(limit=2))
         assert any(h.path.endswith("README.md") for h in got_d.hits)
+
+
+class TestScorePlanesE2E:
+    """Round-4 resident score planes, end to end through the fused read
+    plane: high-df terms routed to planes must not change results vs the
+    chunk-gather device path, in search() and in search_many() waves."""
+
+    def _index(self, tmp_path):
+        from codesearch_tpu.index.pipeline import IndexOptions, index
+
+        root = tmp_path / "repo"
+        root.mkdir()
+        # 60 functions all referencing `shared_util` → high df for the
+        # identifier and its subtokens; distinct rare names per function
+        src = "\n".join(
+            f"def handler_{i}(arg):\n"
+            f'    """Handle case {i} via the dispatcher."""\n'
+            f"    return shared_util.apply(arg, {i})\n"
+            for i in range(60)
+        )
+        (root / "handlers.py").write_text(src)
+        (root / "other.py").write_text(
+            "def parse_config(path):\n"
+            '    """Parse configuration values."""\n'
+            "    return shared_util.load(path)\n"
+        )
+        return index(root, IndexOptions(quiet=True))
+
+    def _session(self, db_path, floor):
+        from codesearch_tpu.search.pipeline import SearchSession
+
+        sess = SearchSession(db_path, readonly=True)
+        sess.store.host_path_rows = 0
+        sess.fts.device_min_docs = 1
+        sess.fts.plane_df_floor = floor
+        return sess
+
+    def test_fused_planes_match_chunk_path(self, tmp_path):
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        q = "handler dispatcher shared_util"
+        base_sess = self._session(stats.db_path, floor=10)
+        base_sess.fts.planes_enabled = False
+        base = base_sess.search(q, SearchOptions(limit=5))
+        sess = self._session(stats.db_path, floor=10)
+        got = sess.search(q, SearchOptions(limit=5))
+        assert sess.fts.plane_builds >= 1, "planes must route"
+        assert [h.chunk_id for h in got.hits] == [h.chunk_id for h in base.hits]
+        for g, b in zip(got.hits, base.hits):
+            assert abs(g.score - b.score) < 1e-4
+
+    def test_search_many_matches_search_with_planes(self, tmp_path):
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        sess = self._session(stats.db_path, floor=10)
+        queries = ["handler dispatcher shared_util",
+                   "parse configuration values",
+                   "apply the shared_util case"]
+        singles = [sess.search(q, SearchOptions(limit=5)) for q in queries]
+        fresh = self._session(stats.db_path, floor=10)
+        wave = fresh.search_many(queries, SearchOptions(limit=5))
+        for s, w in zip(singles, wave):
+            assert [h.chunk_id for h in w.hits] == [h.chunk_id for h in s.hits]
