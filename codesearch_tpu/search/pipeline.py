@@ -79,6 +79,9 @@ class ResponseCache:
         self.hits += 1
         return self._copy(v)
 
+    def clear(self) -> None:
+        self._d.clear()
+
     def put(self, key, value) -> None:
         self._d[key] = self._copy(value)
         while len(self._d) > self.max_entries:
