@@ -1070,3 +1070,21 @@ class TestScorePlanes:
             got = s.results_from_device(np.asarray(vals[row]),
                                         np.asarray(idx[row]), 8)
             self._assert_rank_equivalent(got, single)
+
+    def test_post_sync_deletes_masked_in_dense_leg(self, tmp_path):
+        """Docs deleted AFTER the device sync keep nonzero plane columns —
+        the kpre oversample + slot_meta mask must keep them out, and the
+        survivors must match a fresh host scoring."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        before = s.search("shared rare_9", limit=10)
+        assert s.plane_builds >= 1
+        victims = {r.chunk_id for r in before[:3]} - {9}
+        for cid in victims:
+            s.delete_chunk(cid)
+        after = s.search("shared rare_9", limit=10)
+        got = {r.chunk_id for r in after}
+        assert not (got & victims), "deleted docs leaked through the planes"
+        host = [r for r in s.search("shared rare_9", limit=10)]
+        self._assert_rank_equivalent(after, host)
