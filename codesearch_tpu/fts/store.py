@@ -128,8 +128,12 @@ _XTIER_ARRAYS = ("keys", "off", "tail", "dn", "tfc", "tfs", "lens")
 # identical for every query shape. Building a plane costs one O(df) gather
 # + scatter per (term, device epoch) — cached LRU in HBM.
 PLANE_DF_FLOOR = int(os.environ.get("CODESEARCH_PLANE_DF_FLOOR", 1 << 16))
-# HBM budget for the plane buffer; rows = clamp(budget/(4·ncap), 4, 32)
-PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 2048))
+# HBM budget for the plane buffer; rows = clamp(budget/(4·ncap), 4, 32).
+# 1 GB = 16 rows at 16.7M slots: a 10M int8 corpus already carries a
+# 6.4 GB product matrix + ~2 GB resident postings, and the dense leg's
+# [B, N] combined transient peaks another ~1 GB per batched wave — a
+# 2 GB buffer OOM'd the 16 GB chip at first search (measured r4)
+PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 1024))
 PLANE_ROWS_MAX = 32
 # per-query cap on the sparse leg's chunk table: terms are promoted to
 # planes (largest footprint first) until the query fits, bounding both the
@@ -1551,7 +1555,17 @@ class FtsStore:
                 sparse = infos
             pw = planes = None
             if dense:
-                pw, planes = self._ensure_planes(dense)
+                try:
+                    pw, planes = self._ensure_planes(dense)
+                except Exception as e:  # HBM pressure: degrade, don't fail
+                    log.warning(
+                        "score-plane allocation failed (%s) — disabling "
+                        "planes for this session; high-df terms fall back "
+                        "to chunk gathers", e,
+                    )
+                    self.planes_enabled = False
+                    sparse = sparse + dense
+                    dense = []
             cstart, clen, cidf = [], [], []
             n_intervals = 0
             for _key, _df, ranges, t_idf, _nc in sparse:
