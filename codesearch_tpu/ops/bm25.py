@@ -173,8 +173,11 @@ def _bm25_batch_core(
 ):
     """Batched core: chunk DMA-gather → idf apply → per-row sort by packed
     slot → bounded shifted-add run reduction → kind boost from the packed
-    high bits → per-row top-k. Only candidate postings are materialized —
-    never an [N]-dense vector. Every stage (sort_key_val, the shifted
+    high bits → per-row top-k. Without planes only candidate postings are
+    materialized — never an [N]-dense vector; the planes path trades one
+    [B, N] combined matrix (an MXU matmul over the resident planes, see
+    _merge_dense) for keeping every high-df term OUT of the gather+sort.
+    Every stage (sort_key_val, the shifted
     compare-adds, top_k, take_along_axis) operates along the last axis, so
     B independent queries ride ONE dispatch — the batched-serving shape
     (search_many) that amortizes the tunnel round trip over the wave.
