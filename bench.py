@@ -66,7 +66,15 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
              "chunk", "socket", "widget", "metric", "schema", "branch",
              "vector", "posting"]
 
-    td = Path(tempfile.mkdtemp(prefix="codesearch-bench-"))
+    # BENCH_DB_DIR: persist the synthetic index and SKIP the build when it
+    # already exists — debugging the query phase at 10M otherwise re-pays a
+    # ~25 min indexing run per iteration. Unset (the driver default) keeps
+    # the build-timed tmpdir behavior.
+    keep_dir = os.environ.get("BENCH_DB_DIR")
+    td = Path(keep_dir) if keep_dir else Path(
+        tempfile.mkdtemp(prefix="codesearch-bench-"))
+    td.mkdir(parents=True, exist_ok=True)
+    reuse = bool(keep_dir) and (td / "db" / "fts" / "fts.json").exists()
     try:
         svc = EmbeddingService(model, use_persistent_cache=False)
         store = VectorStore(td / "db", dims=svc.dims, int8=INT8)
@@ -79,7 +87,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
         # committed explanation; phases make the next drop attributable)
         ph = {"gen": 0.0, "embed": 0.0, "vstore": 0.0, "fts": 0.0,
               "commit": 0.0}
-        while done < n_rows:
+        while not reuse and done < n_rows:
             n = min(slab, n_rows - done)
             tp = time.time()
             chunks = []
@@ -136,18 +144,28 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
                 fts.commit()
                 ph["commit"] += time.time() - tp
         index_cps = n_rows / (time.time() - t0)
-        tp = time.time()
-        store.build_index()
-        store.save()
-        fts.commit()
-        ph["commit"] += time.time() - tp
+        if not reuse:
+            tp = time.time()
+            store.build_index()
+            store.save()
+            fts.commit()
+            ph["commit"] += time.time() - tp
         index_phases_s = {k: round(v, 1) for k, v in ph.items()}
 
         class _S:
             primary_language = "Python"
             int8 = INT8
 
-        write_metadata(td / "db", svc, _S())
+        if not reuse:
+            write_metadata(td / "db", svc, _S())
+        else:
+            index_cps = 0.0  # build skipped — no meaningful rate
+        # Drop the WRITER's stores before the session opens its own: the
+        # writer's device-resident matrix (6.4 GB at 10M int8) would
+        # otherwise stay alive alongside the session's re-upload — at 10M
+        # that duplication plus resident postings left no HBM for the r4
+        # score planes (observed RESOURCE_EXHAUSTED at first search).
+        del store, fts
 
         session = SearchSession(td / "db", readonly=True)
         queries = [
@@ -253,7 +271,8 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             "hybrid_vs_baseline_75ms": round(75.0 / max(p50_h, 1e-9), 1),
         }
     finally:
-        shutil.rmtree(td, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(td, ignore_errors=True)
 
 
 def main() -> None:
