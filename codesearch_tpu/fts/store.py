@@ -117,7 +117,7 @@ EXACT_TIER_PREWARM_DF = int(
 # build-time avg_len for the exactness bound)
 _XTIER_ARRAYS = ("keys", "off", "tail", "dn", "tfc", "tfs", "lens")
 
-# RESIDENT SCORE PLANES (ops/bm25.py plane_write/_merge_dense): a term whose
+# RESIDENT SCORE PLANES (ops/bm25.py plane_write_rows/_merge_dense): a term whose
 # df exceeds this floor — or whose chunk footprint would blow the per-query
 # sparse budget below — scores through a cached per-term dense [N] column
 # instead of per-query chunk gathers. Without planes a df-2.6M term costs
@@ -129,12 +129,22 @@ _XTIER_ARRAYS = ("keys", "off", "tail", "dn", "tfc", "tfs", "lens")
 # + scatter per (term, device epoch) — cached LRU in HBM.
 PLANE_DF_FLOOR = int(os.environ.get("CODESEARCH_PLANE_DF_FLOOR", 1 << 16))
 # HBM budget for the plane buffer; rows = clamp(budget/(4·ncap), 4, 32).
-# 1 GB = 16 rows at 16.7M slots: a 10M int8 corpus already carries a
-# 6.4 GB product matrix + ~2 GB resident postings, and the dense leg's
-# [B, N] combined transient peaks another ~1 GB per batched wave — a
-# 2 GB buffer OOM'd the 16 GB chip at first search (measured r4)
-PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 1024))
+# 2 GB = 32 rows at 16.7M slots. The budget must cover the serving
+# working set of dense terms: an LRU smaller than the hot-term set
+# rebuilds planes on every query (each rebuild = one O(df) gather+scatter
+# AND one transient full-buffer functional copy — the buffer is never
+# donated, see ops/bm25.py plane_write_rows). Peak-at-10M-int8 math:
+# 6.4 GB matrix + ~1 GB postings + 2×2 GB planes during a build +
+# ~0.3 GB dense-merge sub-batch (ops/bm25.py _MERGE_SUB) ≈ 12 GB of 16.
+# (An earlier r4 shape OOM'd at 1 GB budget — the cause was per-term
+# buffer copies and an unbounded [B, N] wave transient, both fixed, not
+# the steady buffer size.)
+PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 2048))
 PLANE_ROWS_MAX = 32
+# plane builds batch into ≤this many rows per dispatch: each group
+# materializes [R, ncap] scatter columns (R×67 MB at 16.7M slots), so a
+# cold 32-term prep stays ~0.5 GB transient instead of 2.1 GB
+PLANE_BUILD_ROWS = 8
 # per-query cap on the sparse leg's chunk table: terms are promoted to
 # planes (largest footprint first) until the query fits, bounding both the
 # sort length and the run-end dense gather in ops/bm25.py _merge_dense
@@ -1635,6 +1645,7 @@ class FtsStore:
             st["plane_free"] = list(range(rows_cap - 1, -1, -1))
         rows: dict = st["plane_rows"]
         pw = np.zeros(st["planes"].shape[0], np.float32)
+        missing: list[tuple[int, object]] = []
         for key, _df, ranges, idf, _nc in infos:
             row = rows.pop(key, None)
             if row is None:
@@ -1643,38 +1654,55 @@ class FtsStore:
                 else:
                     row = rows.pop(next(iter(rows)))  # LRU-oldest row
                     self.plane_evictions += 1
-                self._build_plane(row, ranges)
+                missing.append((row, ranges))
                 self.plane_builds += 1
             rows[key] = row                       # LRU refresh / insert
             pw[row] = idf
+        if missing:
+            self._build_planes(missing)
         return pw, st["planes"]
 
-    def _build_plane(self, row: int, ranges) -> None:
-        """Scatter one term's idf-less contributions into plane ``row``
-        (ops/bm25.py plane_write): chunk table for THIS term only, pow2
-        bucketed so builds share O(log) executable shapes."""
+    def _build_planes(self, missing: list) -> None:
+        """Scatter the missing terms' idf-less contributions into their
+        plane rows, batched ≤PLANE_BUILD_ROWS rows per dispatch
+        (ops/bm25.py plane_write_rows). One dispatch AND one functional
+        buffer replacement per group — not per term — so a cold
+        multi-term prep costs one transient copy. Chunk tables are padded
+        to the group-max pow2 and the row axis to a pow2 ≤8, so builds
+        share O(log² ) executable shapes; padding rows target
+        ``rows_cap`` (out of range → dropped by the scatter)."""
         import jax.numpy as jnp
 
-        from ..ops.bm25 import CHUNK, plane_write
+        from ..ops.bm25 import CHUNK, plane_write_rows
 
-        cstart, clen = [], []
-        for rlo, rln in ranges:
-            off = 0
-            while off < rln:
-                cstart.append(rlo + off)
-                clen.append(min(CHUNK, rln - off))
-                off += CHUNK
-        cpad = max(_pow2(len(cstart)), 8)
-        cs = np.zeros(cpad, np.int32)
-        cl = np.zeros(cpad, np.int32)
-        cs[: len(cstart)] = cstart
-        cl[: len(clen)] = clen
         st = self._dev_state
         p_pos, p_w, _meta = self._dev
-        st["planes"] = plane_write(
-            st["planes"], p_pos, p_w, jnp.asarray(cs), jnp.asarray(cl),
-            jnp.int32(row),
-        )
+        rows_cap = st["planes"].shape[0]
+        for g in range(0, len(missing), PLANE_BUILD_ROWS):
+            group = missing[g: g + PLANE_BUILD_ROWS]
+            tables = []
+            for _row, ranges in group:
+                cstart, clen = [], []
+                for rlo, rln in ranges:
+                    off = 0
+                    while off < rln:
+                        cstart.append(rlo + off)
+                        clen.append(min(CHUNK, rln - off))
+                        off += CHUNK
+                tables.append((cstart, clen))
+            cpad = max(_pow2(max(len(t[0]) for t in tables)), 8)
+            rpad = _pow2(len(group))
+            cs = np.zeros((rpad, cpad), np.int32)
+            cl = np.zeros((rpad, cpad), np.int32)
+            rw = np.full(rpad, rows_cap, np.int32)   # pad rows: dropped
+            for i, ((row, _), (cstart, clen)) in enumerate(zip(group, tables)):
+                cs[i, : len(cstart)] = cstart
+                cl[i, : len(clen)] = clen
+                rw[i] = row
+            st["planes"] = plane_write_rows(
+                st["planes"], p_pos, p_w, jnp.asarray(cs), jnp.asarray(cl),
+                jnp.asarray(rw),
+            )
 
     def results_from_device(self, vals, idx, limit: int) -> list[FtsResult]:
         """Map device top-k (scores, dense positions) back to FtsResults."""

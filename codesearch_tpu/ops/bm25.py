@@ -47,30 +47,36 @@ PACK_PAD = (1 << 31) - 1  # padding/dead posting sentinel — sorts last
 
 
 @jax.jit
-def plane_write(planes, p_pos, p_w, cstart, clen, row):
-    """Build ONE resident score plane (fts/store.py _ensure_planes): chunk
-    DMA-gather of the term's postings from the resident arrays, scatter-add
-    of the idf-less contributions into a fresh [N] column, contiguous row
-    write. Runs once per (term, device epoch) — queries then read the plane
-    via one matmul instead of re-gathering millions of postings. NOT
-    donated: in-flight queries may still hold the previous buffer (their
-    pw row assignments snapshot that epoch), so the old planes must stay
-    valid until they drain."""
+def plane_write_rows(planes, p_pos, p_w, cstart, clen, rows):
+    """Build R resident score planes in ONE dispatch (fts/store.py
+    _ensure_planes): per-row chunk DMA-gather of each term's postings from
+    the resident arrays, scatter-add of the idf-less contributions into
+    fresh [R, N] columns, row scatter into the plane buffer. Runs once per
+    (prep, device epoch) — queries then read planes via one matmul instead
+    of re-gathering millions of postings. Batching matters twice: a cold
+    query with T dense terms pays ONE dispatch instead of T, and — because
+    the buffer is NOT donated (in-flight queries may still hold the
+    previous object; their pw row assignments snapshot that epoch) — one
+    functional replacement per prep instead of T transient full-buffer
+    copies (at 10M slots a copy is 100s of MB; per-term copies OOM'd the
+    r4 bench's cold wave). Padding rows carry ``rows[i] == planes.shape[0]``
+    → dropped by the scatter."""
     n = planes.shape[1]
-    c = cstart.shape[0]
+    r, c = cstart.shape
     pos2 = jax.vmap(
         lambda s: jax.lax.dynamic_slice(p_pos, (s,), (CHUNK,))
-    )(cstart)
+    )(cstart.reshape(-1)).reshape(r, c, CHUNK)
     w2 = jax.vmap(
         lambda s: jax.lax.dynamic_slice(p_w, (s,), (CHUNK,))
-    )(cstart)
-    j = jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 1)
-    livem = j < clen[:, None]
+    )(cstart.reshape(-1)).reshape(r, c, CHUNK)
+    j = jax.lax.broadcasted_iota(jnp.int32, (r, c, CHUNK), 2)
+    livem = j < clen[:, :, None]
     # pads and PACK_PAD postings land out of range → dropped by the scatter
-    slots = jnp.where(livem, pos2 & SLOT_MASK, n).reshape(-1)
-    w = jnp.where(livem, w2, 0.0).reshape(-1)
-    col = jnp.zeros((n,), jnp.float32).at[slots].add(w, mode="drop")
-    return jax.lax.dynamic_update_slice(planes, col[None], (row, 0))
+    slots = jnp.where(livem, pos2 & SLOT_MASK, n).reshape(r, -1)
+    w = jnp.where(livem, w2, 0.0).reshape(r, -1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, slots.shape, 0)
+    cols = jnp.zeros((r, n), jnp.float32).at[ridx, slots].add(w, mode="drop")
+    return planes.at[rows].set(cols, mode="drop")
 
 
 def _dense_scores_topk(combined, slot_meta, boost_kid, kd):
@@ -98,8 +104,44 @@ def _dense_scores_topk(combined, slot_meta, boost_kid, kd):
     return vals, idx.astype(jnp.int32)
 
 
+# dense-merge sub-batch: bounds the [SUB, N] combined matrix a wave
+# materializes at ~SUB×N×4 B regardless of wave size (a 16-query wave over
+# a 16.7M-slot corpus would otherwise allocate a 1.07 GB row block on a
+# chip already carrying the corpus matrix + resident postings + planes —
+# the r4 10M OOM). lax.map reuses the sub-batch buffers across groups.
+_MERGE_SUB = 8
+
+
 def _merge_dense(slot_meta, boost_kid, k, kp, pos_s, totals, is_end, slot_s,
                  kind_s, pw, planes):
+    """Planes-enabled selection tail, sub-batched over the query axis (see
+    ``_MERGE_SUB``); exactness and candidate-union proof in
+    ``_merge_dense_rows``."""
+    b = pw.shape[0]
+    if b <= _MERGE_SUB or b % _MERGE_SUB:
+        # callers pad the batch axis to a pow2 bucket, so b > 8 divides
+        # evenly; the remainder guard keeps odd shapes correct regardless
+        return _merge_dense_rows(slot_meta, boost_kid, k, kp, pos_s, totals,
+                                 is_end, slot_s, kind_s, pw, planes)
+    g = b // _MERGE_SUB
+
+    def _sub(args):
+        bk, ps, tt, ie, ss, ks, pww = args
+        return _merge_dense_rows(slot_meta, bk, k, kp, ps, tt, ie, ss, ks,
+                                 pww, planes)
+
+    def _rs(a):
+        return a.reshape((g, _MERGE_SUB) + a.shape[1:])
+
+    out_v, out_c = jax.lax.map(
+        _sub, (_rs(boost_kid), _rs(pos_s), _rs(totals), _rs(is_end),
+               _rs(slot_s), _rs(kind_s), _rs(pw)))
+    return (out_v.reshape(b, out_v.shape[-1]),
+            out_c.reshape(b, out_c.shape[-1]))
+
+
+def _merge_dense_rows(slot_meta, boost_kid, k, kp, pos_s, totals, is_end,
+                      slot_s, kind_s, pw, planes):
     """Planes-enabled selection tail — EXACT top-k by construction.
 
     The per-query dense contribution of every doc materializes once as

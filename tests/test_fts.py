@@ -1088,3 +1088,63 @@ class TestScorePlanes:
         assert not (got & victims), "deleted docs leaked through the planes"
         host = [r for r in s.search("shared rare_9", limit=10)]
         self._assert_rank_equivalent(after, host)
+
+    def test_wide_wave_rides_merge_subbatches(self, tmp_path):
+        """A 16-query stacked wave exceeds ops/bm25.py _MERGE_SUB (8), so
+        the dense merge runs through the lax.map sub-batch path — which
+        must be bit-equivalent, per query, to the direct (≤8-row) path
+        used by single search()."""
+        import jax.numpy as jnp
+
+        from codesearch_tpu.fts.store import stack_query_args
+        from codesearch_tpu.ops.bm25 import _MERGE_SUB, bm25_resident_topk_batch
+
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 0           # every kept term rides a plane
+        # 12 queries → bpad 16 (> _MERGE_SUB). Term budget: each query
+        # contributes rare_i + its digit subtoken (the tokenizer splits
+        # rare_i; bare "rare" is stopword-capped at df 600) + the shared
+        # common/shared pair ≈ 26 planes, under the 32-row cap — MORE
+        # queries would LRU-thrash and stack_query_args would correctly
+        # refuse the wave.
+        queries = [f"rare_{i} common" if i % 2 else f"rare_{i} shared"
+                   for i in range(12)]
+        for q in queries:              # cold pass: builds all planes
+            s.device_query_args(q, None, 8)
+        args = [s.device_query_args(q, None, 8) for q in queries]
+        builds = s.plane_builds
+        stacked = stack_query_args(args)
+        assert s.plane_builds == builds, "warm wave must not rebuild"
+        assert stacked[9] is not None
+        dev, cs, cl, ci, kid, k, kpre, imax, pw, planes = stacked
+        assert pw.shape[0] > _MERGE_SUB      # the sub-batched shape class
+        vals, idx = bm25_resident_topk_batch(
+            dev[0], dev[1], dev[2], jnp.asarray(cs), jnp.asarray(cl),
+            jnp.asarray(ci), jnp.asarray(kid), k, kpre, imax,
+            pw=jnp.asarray(pw), planes=planes,
+        )
+        for row, q in enumerate(queries):
+            single = s.search(q, limit=8)
+            got = s.results_from_device(np.asarray(vals[row]),
+                                        np.asarray(idx[row]), 8)
+            self._assert_rank_equivalent(got, single)
+
+    def test_cold_prep_builds_planes_in_groups(self, tmp_path):
+        """A prep with more missing dense terms than PLANE_BUILD_ROWS must
+        batch the builds into multiple grouped dispatches (one functional
+        buffer replacement per group, not per term) and still score
+        exactly."""
+        from codesearch_tpu.fts.store import PLANE_BUILD_ROWS
+
+        s = self._build(tmp_path)
+        host = s.search("rare_1 rare_2 rare_3 common", limit=8)
+        s.device_min_docs = 1
+        s.plane_df_floor = 0
+        q = " ".join(f"rare_{i}" for i in range(1, PLANE_BUILD_ROWS + 3))
+        q += " common"
+        args = s.device_query_args(q, None, 8)
+        assert args is not None and args[9] is not None
+        assert s.plane_builds >= PLANE_BUILD_ROWS + 3  # > one group's worth
+        dev = s.search("rare_1 rare_2 rare_3 common", limit=8)
+        self._assert_rank_equivalent(dev, host)
