@@ -36,6 +36,27 @@ PRODUCT_ROWS = int(os.environ.get("BENCH_PRODUCT_ROWS", 1 << 20))
 PRODUCT_BERT_ROWS = int(os.environ.get("BENCH_PRODUCT_BERT_ROWS", 1 << 18))
 
 
+def _mem(tag: str) -> None:
+    """Per-phase device-HBM ledger to stderr (stdout carries only the JSON
+    line). The 10M int8 configuration runs within ~1.5 GB of the chip's
+    capacity; when a phase OOMs, this attributes the residency instead of
+    requiring a forensic session. Backends without memory_stats (CPU) are
+    silently skipped."""
+    try:
+        import jax
+
+        s = jax.local_devices()[0].memory_stats() or {}
+        gib = 1 << 30
+        sys.stderr.write(
+            f"[hbm {tag}] in_use={s.get('bytes_in_use', 0) / gib:.2f}GiB "
+            f"peak={s.get('peak_bytes_in_use', 0) / gib:.2f}GiB "
+            f"limit={s.get('bytes_limit', 0) / gib:.2f}GiB\n"
+        )
+        sys.stderr.flush()
+    except Exception:
+        pass
+
+
 def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
     """The PRODUCT, not the kernel: build a synthetic n_rows-chunk index
     through the real write plane (prepare_text → tokenize/featurize → embed →
@@ -175,18 +196,22 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
         probe = session.search("validate the schema and return it",
                                SearchOptions(limit=10))
         assert probe.hits, "product bench: no hits on synthetic corpus"
+        _mem("probe")
         for q in queries[:4]:
             session.search(q, SearchOptions(limit=10))
+        _mem("warm")
         lat_h = []
         for q in queries:
             t1 = time.time()
             session.search(q, SearchOptions(limit=10))
             lat_h.append((time.time() - t1) * 1000)
+        _mem("hybrid")
         lat_v = []
         for q in queries:
             t1 = time.time()
             session.search(q + " now", SearchOptions(limit=10, mode="vector"))
             lat_v.append((time.time() - t1) * 1000)
+        _mem("vector")
         # identifier-bearing queries: "common_util" has df = rows/4, driving
         # search_exact's high-df gather (VERDICT r3 item 3 probe) on top of
         # the fused dispatch
@@ -214,6 +239,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             t1 = time.time()
             session.search(q, SearchOptions(limit=10))
             lat_i.append((time.time() - t1) * 1000)
+        _mem("ident")
         # batched serving: waves of 16 distinct queries through ONE fused
         # dispatch (SearchSession.search_many) — the concurrent-load
         # product throughput. Warm the wave-shape executables first: the
@@ -225,6 +251,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             [f"warm the {nouns[j % 15]} shape w{j}" for j in range(wave_n)],
             SearchOptions(limit=10),
         )
+        _mem("wave-warm")
         batch_lat = []
         for w in range(4):
             wave = [
@@ -234,6 +261,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             t1 = time.time()
             session.search_many(wave, SearchOptions(limit=10))
             batch_lat.append(time.time() - t1)
+        _mem("waves")
         batch_lat.sort()
         batched_qps = wave_n / batch_lat[len(batch_lat) // 2]
         lat_h.sort()

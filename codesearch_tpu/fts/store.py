@@ -1627,6 +1627,24 @@ class FtsStore:
         ncap = max(self._dev_state["ncap"], 1)
         return max(4, min(PLANE_ROWS_MAX, (PLANE_HBM_MB << 20) // (4 * ncap)))
 
+    def release_planes(self) -> None:
+        """Free the resident score-plane buffer and stop routing high-df
+        terms through it for the rest of this process — the HBM-pressure
+        escape hatch. SearchSession catches a device RESOURCE_EXHAUSTED,
+        calls this, and retries: high-df terms then fall back to the
+        chunk-gather sparse leg (slower per query, but allocation-light —
+        no [rows, ncap] buffer, no transient build copy). Bumps
+        mutation_count so response caches keyed on device state drop
+        entries whose plan held the released buffer."""
+        with self._lock:
+            st = self._dev_state
+            if st is not None:
+                st["planes"] = None
+                st["plane_rows"] = {}
+                st["plane_free"] = []
+            self.planes_enabled = False
+            self.mutation_count += 1
+
     def _ensure_planes(self, infos) -> tuple[np.ndarray, "object"]:
         """Resolve (building on miss) the resident score planes for this
         query's dense terms; returns (pw [H] f32 — idf at each term's row,

@@ -960,6 +960,28 @@ class TestScorePlanes:
         assert dev[0].chunk_id == host[0].chunk_id  # unique top doc
         self._assert_rank_equivalent(dev, host)
 
+    def test_release_planes_falls_back_sparse(self, tmp_path):
+        """release_planes (the HBM-pressure escape hatch) must reroute
+        high-df terms to the sparse chunk-gather leg with identical
+        results, and bump mutation_count so session caches invalidate."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        q = "rare_10 common shared"
+        host_baseline = s.search(q, limit=8)
+        args = s.device_query_args(q, None, 8)
+        assert args is not None and args[9] is not None   # planes routed
+        mc = s.mutation_count
+        s.release_planes()
+        assert s.planes_enabled is False
+        assert s.mutation_count == mc + 1
+        args2 = s.device_query_args(q, None, 8)
+        if args2 is not None:
+            assert args2[9] is None                       # sparse leg only
+        dev = s.search(q, limit=8)
+        assert dev[0].chunk_id == host_baseline[0].chunk_id
+        self._assert_rank_equivalent(dev, host_baseline)
+
     def test_dense_only_query_matches_host(self, tmp_path):
         s = self._build(tmp_path)
         host = s.search("common shared", limit=8)

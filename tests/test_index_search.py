@@ -1402,3 +1402,90 @@ class TestScorePlanesE2E:
         wave = fresh.search_many(queries, SearchOptions(limit=5))
         for s, w in zip(singles, wave):
             assert [h.chunk_id for h in w.hits] == [h.chunk_id for h in s.hits]
+
+    def test_search_oom_releases_planes_and_retries(self, tmp_path,
+                                                    monkeypatch):
+        """A device RESOURCE_EXHAUSTED during the fused dispatch must
+        release the score planes and retry on the sparse leg instead of
+        failing the query (the HBM-pressure degrade observed at 10M rows:
+        int8 matrix + postings + plane buffer crowd a fresh executable's
+        workspace)."""
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        sess = self._session(stats.db_path, floor=10)
+        real = sess.store.hybrid_search_featurized
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: TPU backend error "
+                    "(ResourceExhausted)."
+                )
+            return real(*a, **k)
+
+        monkeypatch.setattr(sess.store, "hybrid_search_featurized", flaky)
+        resp = sess.search("handler dispatcher shared_util",
+                           SearchOptions(limit=5))
+        assert resp.hits
+        assert sess.fts.planes_enabled is False
+        assert calls["n"] >= 2
+        # results still match a planes-off baseline exactly
+        base = self._session(stats.db_path, floor=10)
+        base.fts.planes_enabled = False
+        want = base.search("handler dispatcher shared_util",
+                           SearchOptions(limit=5))
+        assert [h.chunk_id for h in resp.hits] == [
+            h.chunk_id for h in want.hits]
+
+    def test_search_many_oom_releases_planes_and_retries(self, tmp_path,
+                                                         monkeypatch):
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        sess = self._session(stats.db_path, floor=10)
+        real = sess.store.hybrid_search_featurized_many
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: TPU backend error "
+                    "(ResourceExhausted)."
+                )
+            return real(*a, **k)
+
+        monkeypatch.setattr(
+            sess.store, "hybrid_search_featurized_many", flaky)
+        queries = ["handler dispatcher shared_util",
+                   "parse configuration values"]
+        wave = sess.search_many(queries, SearchOptions(limit=5))
+        assert len(wave) == 2 and all(r.hits for r in wave)
+        assert sess.fts.planes_enabled is False
+        assert calls["n"] >= 2
+        # wave results equal per-query search() on a planes-off session
+        base = self._session(stats.db_path, floor=10)
+        base.fts.planes_enabled = False
+        for q, w in zip(queries, wave):
+            s = base.search(q, SearchOptions(limit=5))
+            assert [h.chunk_id for h in w.hits] == [
+                h.chunk_id for h in s.hits]
+
+    def test_non_oom_errors_still_raise(self, tmp_path, monkeypatch):
+        """The degrade path must not swallow unrelated dispatch errors."""
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        sess = self._session(stats.db_path, floor=10)
+
+        def broken(*a, **k):
+            raise RuntimeError("INTERNAL: something else entirely")
+
+        monkeypatch.setattr(sess.store, "hybrid_search_featurized", broken)
+        with pytest.raises(RuntimeError, match="INTERNAL"):
+            sess.search("handler dispatcher shared_util",
+                        SearchOptions(limit=5))
+        assert sess.fts.planes_enabled is True
