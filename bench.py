@@ -34,6 +34,11 @@ PRODUCT_ROWS = int(os.environ.get("BENCH_PRODUCT_ROWS", 1 << 20))
 # second product row: a bge-small-arch (JAX encoder) index exercising the
 # model-agnostic fused read plane (VERDICT r3 item 1); 0 skips it
 PRODUCT_BERT_ROWS = int(os.environ.get("BENCH_PRODUCT_BERT_ROWS", 1 << 18))
+# third product row: int8 store + int8 fused kernel at 1M (VERDICT r4 weak
+# #6: every round's driver artifact must carry int8 hybrid/index evidence,
+# not just probe prose); 0 skips it. Skipped automatically when the main
+# product row is already int8 (the 10M recipe) — it would be a duplicate.
+PRODUCT_INT8_ROWS = int(os.environ.get("BENCH_PRODUCT_INT8_ROWS", 1 << 20))
 
 
 def _mem(tag: str) -> None:
@@ -57,7 +62,9 @@ def _mem(tag: str) -> None:
         pass
 
 
-def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
+def bench_product(
+    n_rows: int, model: str = "code-hash-384", int8: bool | None = None
+) -> dict:
     """The PRODUCT, not the kernel: build a synthetic n_rows-chunk index
     through the real write plane (prepare_text → tokenize/featurize → embed →
     store insert → FTS), then time full SearchSession.search() hybrid queries
@@ -91,14 +98,19 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
     # already exists — debugging the query phase at 10M otherwise re-pays a
     # ~25 min indexing run per iteration. Unset (the driver default) keeps
     # the build-timed tmpdir behavior.
+    if int8 is None:
+        int8 = INT8
     keep_dir = os.environ.get("BENCH_DB_DIR")
-    td = Path(keep_dir) if keep_dir else Path(
+    # per-config subdir: the bf16, int8 and bert rows must never share a
+    # persisted store (dtype/model mismatch would poison the reuse path)
+    cfg = f"{model}-{'int8' if int8 else 'bf16'}-{n_rows}"
+    td = Path(keep_dir) / cfg if keep_dir else Path(
         tempfile.mkdtemp(prefix="codesearch-bench-"))
     td.mkdir(parents=True, exist_ok=True)
     reuse = bool(keep_dir) and (td / "db" / "fts" / "fts.json").exists()
     try:
         svc = EmbeddingService(model, use_persistent_cache=False)
-        store = VectorStore(td / "db", dims=svc.dims, int8=INT8)
+        store = VectorStore(td / "db", dims=svc.dims, int8=int8)
         fts = FtsStore(td / "db" / "fts")
         t0 = time.time()
         done = 0
@@ -175,7 +187,8 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
 
         class _S:
             primary_language = "Python"
-            int8 = INT8
+
+        _S.int8 = int8
 
         if not reuse:
             write_metadata(td / "db", svc, _S())
@@ -267,9 +280,14 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
         lat_h.sort()
         lat_v.sort()
         lat_i.sort()
-        p50_h = lat_h[len(lat_h) // 2]
-        p50_v = lat_v[len(lat_v) // 2]
-        p50_i = lat_i[len(lat_i) // 2]
+
+        def _pct(lat: list, q: float) -> float:
+            # nearest-rank percentile over the sorted sample
+            return lat[min(len(lat) - 1, int(q * len(lat)))]
+
+        p50_h = _pct(lat_h, 0.5)
+        p50_v = _pct(lat_v, 0.5)
+        p50_i = _pct(lat_i, 0.5)
         import resource
 
         peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
@@ -283,7 +301,7 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
         return {
             "rows": n_rows,
             "model": model,
-            "int8": INT8,
+            "int8": int8,
             "host_peak_rss_mb": round(peak_rss_mb, 0),
             "host_rss_anon_end_mb": round(rss_anon_mb, 0),
             "index_chunks_per_s_e2e": round(index_cps, 0),
@@ -291,6 +309,15 @@ def bench_product(n_rows: int, model: str = "code-hash-384") -> dict:
             "index_phases_s": index_phases_s,
             "hybrid_p50_ms": round(p50_h, 1),
             "hybrid_mean_ms": round(sum(lat_h) / len(lat_h), 1),
+            # tail visibility (VERDICT r4 weak #2): the reference's ~75 ms
+            # is a TYPICAL latency — the artifact must show the whole
+            # distribution, not a p50-only claim
+            "hybrid_p90_ms": round(_pct(lat_h, 0.9), 1),
+            "hybrid_p99_ms": round(_pct(lat_h, 0.99), 1),
+            "hybrid_max_ms": round(lat_h[-1], 1),
+            "plane_prewarms": session.fts.plane_prewarms,
+            "plane_builds_in_queries": session.fts.plane_builds
+            - session.fts.plane_prewarms,
             "hybrid_qps_single_stream": round(1000.0 / max(p50_h, 1e-9), 1),
             "hybrid_qps_batched_16": round(batched_qps, 1),
             "vector_p50_ms": round(p50_v, 1),
@@ -475,6 +502,13 @@ def main() -> None:
         bench_product(PRODUCT_BERT_ROWS, model="bge-small")
         if PRODUCT_BERT_ROWS else None
     )
+    # third product row: int8 store + int8 fused kernels, driver-visible
+    # every round (VERDICT r4 weak #6). Redundant when the main product row
+    # already ran int8 (the 10M recipe sets BENCH_INT8=1).
+    product_int8 = (
+        bench_product(PRODUCT_INT8_ROWS, int8=True)
+        if PRODUCT_INT8_ROWS and not (INT8 and PRODUCT_ROWS) else None
+    )
 
     print(
         json.dumps(
@@ -508,6 +542,7 @@ def main() -> None:
                     "setup_s": round(setup_s, 1),
                     "product": product,
                     "product_bert": product_bert,
+                    "product_int8": product_int8,
                 },
             }
         )

@@ -29,7 +29,19 @@ def main(path: str) -> None:
                 continue
     if row is None:
         raise SystemExit(f"no JSON line found in {path}")
-    product = row["details"]["product"]
+    product = row["details"].get("product")
+    if product is None:
+        raise SystemExit(
+            "bench row has no product details (BENCH_PRODUCT_ROWS=0?) — refusing "
+            "to write an artifact that claims a 10M measurement it does not contain"
+        )
+    if int(product.get("rows", 0)) < 10_000_000:
+        raise SystemExit(
+            f"product row covers {product.get('rows')} rows, not a 10M config — "
+            "rerun bench with BENCH_PRODUCT_ROWS=10485760"
+        )
+    if not product.get("int8", False):
+        raise SystemExit("product row is not int8 — rerun bench with BENCH_INT8=1")
     out = {
         "config": "10M-chunk int8 product (hash model), single v5e-1 chip",
         "reference_hybrid_p50_ms": 75.0,

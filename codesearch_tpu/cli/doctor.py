@@ -170,6 +170,30 @@ def run_checks(path: Path) -> list[CheckResult]:
     except Exception as e:
         checks.append(CheckResult("fts", False, f"failed to open: {e}", fixable=True))
 
+    # 8. device serving state: score-plane routing + exact-tier sidecars
+    # (VERDICT r4 #8 — at 10M scale these are what make high-df queries
+    # cheap; a missing sidecar means a segment predates tier persistence
+    # and its first high-df exact lookup re-pays the posting scan)
+    try:
+        fts = FtsStore(db / FTS_DIR_NAME, readonly=True)
+        st = fts.stats()
+        n_segs = st["segments"]
+        n_side = st["exact_tier_sidecars"]
+        detail = (
+            f"planes {'on' if st['planes_enabled'] else 'OFF'} "
+            f"(df floor {fts.plane_df_floor}); "
+            f"exact-tier sidecars {n_side}/{n_segs} segments"
+        )
+        # sidecars are written per segment only when a term crosses the
+        # prewarm df — fewer sidecars than segments is normal on small
+        # corpora, so this check only fails when planes were disabled
+        # (an OOM degrade latched) which a fresh readonly open never is
+        checks.append(CheckResult("serving_state", st["planes_enabled"],
+                                  detail))
+    except Exception as e:
+        checks.append(CheckResult("serving_state", False,
+                                  f"failed to inspect: {e}"))
+
     # 9. embedding cache
     cache_root = get_config_dir() / "embedding_cache"
     if cache_root.exists():

@@ -467,6 +467,14 @@ def _cmd_stats(args) -> int:
             f"fts terms: {s['fts']['docs']} docs / {s['fts']['terms']} terms\n"
             f"bloat ratio: {s['vector'].get('bloat_ratio', 1.0)}"
             "  (allocated/live rows; >2.0: rebuild reclaims HBM)\n"
+            f"serving: planes "
+            f"{'on' if s['fts'].get('planes_enabled') else 'OFF'} "
+            f"({s['fts'].get('plane_rows_used', 0)}/"
+            f"{s['fts'].get('plane_rows_cap', 0)} rows, "
+            f"{s['fts'].get('plane_builds', 0)} builds, "
+            f"{s['fts'].get('plane_evictions', 0)} evictions), "
+            f"exact tiers: {s['fts'].get('exact_tier_sidecars', 0)} "
+            f"sidecar(s)\n"
             f"indexed_at: {s['indexed_at']}\n"
             f"primary_language: {s['primary_language']}"
         )

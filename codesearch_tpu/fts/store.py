@@ -377,8 +377,10 @@ class FtsStore:
         self.plane_df_floor = PLANE_DF_FLOOR
         self.sparse_chunk_budget = SPARSE_CHUNK_BUDGET
         self.planes_enabled = True
+        self.plane_prewarm = True
         self.plane_builds = 0                        # diagnostics for tests
         self.plane_evictions = 0
+        self.plane_prewarms = 0
         self.fts_full_uploads = 0                    # diagnostics for tests
         self.fts_incremental_updates = 0
         # exact-identifier impact tiers: (seg.seq, term key) → candidate
@@ -1272,6 +1274,92 @@ class FtsStore:
         return self._dev
 
     def _ensure_device(self):
+        """Sync the resident device state, then prewarm score planes for
+        the highest-df terms (so a fresh session pays plane scatter builds
+        at sync, not inside its first queries). See _ensure_device_sync
+        for the sync semantics."""
+        dev = self._ensure_device_sync()
+        self._prewarm_planes()
+        return dev
+
+    def _prewarm_planes(self) -> None:
+        """Proactively build score planes for the highest-df terms after a
+        device sync — the planes analog of the exact-tier commit-time
+        prewarm (_write_tier_sidecar). Without it every fresh process pays
+        per-term scatter builds inside the first queries that touch a
+        high-df term: measured r4 as the 2.1× hybrid mean/p50 gap at 1M
+        (7 of 32 timed queries paid a build mid-loop, BENCH_r04 product
+        row). Fills only FREE plane rows, highest df first — lazy builds
+        in _ensure_planes remain the overflow/eviction path for terms
+        beyond the HBM budget. Caller holds the lock; self._dev is synced.
+        Failure is non-fatal: planes stay lazy and the query path keeps
+        its own OOM degrade."""
+        st = self._dev_state
+        if not self.planes_enabled or not self.plane_prewarm or st is None:
+            return
+        sig = (
+            tuple(sorted(sg.seq for sg in self._segments)),
+            self.plane_df_floor,
+        )
+        if st.get("prewarm_sig") == sig:
+            return
+        st["prewarm_sig"] = sig
+        n = self._dnums_sorted.size
+        max_df = max(MAX_DF_RATIO * max(self._n_live, 1), 64.0)
+        # candidate terms, enumerated vectorized per segment: a term can
+        # only reach plane_df_floor in total if SOME segment holds at
+        # least floor/n_segments of it
+        cand: set[int] = set()
+        per_seg_floor = max(1, self.plane_df_floor // max(len(self._segments), 1))
+        for seg in self._segments:
+            df = np.diff(seg.offsets)
+            for i in np.nonzero(df >= per_seg_floor)[0]:
+                cand.add(int(seg.terms[i]))
+        if not cand:
+            return
+        from ..ops.bm25 import CHUNK
+
+        seg_base = st["seg_base"]
+        infos = []
+        for key in cand:
+            ranges, df = [], 0
+            for seg in self._segments:
+                slo, shi = seg.term_range(key)
+                if slo == shi:
+                    continue
+                ranges.append((seg_base[seg.seq] + slo, shi - slo))
+                df += shi - slo
+            # same routing predicate as device_query_args: dense iff
+            # df > floor; stopword-capped terms never score at all
+            if df <= self.plane_df_floor or df > max_df:
+                continue
+            t_idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            n_chunks = sum((rln + CHUNK - 1) // CHUNK for _, rln in ranges)
+            infos.append((key, df, ranges, t_idf, n_chunks))
+        if not infos:
+            return
+        infos.sort(key=lambda it: -it[1])
+        rows = st.get("plane_rows") or {}
+        free = (
+            len(st["plane_free"]) if st.get("planes") is not None
+            else self._plane_rows_cap()
+        )
+        fresh = [it for it in infos if it[0] not in rows][: max(free, 0)]
+        if not fresh:
+            return
+        try:
+            self._ensure_planes(fresh)
+            self.plane_prewarms += len(fresh)
+            log.info(
+                "prewarmed %d score plane(s) at device sync (top df %d)",
+                len(fresh), fresh[0][1],
+            )
+        except Exception as e:
+            log.warning(
+                "score-plane prewarm failed (%s) — planes stay lazy", e
+            )
+
+    def _ensure_device_sync(self):
         """Sync the RESIDENT device state for BM25 scoring INCREMENTALLY:
         immutable segments DUS-append their (slot, contribution) blocks once;
         doc adds append kind/valid entries; deletes scatter the valid mask.
@@ -1576,6 +1664,22 @@ class FtsStore:
                     self.planes_enabled = False
                     sparse = sparse + dense
                     dense = []
+            # the chunk-gather leg must stay bounded on EVERY path — with
+            # planes disabled (OOM degrade) or after a rows-cap spill, a
+            # df-2.6M term would otherwise build a ~40k-entry chunk table:
+            # a fresh giant pow2 executable per df class (the 618 s cold
+            # path CLAUDE.md marks do-not-resurrect) compiled under the
+            # same HBM pressure that disabled planes. Over-budget queries
+            # score on the host BM25 fallback instead (callers treat None
+            # as "score on host").
+            if sum(it[4] for it in sparse) > self.sparse_chunk_budget:
+                log.warning(
+                    "BM25 query %r needs %d posting chunks on the sparse "
+                    "leg (budget %d, planes_enabled=%s) — scoring on host",
+                    query[:60], sum(it[4] for it in sparse),
+                    self.sparse_chunk_budget, self.planes_enabled,
+                )
+                return None
             cstart, clen, cidf = [], [], []
             n_intervals = 0
             for _key, _df, ranges, t_idf, _nc in sparse:
@@ -2069,10 +2173,32 @@ class FtsStore:
                     disk += f.stat().st_size
             terms = int(sum(len(s.terms) for s in self._segments))
             postings = int(sum(len(s) for s in self._segments)) + self._new_terms.n
+            # serving-state observability (VERDICT r4 #8): plane-buffer
+            # occupancy + build/eviction/prewarm counters and exact-tier
+            # sidecar presence, so 10M serving health is diagnosable from
+            # `codesearch stats` / the HTTP /status endpoint (reference
+            # analog: doctor's index-health depth, src/cli/doctor.rs:81-461)
+            st = self._dev_state or {}
+            rows = st.get("plane_rows") or {}
+            cap = (
+                st["planes"].shape[0] if st.get("planes") is not None else 0
+            )
             return {
                 "docs": self._n_live,
                 "terms": terms,
                 "postings": postings,
                 "segments": len(self._segments),
                 "disk_bytes": disk,
+                "planes_enabled": self.planes_enabled,
+                "plane_rows_used": len(rows),
+                "plane_rows_cap": int(cap),
+                "plane_builds": self.plane_builds,
+                "plane_evictions": self.plane_evictions,
+                "plane_prewarms": self.plane_prewarms,
+                "exact_tier_sidecars": len(
+                    list(self.dir.glob("seg-*.xtier.json"))
+                ),
+                "exact_tier_hits": self.exact_tier_hits,
+                "exact_tier_fallbacks": self.exact_tier_fallbacks,
+                "exact_tier_disk_hits": self.exact_tier_disk_hits,
             }

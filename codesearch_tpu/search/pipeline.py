@@ -38,12 +38,7 @@ from .analysis import (
 log = get_logger("search")
 
 
-def _is_device_oom(e: Exception) -> bool:
-    """True for an XLA out-of-device-memory error. Matched textually:
-    jax surfaces them as JaxRuntimeError/XlaRuntimeError whose class
-    hierarchy moves between versions, but the status name is stable."""
-    msg = str(e)
-    return "RESOURCE_EXHAUSTED" in msg or "Resource exhausted" in msg
+from .degrade import dispatch_with_degrade, is_device_oom as _is_device_oom  # noqa: E402
 
 
 EARLY_TERMINATION_SCORE = 0.85   # top-5 similarity (ref: distance < 0.15)
@@ -217,24 +212,9 @@ class SearchSession:
         )
 
     def _search_impl(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
-        try:
-            return self._search_attempt(query, options)
-        except Exception as e:
-            if not _is_device_oom(e) or not self.fts.planes_enabled:
-                raise
-            # HBM pressure (observed first at 10M rows: 6.4 GB int8 matrix
-            # + resident postings + the [rows, ncap] plane buffer + a
-            # non-donated transient copy per plane build can crowd out a
-            # fresh executable's workspace). Degrade instead of dying:
-            # drop the planes, re-plan (bm_args without the dense leg),
-            # dispatch once more on the sparse chunk-gather leg.
-            log.warning(
-                "device RESOURCE_EXHAUSTED during search — releasing score "
-                "planes and retrying on the sparse BM25 leg: %s",
-                str(e).splitlines()[0] if str(e) else type(e).__name__,
-            )
-            self.fts.release_planes()
-            return self._search_attempt(query, options)
+        return dispatch_with_degrade(
+            self.fts, lambda: self._search_attempt(query, options), "search"
+        )
 
     def _search_attempt(self, query: str, options: SearchOptions | None = None) -> SearchResponse:
         options = options or SearchOptions()
@@ -621,21 +601,14 @@ class SearchSession:
         (parallel/sharded_search.py *_many). Falls back to sequential
         search() for configurations batching does not cover (non-fused
         backends, rerank)."""
-        try:
-            return self._search_many_attempt(queries, options)
-        except Exception as e:
-            if not _is_device_oom(e) or not self.fts.planes_enabled:
-                raise
-            # same HBM-pressure degrade as search(): the batched-wave
-            # executable is the largest-workspace shape in the process, so
-            # it is the likeliest victim when score planes crowd HBM
-            log.warning(
-                "device RESOURCE_EXHAUSTED during batched search — "
-                "releasing score planes and re-running the wave: %s",
-                str(e).splitlines()[0] if str(e) else type(e).__name__,
-            )
-            self.fts.release_planes()
-            return self._search_many_attempt(queries, options)
+        # same HBM-pressure degrade as search(): the batched-wave
+        # executable is the largest-workspace shape in the process, so
+        # it is the likeliest victim when score planes crowd HBM
+        return dispatch_with_degrade(
+            self.fts,
+            lambda: self._search_many_attempt(queries, options),
+            "batched search",
+        )
 
     def _search_many_attempt(
         self, queries: list[str], options: SearchOptions | None = None

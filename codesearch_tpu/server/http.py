@@ -69,6 +69,15 @@ def _make_handler(state: ServerState):
                 fm = FileMetaStore.load_or_create(state.db)
                 with state.stores.lock:
                     chunks = len(state.stores.store)
+                    fts = state.stores.fts
+                    serving = {
+                        "planes_enabled": fts.planes_enabled,
+                        "plane_builds": fts.plane_builds,
+                        "plane_evictions": fts.plane_evictions,
+                        "plane_prewarms": fts.plane_prewarms,
+                        "exact_tier_hits": fts.exact_tier_hits,
+                        "exact_tier_fallbacks": fts.exact_tier_fallbacks,
+                    }
                 self._reply(
                     200,
                     {
@@ -81,6 +90,9 @@ def _make_handler(state: ServerState):
                         "uptime_s": round(time.time() - state.started_at, 1),
                         "batch_waves": state.batcher.waves,
                         "batched_queries": state.batcher.batched_queries,
+                        # live serving state: THIS process's plane routing
+                        # (a latched OOM degrade shows up here first)
+                        "serving": serving,
                     },
                 )
                 return

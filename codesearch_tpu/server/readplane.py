@@ -23,6 +23,7 @@ from ..search.analysis import (
     detect_identifiers,
     detect_structural_intent,
 )
+from ..search.degrade import dispatch_with_degrade
 
 
 def _fused_kind(service) -> str | None:
@@ -248,9 +249,15 @@ class DynamicBatcher:
             del self._pending[: len(wave)]
         try:
             with self.stores.lock:
-                results = device_candidates_many(
-                    self.stores, self.service,
-                    [(s.query, s.kind, s.fetch) for s in wave],
+                # serving gets the same HBM-pressure degrade as the CLI
+                # session: release score planes on device OOM, retry once
+                results = dispatch_with_degrade(
+                    self.stores.fts,
+                    lambda: device_candidates_many(
+                        self.stores, self.service,
+                        [(s.query, s.kind, s.fetch) for s in wave],
+                    ),
+                    "serving wave",
                 )
         except BaseException as e:
             for s in wave:
@@ -372,7 +379,11 @@ def ranked_chunks(
                 stores, metadata, query, limit, kind, vector_k, fts_k,
                 vpairs, fres, filter_path,
             )
-    vres, fres = device_candidates(stores, service, query, kind, fetch)
+    vres, fres = dispatch_with_degrade(
+        stores.fts,
+        lambda: device_candidates(stores, service, query, kind, fetch),
+        "serving search",
+    )
     return rank_candidates(
         stores, metadata, query, limit, kind, vector_k, fts_k,
         [(r.chunk_id, r.score) for r in vres], fres, filter_path,
@@ -411,10 +422,14 @@ def ranked_chunks_wave(
         vector_k, fts_k = adapt_rrf_k(q)
         plans.append((q, limit, filter_path, kind, vector_k, fts_k))
     with stores.lock:
-        cands = device_candidates_many(
-            stores, service,
-            [(q, kind, _serving_fetch(q, limit))
-             for q, limit, _, kind, _, _ in plans],
+        cands = dispatch_with_degrade(
+            stores.fts,
+            lambda: device_candidates_many(
+                stores, service,
+                [(q, kind, _serving_fetch(q, limit))
+                 for q, limit, _, kind, _, _ in plans],
+            ),
+            "serving wave",
         )
         return [
             rank_candidates(

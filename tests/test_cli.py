@@ -28,10 +28,18 @@ class TestCliFlow:
         stats = json.loads(capsys.readouterr().out)
         assert stats["model"] == "code-hash-384"
         assert stats["vector"]["chunks"] > 0
+        # serving-state observability (VERDICT r4 #8)
+        assert stats["fts"]["planes_enabled"] is True
+        for field in ("plane_rows_used", "plane_rows_cap", "plane_builds",
+                      "plane_evictions", "plane_prewarms",
+                      "exact_tier_sidecars", "exact_tier_hits"):
+            assert field in stats["fts"], field
 
         assert main(["doctor", ".", "--json"]) == 0
         checks = json.loads(capsys.readouterr().out)
         assert all(c["ok"] for c in checks), checks
+        names = [c["name"] for c in checks]
+        assert "serving_state" in names
 
     def test_search_json_output(self, cli_repo, capsys):
         main(["--quiet", "index", "."])

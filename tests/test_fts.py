@@ -982,6 +982,24 @@ class TestScorePlanes:
         assert dev[0].chunk_id == host_baseline[0].chunk_id
         self._assert_rank_equivalent(dev, host_baseline)
 
+    def test_planes_disabled_respects_sparse_budget(self, tmp_path):
+        """With planes disabled (OOM degrade), the chunk-gather leg must
+        stay bounded: an over-budget query returns None (host BM25) rather
+        than building an unbounded device chunk table — the per-df-class
+        executable-explosion path (ADVICE r4 medium)."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        q = "rare_10 common shared"
+        host_baseline = s.search(q, limit=8)
+        s.release_planes()
+        s.sparse_chunk_budget = 2      # "common"+"shared" chunks exceed this
+        args = s.device_query_args(q, None, 8)
+        assert args is None            # over budget → host fallback
+        dev = s.search(q, limit=8)     # search still serves via host scoring
+        assert dev[0].chunk_id == host_baseline[0].chunk_id
+        self._assert_rank_equivalent(dev, host_baseline)
+
     def test_dense_only_query_matches_host(self, tmp_path):
         s = self._build(tmp_path)
         host = s.search("common shared", limit=8)
@@ -1054,12 +1072,35 @@ class TestScorePlanes:
         s.search("rare_12 rare_13 rare_14 rare_15 rare_16", limit=5)
         assert s.plane_evictions > 0
 
+    def test_plane_prewarm_at_sync(self, tmp_path):
+        """Device sync must prewarm score planes for the highest-df terms
+        (the planes analog of the exact-tier commit prewarm): the first
+        query touching a prewarmed dense term then pays NO scatter build —
+        the r4 2.1× hybrid mean/p50 tail was exactly these builds landing
+        inside the timed/serving query path."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        s._ensure_device()             # sync (any first dispatch does this)
+        assert s.plane_prewarms >= 2   # common (df 150) + shared (df 200)
+        builds = s.plane_builds
+        host = FtsStore(tmp_path / "fts")
+        host_res = host.search("common rare_10", limit=8)
+        res = s.search("common rare_10", limit=8)
+        assert s.plane_builds == builds, "prewarmed term must not rebuild"
+        assert res[0].chunk_id == host_res[0].chunk_id
+        self._assert_rank_equivalent(res, host_res)
+
     def test_stacked_wave_with_planes(self, tmp_path):
         from codesearch_tpu.fts.store import stack_query_args
 
         s = self._build(tmp_path)
         s.device_min_docs = 1
         s.plane_df_floor = 50
+        # this test exercises the COLD per-prep build path (prewarm at sync
+        # would build common/shared up front and all preps would share one
+        # buffer object — no mismatch left to verify)
+        s.plane_prewarm = False
         a1 = s.device_query_args("common rare_4", None, 8)
         a2 = s.device_query_args("rare_5 beta", None, 8)   # no dense terms?
         a3 = s.device_query_args("shared rare_6", None, 8)

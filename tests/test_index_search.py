@@ -1421,8 +1421,8 @@ class TestScorePlanesE2E:
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError(
-                    "RESOURCE_EXHAUSTED: TPU backend error "
-                    "(ResourceExhausted)."
+                    "RESOURCE_EXHAUSTED: Error allocating device buffer: "
+                    "Attempting to allocate 6.40G. That was not possible."
                 )
             return real(*a, **k)
 
@@ -1453,8 +1453,8 @@ class TestScorePlanesE2E:
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError(
-                    "RESOURCE_EXHAUSTED: TPU backend error "
-                    "(ResourceExhausted)."
+                    "RESOURCE_EXHAUSTED: Error allocating device buffer: "
+                    "Attempting to allocate 6.40G. That was not possible."
                 )
             return real(*a, **k)
 
@@ -1489,3 +1489,66 @@ class TestScorePlanesE2E:
             sess.search("handler dispatcher shared_util",
                         SearchOptions(limit=5))
         assert sess.fts.planes_enabled is True
+
+    def test_grpc_resource_exhausted_is_not_oom(self, tmp_path, monkeypatch):
+        """RESOURCE_EXHAUSTED without a memory keyword (the tunneled
+        backend reuses the status for gRPC quota/message-size errors) must
+        NOT disable score planes — that would silently degrade every later
+        high-df query (ADVICE r4)."""
+        from codesearch_tpu.search.pipeline import SearchOptions
+
+        stats = self._index(tmp_path)
+        sess = self._session(stats.db_path, floor=10)
+
+        def quota(*a, **k):
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Received message larger than max "
+                "(45000000 vs. 4194304)"
+            )
+
+        monkeypatch.setattr(sess.store, "hybrid_search_featurized", quota)
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            sess.search("handler dispatcher shared_util",
+                        SearchOptions(limit=5))
+        assert sess.fts.planes_enabled is True
+
+    def test_serving_wave_oom_releases_planes_and_retries(
+            self, tmp_path, monkeypatch):
+        """The serving read plane (MCP/HTTP via readplane) must get the
+        same OOM degrade as the session pipeline (ADVICE r4): a device
+        RESOURCE_EXHAUSTED in the wave dispatch releases planes and the
+        retry serves the request instead of failing it."""
+        from codesearch_tpu.embed import EmbeddingService
+        from codesearch_tpu.index.manager import SharedStores
+        from codesearch_tpu.index.pipeline import read_metadata
+        from codesearch_tpu.server.readplane import ranked_chunks_many
+
+        stats = self._index(tmp_path)
+        metadata = read_metadata(stats.db_path)
+        service = EmbeddingService(metadata["model"])
+        stores = SharedStores(stats.db_path, service.dims, readonly=True)
+        stores.store.host_path_rows = 0
+        stores.fts.device_min_docs = 1
+        stores.fts.plane_df_floor = 10
+        real = stores.store.hybrid_search_featurized_many
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Error allocating device "
+                    "buffer: Attempting to allocate 6.40G."
+                )
+            return real(*a, **k)
+
+        monkeypatch.setattr(
+            stores.store, "hybrid_search_featurized_many", flaky)
+        waves = ranked_chunks_many(
+            stores, service, metadata,
+            ["handler dispatcher shared_util",
+             "parse configuration values"], 5,
+        )
+        assert len(waves) == 2 and all(waves)
+        assert stores.fts.planes_enabled is False
+        assert calls["n"] >= 2

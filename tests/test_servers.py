@@ -295,6 +295,9 @@ class TestHttp:
             assert health == {"status": "ok"}
             status = json.loads(urllib.request.urlopen(base + "/status").read())
             assert status["total_chunks"] > 0
+            # live plane/tier serving state (VERDICT r4 #8)
+            assert status["serving"]["planes_enabled"] is True
+            assert "plane_builds" in status["serving"]
             req = urllib.request.Request(
                 base + "/search",
                 data=json.dumps({"query": "parse the configuration", "limit": 3}).encode(),
