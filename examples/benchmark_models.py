@@ -18,49 +18,181 @@ import sys
 import time
 from pathlib import Path
 
-# Labeled query set for this repository's own source (self corpus)
+# Query sets are (query, expected_path_fragment, category) triples.
+# Categories follow the reference's own improvement-plan benchmark design
+# (exact-name vs conceptual, /root/reference/benchmarks/improvement-plan.md:
+# 9-16), extended per VERDICT r4 #3:
+#   exact    — the query names a real identifier from the corpus
+#   concept  — describes behavior without naming any identifier
+#   doc      — phrased as a question / doc-style ("how do we ...")
+#   cross    — the concept spans several files; any file under the
+#              expected prefix is a correct answer
+CATEGORIES = ("exact", "concept", "doc", "cross")
+
+# Labeled query set for this repository's own source (self corpus).
+# The original 9 r1 queries, categorized, plus 21 added in r5 (written
+# against the package as it exists — NOT tuned: committed before any
+# ranking change this round was evaluated on them).
 SELF_QUERIES = [
-    ("SemanticChunker structural scanning", "chunker/semantic.py"),
-    ("VectorStore insert chunks", "vectordb/store.py"),
-    ("lexical masking strings comments", "chunker/lexer.py"),
-    ("extract function signature", "chunker/"),
-    ("how do we detect binary files", "fileio/binary.py"),
-    ("where is the CLI entry point", "cli/main.py"),
-    ("CLI argument parsing", "cli/main.py"),
-    ("FileWalker walk directory", "fileio/walker.py"),
-    ("reciprocal rank fusion", "rerank/fusion.py"),
+    # exact-identifier
+    ("SemanticChunker structural scanning", "chunker/semantic.py", "exact"),
+    ("VectorStore insert chunks", "vectordb/store.py", "exact"),
+    ("FileWalker walk directory", "fileio/walker.py", "exact"),
+    ("stable_u64 FNV hash", "utils/hashing.py", "exact"),
+    ("bm25_resident_topk dispatch", "ops/bm25.py", "exact"),
+    ("DynamicBatcher wave leader", "server/readplane.py", "exact"),
+    ("detect_structural_intent query kinds", "search/analysis.py", "exact"),
+    ("EmbeddingService embed_chunks_matrix", "embed/service.py", "exact"),
+    # conceptual
+    ("lexical masking strings comments", "chunker/lexer.py", "concept"),
+    ("reciprocal rank fusion", "rerank/fusion.py", "concept"),
+    ("quantize rows to int8 with per row scales", "vectordb/store.py",
+     "concept"),
+    ("evict least recently used cached embeddings", "embed/cache.py",
+     "concept"),
+    ("dedupe identical chunks by content hash", "chunker/dedup.py",
+     "concept"),
+    ("rotate log files and delete old ones", "utils/logger.py", "concept"),
+    ("score candidate pairs with a cross encoder", "models/cross_encoder.py",
+     "concept"),
+    # doc-phrased
+    ("how do we detect binary files", "fileio/binary.py", "doc"),
+    ("where is the CLI entry point", "cli/main.py", "doc"),
+    ("CLI argument parsing", "cli/main.py", "doc"),
+    ("how does search degrade when device memory is exhausted",
+     "search/degrade.py", "doc"),
+    ("how is the wordpiece vocabulary tokenized without downloads",
+     "models/tokenizer.py", "doc"),
+    ("how do we keep stdout clean for protocol frames", "utils/output.py",
+     "doc"),
+    ("what checks does the doctor command run", "cli/doctor.py", "doc"),
+    # cross-file
+    ("extract function signature", "chunker/", "cross"),
+    ("shard the corpus across the device mesh", "parallel/", "cross"),
+    ("train the encoder with a contrastive objective", "train/", "cross"),
+    ("pallas kernel for fused top-k selection", "ops/", "cross"),
+    ("walk files and detect their language", "fileio/", "cross"),
+    ("serve search over HTTP endpoints", "server/", "cross"),
+    ("encoder forward pass with fused attention", "models/", "cross"),
+    ("persist model checkpoints for resume", "train/", "cross"),
 ]
 
 # Corpus B: a SECOND labeled set over this repo's own package tree —
-# 10 queries written fresh in round 4, never used to tune ranking in
-# rounds 1-3 (the reference's external-repo protocol,
-# benchmarks/test_external_repo.sh: quality changes must win on a corpus
-# they were not tuned against). Gate ranking tweaks on BOTH this set and
-# the reference set.
+# 10 queries written fresh in round 4 + 20 added in round 5, never used
+# to tune ranking before being committed (the reference's external-repo
+# protocol, benchmarks/test_external_repo.sh: quality changes must win on
+# a corpus they were not tuned against). Gate ranking tweaks on BOTH this
+# set and the reference set.
 CORPUS_B_QUERIES = [
-    ("where are file watch events coalesced and deduplicated", "watch/watcher.py"),
-    ("polling fallback when inotify is unavailable", "watch/watcher.py"),
-    ("atomic rename makes the manifest the commit point", "fts/store.py"),
-    ("split oversized chunks with overlapping lines", "chunker/semantic.py"),
-    ("stack of gitignore patterns applied per directory", "fileio/ignore.py"),
-    ("update rows of the device matrix in place", "vectordb/store.py"),
-    ("merge ranked result lists with reciprocal rank fusion", "rerank/fusion.py"),
-    ("generate query variants for expansion", "search/analysis.py"),
-    ("which files changed since the last index run", "index/file_meta.py"),
-    ("read JSON-RPC requests from stdin", "server/mcp.py"),
+    # r4 originals, categorized
+    ("where are file watch events coalesced and deduplicated",
+     "watch/watcher.py", "doc"),
+    ("polling fallback when inotify is unavailable", "watch/watcher.py",
+     "concept"),
+    ("atomic rename makes the manifest the commit point", "fts/store.py",
+     "concept"),
+    ("split oversized chunks with overlapping lines", "chunker/semantic.py",
+     "concept"),
+    ("stack of gitignore patterns applied per directory", "fileio/ignore.py",
+     "concept"),
+    ("update rows of the device matrix in place", "vectordb/store.py",
+     "concept"),
+    ("merge ranked result lists with reciprocal rank fusion",
+     "rerank/fusion.py", "concept"),
+    ("generate query variants for expansion", "search/analysis.py",
+     "concept"),
+    ("which files changed since the last index run", "index/file_meta.py",
+     "doc"),
+    ("read JSON-RPC requests from stdin", "server/mcp.py", "concept"),
+    # r5 additions — exact-identifier
+    ("fused_scores_topk gated kernel", "ops/", "exact"),
+    ("plane_write_rows scatter build", "ops/bm25.py", "exact"),
+    ("dispatch_with_degrade release and retry", "search/degrade.py",
+     "exact"),
+    ("SearchSession search_many batched wave", "search/pipeline.py",
+     "exact"),
+    ("GrowBuf append buffer", "utils/growbuf.py", "exact"),
+    ("adapt_rrf_k fusion constants", "search/analysis.py", "exact"),
+    ("code_tokens identifier splitting", "models/tokenizer.py", "exact"),
+    # r5 additions — conceptual
+    ("impact tier serves high frequency identifier lookups", "fts/store.py",
+     "concept"),
+    ("resident score planes for dense BM25 terms", "fts/store.py",
+     "concept"),
+    ("bucket chunk batches by token length", "embed/service.py", "concept"),
+    ("tombstone deleted rows and compact later", "vectordb/store.py",
+     "concept"),
+    ("placeholder database for fast server startup", "server/mcp.py",
+     "concept"),
+    # r5 additions — doc-phrased
+    ("how does the store recover after a crash mid commit", "fts/store.py",
+     "doc"),
+    ("when is a full device re-upload triggered instead of an incremental "
+     "sync", "fts/store.py", "doc"),
+    ("how are branch switches detected and handled", "watch/watcher.py",
+     "doc"),
+    ("how do we find the database directory for a project",
+     "index/db_discovery.py", "doc"),
+    # r5 additions — cross-file
+    ("XLA collectives merge per shard top-k results", "parallel/", "cross"),
+    ("mine training pairs from indexed chunks", "train/", "cross"),
+    ("language specific definition patterns", "chunker/", "cross"),
+    ("device BM25 scoring kernels", "ops/bm25.py", "cross"),
 ]
 
-# Labeled set against the reference Rust corpus (benchmark_models.rs:16-32)
+# Labeled set against the reference Rust corpus — the original 9
+# (benchmark_models.rs:16-32), categorized, plus 23 added in r5.
 REFERENCE_QUERIES = [
-    ("SemanticChunker struct", "src/chunker/semantic.rs"),
-    ("VectorStore insert chunks", "src/vectordb/store.rs"),
-    ("tree-sitter grammar loading", "src/chunker/"),
-    ("extract function signature from AST", "src/chunker/extractor.rs"),
-    ("how do we detect binary files", "src/file/binary.rs"),
-    ("where is the main entry point", "src/main.rs"),
-    ("CLI argument parsing clap", "src/cli/mod.rs"),
-    ("FileWalker walk directory", "src/file/"),
-    ("RustExtractor python typescript", "src/chunker/extractor.rs"),
+    # exact-identifier
+    ("SemanticChunker struct", "src/chunker/semantic.rs", "exact"),
+    ("VectorStore insert chunks", "src/vectordb/store.rs", "exact"),
+    ("RustExtractor python typescript", "src/chunker/extractor.rs", "exact"),
+    ("insert_chunks_with_ids vector store", "src/vectordb/store.rs",
+     "exact"),
+    ("rrf_fusion_with_exact three way", "src/rerank/mod.rs", "exact"),
+    ("GitHeadWatcher poll head", "src/watch/mod.rs", "exact"),
+    ("FileMetaStore check_file", "src/cache/file_meta.rs", "exact"),
+    ("GrammarManager load_grammar", "src/chunker/grammar.rs", "exact"),
+    ("NeuralReranker rerank_and_blend", "src/rerank/neural.rs", "exact"),
+    ("find_deleted_files stale entries", "src/cache/file_meta.rs", "exact"),
+    # conceptual
+    ("extract function signature from AST", "src/chunker/extractor.rs",
+     "concept"),
+    ("boost signature matches over content matches", "src/fts/", "concept"),
+    ("attach leading doc comments to the following definition",
+     "src/chunker/semantic.rs", "concept"),
+    ("retry with doubled map size when the database is full",
+     "src/vectordb/store.rs", "concept"),
+    ("deduplicate identical license header chunks", "src/chunker/dedup.rs",
+     "concept"),
+    ("blend neural scores with fusion ranks", "src/rerank/neural.rs",
+     "concept"),
+    ("limit how many rotated log files are kept", "src/logger/", "concept"),
+    ("skip excluded directories before descending", "src/file/", "concept"),
+    # doc-phrased
+    ("how do we detect binary files", "src/file/binary.rs", "doc"),
+    ("where is the main entry point", "src/main.rs", "doc"),
+    ("CLI argument parsing clap", "src/cli/mod.rs", "doc"),
+    ("how does the server start before the index is ready", "src/mcp/",
+     "doc"),
+    ("how are stale deleted files discovered", "src/cache/file_meta.rs",
+     "doc"),
+    ("which query words get expanded into variants", "src/search/mod.rs",
+     "doc"),
+    ("how is the embedding cache evicted when full", "src/embed/cache.rs",
+     "doc"),
+    ("when does a branch switch trigger a refresh", "src/index/manager.rs",
+     "doc"),
+    # cross-file
+    ("tree-sitter grammar loading", "src/chunker/", "cross"),
+    ("FileWalker walk directory", "src/file/", "cross"),
+    ("MCP tools exposed to the agent", "src/mcp/", "cross"),
+    ("HTTP endpoints for health status and search", "src/server/", "cross"),
+    ("embedding model registry and dimensions", "src/embed/", "cross"),
+    ("full text BM25 index over chunks", "src/fts/", "cross"),
+    ("watch the filesystem and git head for changes", "src/watch/",
+     "cross"),
+    ("doctor health checks for the index", "src/cli/doctor.rs", "cross"),
 ]
 
 FALSE_POSITIVE_QUERY = "kubernetes deployment yaml"
@@ -110,7 +242,8 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             ).hits
 
         hits, scores, q_times = 0, [], []
-        for query, expect in queries:
+        cat_hits: dict[str, list[int]] = {c: [0, 0] for c in CATEGORIES}
+        for query, expect, cat in queries:
             _search(query, 3)  # warm: trace/compile + query-cache priming
             t0 = time.time()
             res = _search(query + " ", 3)  # cache-busting suffix, same shapes
@@ -118,9 +251,11 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             res = _search(query, 3)
             ok = any(expect in h.path for h in res)
             hits += ok
+            cat_hits[cat][0] += ok
+            cat_hits[cat][1] += 1
             if res:
                 scores.append(res[0].score)
-            print(f"  {'✓' if ok else '✗'} {query!r} → "
+            print(f"  {'✓' if ok else '✗'} [{cat}] {query!r} → "
                   f"{res[0].path if res else '-'}")
         fp = _search(FALSE_POSITIVE_QUERY, 1)
         fp_score = fp[0].score if fp else 0.0
@@ -133,6 +268,10 @@ def run_benchmark(corpus: Path, models: list[str], queries, out: Path | None,
             "index_s": round(index_s, 2),
             "chunks_per_s": round(n_chunks / max(index_s, 1e-9)),
             "accuracy": f"{hits}/{len(queries)} ({acc:.0%})",
+            **{
+                f"acc_{c}": f"{h}/{n}" for c, (h, n) in cat_hits.items()
+                if n
+            },
             "avg_score": round(float(np.mean(scores)), 3) if scores else 0.0,
             "avg_query_ms": round(1000 * float(np.mean(q_times)), 2),
             "false_positive_score": round(float(fp_score), 3),

@@ -71,43 +71,47 @@ def main() -> int:
     print(f"  {stats.chunks_added} chunks")
 
     def accuracy(session: SearchSession, rerank: bool):
-        """(top1, top3, top5 hits, mean latency ms) over the labeled set.
-        A full untimed warm pass runs first so the timed pass measures the
-        steady state (first-query executable compiles and length-bucket
-        warmups otherwise dominate a 9-10 query mean)."""
-        for q, _ in queries:
+        """(top1, top3, top5 hits, mean latency ms, per-category top1)
+        over the labeled set. A full untimed warm pass runs first so the
+        timed pass measures the steady state (first-query executable
+        compiles and length-bucket warmups otherwise dominate the mean)."""
+        for q, _, _ in queries:
             session.search(q, SearchOptions(limit=5, rerank=rerank))
         try:
             session._resp_cache.clear()  # timed pass must do real work
         except AttributeError:
             pass
         top1 = top3 = top5 = 0
+        cats: dict[str, list[int]] = {}
         lats = []
-        for q, expected in queries:
+        for q, expected, cat in queries:
             t0 = time.time()
             resp = session.search(q, SearchOptions(limit=5, rerank=rerank))
             lats.append((time.time() - t0) * 1000)
             paths = [h.path for h in resp.hits]
+            c = cats.setdefault(cat, [0, 0])
+            c[1] += 1
             if paths and expected in paths[0]:
                 top1 += 1
+                c[0] += 1
             if any(expected in p for p in paths[:3]):
                 top3 += 1
             if any(expected in p for p in paths[:5]):
                 top5 += 1
-        return top1, top3, top5, sum(lats) / max(len(lats), 1)
+        return top1, top3, top5, sum(lats) / max(len(lats), 1), cats
 
     rows = []
 
     session = SearchSession(stats.db_path, readonly=True)
-    t1, t3, t5, ms = accuracy(session, rerank=False)
-    rows.append(("hybrid (no rerank)", "—", t1, t3, t5, ms))
+    t1, t3, t5, ms, cats = accuracy(session, rerank=False)
+    rows.append(("hybrid (no rerank)", "—", t1, t3, t5, ms, cats))
     print(f"no-rerank: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     session = SearchSession(stats.db_path, readonly=True)
     session.reranker = NeuralReranker(CrossEncoder(work / "empty-models"))
-    t1, t3, t5, ms = accuracy(session, rerank=True)
+    t1, t3, t5, ms, cats = accuracy(session, rerank=True)
     rows.append(("hybrid + proxy rerank", session.reranker.model.mode,
-                 t1, t3, t5, ms))
+                 t1, t3, t5, ms, cats))
     print(f"proxy: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     print("training local cross-encoder on mined pairs ...")
@@ -126,9 +130,9 @@ def main() -> int:
     session = SearchSession(stats.db_path, readonly=True)
     session.reranker = NeuralReranker(CrossEncoder(work / "models"))
     assert session.reranker.model.mode == "cross-encoder"
-    t1, t3, t5, ms = accuracy(session, rerank=True)
+    t1, t3, t5, ms, cats = accuracy(session, rerank=True)
     rows.append(("hybrid + trained cross-encoder", "cross-encoder",
-                 t1, t3, t5, ms))
+                 t1, t3, t5, ms, cats))
     print(f"trained: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
 
     if args.sweep:
@@ -142,7 +146,7 @@ def main() -> int:
         print("blend sweep (trained cross-encoder):")
         for w in (0.30, 0.45, 0.575, 0.70, 0.85):
             neural_mod.RERANK_WEIGHT, neural_mod.RRF_WEIGHT = w, 1.0 - w
-            s1, s3, s5, _ = accuracy(session, rerank=True)
+            s1, s3, s5, _, _ = accuracy(session, rerank=True)
             print(f"  weight {w:.3f}: top1 {s1}/{len(queries)} "
                   f"top3 {s3}/{len(queries)} top5 {s5}/{len(queries)}")
         neural_mod.RERANK_WEIGHT, neural_mod.RRF_WEIGHT = 0.575, 0.425
@@ -158,13 +162,17 @@ def main() -> int:
         f"pairs in {train_s:.0f}s ({args.epochs} epochs, loss "
         f"{losses[0]:.3f} → {losses[-1]:.3f}).",
         "",
-        "| configuration | rerank_mode | top-1 | top-3 | top-5 | mean query ms |",
-        "|---|---|---|---|---|---|",
+        "| configuration | rerank_mode | top-1 | top-3 | top-5 "
+        "| per-category top-1 | mean query ms |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, mode, t1, t3, t5, ms in rows:
+    for name, mode, t1, t3, t5, ms, cats in rows:
+        bycat = " ".join(
+            f"{c}:{h}/{tot}" for c, (h, tot) in sorted(cats.items())
+        )
         lines.append(f"| {name} | {mode} | {t1}/{n} ({100 * t1 // n}%) "
                      f"| {t3}/{n} ({100 * t3 // n}%) "
-                     f"| {t5}/{n} ({100 * t5 // n}%) | {ms:.1f} |")
+                     f"| {t5}/{n} ({100 * t5 // n}%) | {bycat} | {ms:.1f} |")
     lines.append("")
     lines.append("Reference baseline: rerank adds ~1.7 s/query on CPU "
                  "(README.md:693); accuracy delta is not published.")
