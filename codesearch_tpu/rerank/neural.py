@@ -16,6 +16,15 @@ from ..utils.constants import get_global_models_cache_dir
 
 RERANK_WEIGHT = 0.575
 RRF_WEIGHT = 0.425
+# Confidence gate (r5): blend only when the cross-encoder actually
+# discriminates within this candidate list. When its sigmoid scores are
+# nearly flat across the candidates (spread below this floor) the model
+# has no signal for the query — blending then just adds noise to a
+# retrieval order that IS informative (measured r4: the trained CE tied
+# no-rerank at every cutoff; its reorderings on flat-score queries were
+# pure churn). The reference always blends (neural.rs:77-122); the gate
+# is an additive behavior documented in benchmarks/rerank.md.
+CONFIDENCE_SPREAD_FLOOR = 0.10
 
 
 @dataclass
@@ -47,17 +56,25 @@ class NeuralReranker:
         """Blend cross-encoder scores with min-max-normalized RRF."""
         if not docs:
             return []
-        scores = self.model.score_pairs(query, [t for _, t in docs])
+        scores = np.asarray(
+            self.model.score_pairs(query, [t for _, t in docs]), np.float64
+        )
         rrf_vals = np.asarray([rrf_scores.get(cid, 0.0) for cid, _ in docs], np.float64)
         lo, hi = float(rrf_vals.min()), float(rrf_vals.max())
         if hi > lo:
             rrf_norm = (rrf_vals - lo) / (hi - lo)
         else:
             rrf_norm = np.ones_like(rrf_vals)
+        spread = float(scores.max() - scores.min()) if len(scores) else 0.0
+        w_ce, w_rrf = (
+            (RERANK_WEIGHT, RRF_WEIGHT)
+            if spread >= CONFIDENCE_SPREAD_FLOOR
+            else (0.0, 1.0)  # flat CE scores: keep the retrieval order
+        )
         out = [
             RerankedResult(
                 chunk_id=cid,
-                final_score=float(RERANK_WEIGHT * s + RRF_WEIGHT * rn),
+                final_score=float(w_ce * s + w_rrf * rn),
                 rerank_score=float(s),
                 rrf_score=float(rrf_scores.get(cid, 0.0)),
             )

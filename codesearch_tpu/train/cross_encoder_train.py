@@ -242,16 +242,19 @@ def train_and_export(
     cfg: ArchConfig = SMALL_CE_CFG,
     epochs: int = 3,
     mine_negatives: bool = True,
+    neg_depth: int = 4,
     **kw,
 ) -> tuple[Path, list[float]]:
     """Train on mined pairs and install under ``local-cross-encoder`` in
     the models cache — NeuralReranker picks it up automatically. By
     default retriever-mined hard negatives are added (the easy-negative
-    model measured WORSE than no rerank at top-1)."""
+    model measured WORSE than no rerank at top-1); ``neg_depth`` is how
+    many retriever-confusable negatives are mined per pair (the training
+    loop cycles one per epoch, so depth > epochs buys nothing)."""
     if mine_negatives and "hard_negatives" not in kw:
         from .data import mine_hard_negatives
 
-        kw["hard_negatives"] = mine_hard_negatives(pairs)
+        kw["hard_negatives"] = mine_hard_negatives(pairs, k=neg_depth)
     params, head, _tok, losses = train_cross_encoder(
         pairs, cfg=cfg, epochs=epochs, **kw
     )

@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--out", type=Path, default=REPO / "benchmarks" / "rerank.md")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--neg-depth", type=int, default=4,
+                    help="retriever-mined hard negatives per pair")
     ap.add_argument("--sweep", action="store_true",
                     help="blend-weight sweep for the trained cross-encoder")
     args = ap.parse_args()
@@ -120,7 +122,7 @@ def main() -> int:
     print(f"  {len(pairs)} pairs")
     t0 = time.time()
     out, losses = train_and_export(
-        pairs, work / "models", epochs=args.epochs,
+        pairs, work / "models", epochs=args.epochs, neg_depth=args.neg_depth,
         on_epoch=lambda e, n, ls: print(f"  epoch {e}/{n}: loss {ls:.4f}",
                                         flush=True),
     )

@@ -87,10 +87,39 @@ class TestNeuralRerank:
     def test_blend_equal_rrf(self):
         r = NeuralReranker()
         out = r.rerank_and_blend("x", [(1, "x y z")], rrf_scores={1: 0.5})
-        # single candidate: rrf normalizes to 1.0
-        assert out[0].final_score == pytest.approx(
-            0.575 * out[0].rerank_score + 0.425, abs=1e-6
+        # single candidate: CE spread is 0 → the confidence gate keeps the
+        # retrieval order and final is the normalized rrf (1.0)
+        assert out[0].final_score == pytest.approx(1.0, abs=1e-6)
+
+    def test_confidence_gate_keeps_rrf_order_on_flat_scores(self, monkeypatch):
+        """When the cross-encoder cannot discriminate (flat sigmoid scores
+        across the candidates) the blend must NOT reorder: reordering on
+        no signal is pure churn (measured r4: the trained CE tied
+        no-rerank while shuffling within ties)."""
+        r = NeuralReranker()
+        monkeypatch.setattr(
+            r.model, "score_pairs", lambda q, docs: [0.502, 0.498, 0.500]
         )
+        out = r.rerank_and_blend(
+            "q", [(1, "a"), (2, "b"), (3, "c")],
+            rrf_scores={1: 0.03, 2: 0.09, 3: 0.06},
+        )
+        assert [o.chunk_id for o in out] == [2, 3, 1]  # pure RRF order
+
+    def test_confidence_gate_opens_on_spread_scores(self, monkeypatch):
+        """A decisive CE (wide spread) applies the reference 57.5/42.5
+        blend and can overturn the retrieval order."""
+        r = NeuralReranker()
+        monkeypatch.setattr(
+            r.model, "score_pairs", lambda q, docs: [0.05, 0.95]
+        )
+        out = r.rerank_and_blend(
+            "q", [(1, "a"), (2, "b")], rrf_scores={1: 0.09, 2: 0.03},
+        )
+        # chunk 2: 0.575·0.95 + 0.425·0.0 = 0.546 > chunk 1: 0.575·0.05
+        # + 0.425·1.0 = 0.454
+        assert [o.chunk_id for o in out] == [2, 1]
+        assert out[0].final_score == pytest.approx(0.575 * 0.95, abs=1e-6)
 
     def test_empty(self):
         r = NeuralReranker()
