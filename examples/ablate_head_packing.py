@@ -61,13 +61,16 @@ def _packed_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, pack: int,
     scores = jax.lax.dot_general(
         q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale                                   # [S, P·S]
-    maskb = mask_ref[0, 0].astype(jnp.float32)     # [S] keys
-    scores = scores + (1.0 - jnp.tile(maskb, (p,)))[None, :] * _NEG_INF
+    # key-padding mask applied per column block below: a 1-D
+    # tile(maskb, p) lowers to a vector<p·S> concatenate Mosaic rejects
+    # ("input offsets outside of the first tile"); the [1, S] broadcast
+    # inside each block is layout-trivial
+    neg = (1.0 - mask_ref[0, 0].astype(jnp.float32))[None, :] * _NEG_INF
     # per-head softmax over static column blocks (Mosaic-safe: no reshape
     # splitting the minor dim)
     parts = []
     for h in range(p):
-        sh = scores[:, h * s:(h + 1) * s]
+        sh = scores[:, h * s:(h + 1) * s] + neg
         m = jnp.max(sh, axis=-1, keepdims=True)
         e = jnp.exp(sh - m)
         parts.append(e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
