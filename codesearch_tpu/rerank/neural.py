@@ -38,6 +38,13 @@ class RerankedResult:
 class NeuralReranker:
     def __init__(self, cross_encoder: CrossEncoder | None = None):
         self.model = cross_encoder or CrossEncoder(get_global_models_cache_dir())
+        # confidence-gate observability: how often the CE's scores spread
+        # enough to blend (vs keeping the retrieval order). Lets the rerank
+        # benchmark distinguish "the CE agrees with retrieval" from "the
+        # gate never opened" — opposite conclusions that produce identical
+        # accuracy tables (benchmarks/rerank.md reports the open rate).
+        self.gate_calls = 0
+        self.gate_open = 0
 
     def rerank(self, query: str, docs: list[tuple[int, str]]) -> list[tuple[int, float]]:
         """(chunk_id, text) pairs → (chunk_id, sigmoid score) sorted desc."""
@@ -66,9 +73,12 @@ class NeuralReranker:
         else:
             rrf_norm = np.ones_like(rrf_vals)
         spread = float(scores.max() - scores.min()) if len(scores) else 0.0
+        opened = spread >= CONFIDENCE_SPREAD_FLOOR
+        self.gate_calls += 1
+        self.gate_open += opened
         w_ce, w_rrf = (
             (RERANK_WEIGHT, RRF_WEIGHT)
-            if spread >= CONFIDENCE_SPREAD_FLOOR
+            if opened
             else (0.0, 1.0)  # flat CE scores: keep the retrieval order
         )
         out = [

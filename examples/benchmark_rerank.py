@@ -135,7 +135,16 @@ def main() -> int:
     t1, t3, t5, ms, cats = accuracy(session, rerank=True)
     rows.append(("hybrid + trained cross-encoder", "cross-encoder",
                  t1, t3, t5, ms, cats))
+    from codesearch_tpu.rerank.neural import CONFIDENCE_SPREAD_FLOOR
+
+    rr = session.reranker
+    gate_line = (
+        f"Confidence gate (trained CE, timed pass incl. warm): opened on "
+        f"{rr.gate_open}/{rr.gate_calls} queries "
+        f"(spread floor {CONFIDENCE_SPREAD_FLOOR:.2f})."
+    )
     print(f"trained: top1 {t1}/{len(queries)} top3 {t3}/{len(queries)}")
+    print(gate_line)
 
     if args.sweep:
         # blend-weight sweep for the TRAINED cross-encoder: the 57.5/42.5
@@ -175,6 +184,8 @@ def main() -> int:
         lines.append(f"| {name} | {mode} | {t1}/{n} ({100 * t1 // n}%) "
                      f"| {t3}/{n} ({100 * t3 // n}%) "
                      f"| {t5}/{n} ({100 * t5 // n}%) | {bycat} | {ms:.1f} |")
+    lines.append("")
+    lines.append(gate_line)
     lines.append("")
     lines.append("Reference baseline: rerank adds ~1.7 s/query on CPU "
                  "(README.md:693); accuracy delta is not published.")

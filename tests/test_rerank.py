@@ -121,6 +121,20 @@ class TestNeuralRerank:
         assert [o.chunk_id for o in out] == [2, 1]
         assert out[0].final_score == pytest.approx(0.575 * 0.95, abs=1e-6)
 
+    def test_gate_counters_track_open_rate(self, monkeypatch):
+        """gate_calls/gate_open distinguish 'the CE agrees with retrieval'
+        from 'the gate never opened' in benchmark tables."""
+        r = NeuralReranker()
+        monkeypatch.setattr(
+            r.model, "score_pairs", lambda q, docs: [0.502, 0.498]
+        )
+        r.rerank_and_blend("q", [(1, "a"), (2, "b")], rrf_scores={1: 0.1})
+        monkeypatch.setattr(
+            r.model, "score_pairs", lambda q, docs: [0.05, 0.95]
+        )
+        r.rerank_and_blend("q", [(1, "a"), (2, "b")], rrf_scores={1: 0.1})
+        assert (r.gate_calls, r.gate_open) == (2, 1)
+
     def test_empty(self):
         r = NeuralReranker()
         assert r.rerank("q", []) == []
