@@ -140,7 +140,13 @@ PLANE_DF_FLOOR = int(os.environ.get("CODESEARCH_PLANE_DF_FLOOR", 1 << 16))
 # buffer copies and an unbounded [B, N] wave transient, both fixed, not
 # the steady buffer size.)
 PLANE_HBM_MB = int(os.environ.get("CODESEARCH_PLANE_HBM_MB", 2048))
-PLANE_ROWS_MAX = 32
+# Row cap doubles as H in the dense-leg [B, H]×[H, N] matmul, so it is a
+# compute knob as much as a memory one. 64 lets a ≤8M-row corpus hold its
+# ENTIRE plane-eligible working set resident (the r5 1M bench corpus has
+# ~36 eligible terms — at 32 rows the prewarm filled the buffer and the
+# timed queries thrashed the LRU: 18 in-query builds); above ~8M rows the
+# HBM budget caps rows at 32 anyway and the LRU does its job.
+PLANE_ROWS_MAX = 64
 # plane builds batch into ≤this many rows per dispatch: each group
 # materializes [R, ncap] scatter columns (R×67 MB at 16.7M slots), so a
 # cold 32-term prep stays ~0.5 GB transient instead of 2.1 GB
@@ -378,6 +384,8 @@ class FtsStore:
         self.sparse_chunk_budget = SPARSE_CHUNK_BUDGET
         self.planes_enabled = True
         self.plane_prewarm = True
+        self.compile_warm_min_ncap = 1 << 18         # see _compile_warm_builds
+        self._plane_warm_thread: threading.Thread | None = None
         self.plane_builds = 0                        # diagnostics for tests
         self.plane_evictions = 0
         self.plane_prewarms = 0
@@ -1340,24 +1348,97 @@ class FtsStore:
             return
         infos.sort(key=lambda it: -it[1])
         rows = st.get("plane_rows") or {}
+        cap = self._plane_rows_cap()
         free = (
-            len(st["plane_free"]) if st.get("planes") is not None
-            else self._plane_rows_cap()
+            len(st["plane_free"]) if st.get("planes") is not None else cap
         )
-        fresh = [it for it in infos if it[0] not in rows][: max(free, 0)]
-        if not fresh:
+        # headroom: when the eligible working set exceeds the buffer, leave
+        # a few rows FREE so the first diverse query-time terms build into
+        # them instead of evicting a prewarmed (top-df, most-likely-queried)
+        # plane; and insert lowest-df FIRST so the LRU's oldest — first
+        # evicted — entries are the least valuable planes, not the most.
+        budget = max(free - max(2, cap // 8), 0)
+        fresh = [it for it in infos if it[0] not in rows][:budget]
+        if fresh:
+            try:
+                self._ensure_planes(fresh[::-1])
+                self.plane_prewarms += len(fresh)
+                log.info(
+                    "prewarmed %d score plane(s) at device sync (top df %d)",
+                    len(fresh), fresh[0][1],
+                )
+            except Exception as e:
+                log.warning(
+                    "score-plane prewarm failed (%s) — planes stay lazy", e
+                )
+                return
+        self._compile_warm_builds(infos)
+
+    def _compile_warm_builds(self, infos) -> None:
+        """AOT-compile the small plane-build executables a QUERY-time miss
+        will need ((rpad 1-2, chunk-bucket) shapes), so the first cold
+        term in a serving session pays a ~ms scatter, not a ~2 s XLA
+        compile. The prewarm's own batched builds only compile the
+        (PLANE_BUILD_ROWS, bucket) shapes — measured r5 at 1M: two ~1.9 s
+        first-compiles landed INSIDE the bench's timed loop (hybrid max
+        1960 ms vs p50 38 ms) because every small-shape build was new.
+        Buckets: every group-max pow2 among the plane-eligible candidates
+        plus the ≤64-chunk ladder that sparse-budget PROMOTED terms
+        (df ≤ plane_df_floor) land in. ``jit.lower().compile()`` does no
+        device work and lands in the persistent compilation cache (once
+        per host fingerprint); it runs on a background daemon thread so
+        device sync and the first queries are not blocked — a build that
+        races ahead of its warm just compiles inline as before. Shapes are
+        captured before the thread starts; the thread touches no store
+        state. Non-fatal on any failure."""
+        st = self._dev_state
+        dev = self._dev
+        if dev is None or st is None:
             return
-        try:
-            self._ensure_planes(fresh)
-            self.plane_prewarms += len(fresh)
-            log.info(
-                "prewarmed %d score plane(s) at device sync (top df %d)",
-                len(fresh), fresh[0][1],
-            )
-        except Exception as e:
-            log.warning(
-                "score-plane prewarm failed (%s) — planes stay lazy", e
-            )
+        # small corpora compile these shapes in ~ms inline — the thread
+        # (and its noise in the hundreds of tiny-store CPU tests) is only
+        # worth it where a cold compile costs seconds
+        if st["ncap"] < self.compile_warm_min_ncap:
+            return
+        from ..ops.bm25 import CHUNK, plane_write_rows
+
+        buckets = sorted({
+            max(_pow2((df + CHUNK - 1) // CHUNK), 8)
+            for _k, df, _r, _i, _nc in infos
+        } | {8, 16, 32, 64})
+        done: set = st.setdefault("plane_build_shapes", set())
+        shapes = [
+            (rpad, cpad)
+            for rpad in (1, 2) for cpad in buckets
+            if (rpad, cpad) not in done
+        ]
+        if not shapes:
+            return
+        done.update(shapes)
+        cap, ncap = self._plane_rows_cap(), st["ncap"]
+        pos_sd, w_sd = (dev[0].shape, dev[0].dtype), (dev[1].shape, dev[1].dtype)
+
+        def warm() -> None:
+            try:
+                import jax
+
+                for rpad, cpad in shapes:
+                    plane_write_rows.lower(
+                        jax.ShapeDtypeStruct((cap, ncap), np.float32),
+                        jax.ShapeDtypeStruct(*pos_sd),
+                        jax.ShapeDtypeStruct(*w_sd),
+                        jax.ShapeDtypeStruct((rpad, cpad), np.int32),
+                        jax.ShapeDtypeStruct((rpad, cpad), np.int32),
+                        jax.ShapeDtypeStruct((rpad,), np.int32),
+                    ).compile()
+            except Exception as e:
+                log.debug("plane-build compile warm skipped (%s)", e)
+
+        t = threading.Thread(
+            target=warm, name="plane-compile-warm", daemon=True
+        )
+        t.start()
+        self._plane_warm_thread = t
 
     def _ensure_device_sync(self):
         """Sync the RESIDENT device state for BM25 scoring INCREMENTALLY:

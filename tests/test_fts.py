@@ -1091,6 +1091,58 @@ class TestScorePlanes:
         assert res[0].chunk_id == host_res[0].chunk_id
         self._assert_rank_equivalent(res, host_res)
 
+    def test_plane_prewarm_leaves_headroom(self, tmp_path):
+        """When the plane-eligible working set exceeds the buffer, prewarm
+        must leave free rows (r5: at 32 rows the 1M bench prewarm filled
+        the buffer and the timed queries thrashed the LRU — 18 in-query
+        builds) and insert lowest-df first so LRU-oldest == least
+        valuable."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        s._plane_rows_cap = lambda: 4      # tiny buffer, 2 eligible terms
+        s._ensure_device()
+        st = s._dev_state
+        # reserve = max(2, 4 // 8) = 2 → at most 2 of 4 rows prewarmed
+        assert s.plane_prewarms <= 2
+        if st.get("planes") is not None:
+            assert len(st["plane_free"]) >= 2
+        # a query-time miss must land in a free row, not evict
+        ev = s.plane_evictions
+        s.search("common shared rare_1", limit=5)
+        assert s.plane_evictions == ev
+
+    def test_plane_compile_warm_records_shapes(self, tmp_path):
+        """_compile_warm_builds must AOT-compile the (1-2 row, bucket)
+        build shapes in the background and record them; a second sync must
+        not re-warm. Forced on a small store via compile_warm_min_ncap."""
+        s = self._build(tmp_path)
+        s.device_min_docs = 1
+        s.plane_df_floor = 50
+        s.compile_warm_min_ncap = 0
+        s._ensure_device()
+        t = s._plane_warm_thread
+        assert t is not None
+        t.join(timeout=60)
+        assert not t.is_alive()
+        shapes = s._dev_state["plane_build_shapes"]
+        # candidate buckets ∪ the ≤64-chunk promotion ladder, rpad 1 and 2
+        assert shapes and all(r in (1, 2) for r, _c in shapes)
+        assert {c for _r, c in shapes} >= {8, 16, 32, 64}
+        # idempotent: nothing new to warm on a repeat prewarm
+        s._dev_state["prewarm_sig"] = None
+        s._prewarm_planes()
+        t2 = s._plane_warm_thread
+        if t2 is not t:
+            t2.join(timeout=60)
+        assert s._dev_state["plane_build_shapes"] == shapes
+        # and the query path still matches host scoring after warm
+        host = FtsStore(tmp_path / "fts")
+        host_res = host.search("common rare_10", limit=8)
+        res = s.search("common rare_10", limit=8)
+        assert res[0].chunk_id == host_res[0].chunk_id
+        self._assert_rank_equivalent(res, host_res)
+
     def test_stacked_wave_with_planes(self, tmp_path):
         from codesearch_tpu.fts.store import stack_query_args
 
