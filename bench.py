@@ -330,10 +330,58 @@ def bench_product(
             shutil.rmtree(td, ignore_errors=True)
 
 
+def _wait_for_tunnel() -> None:
+    """Block until the TPU tunnel serves BOTH transfer directions, bounded
+    by BENCH_TUNNEL_WAIT_S (default 30 min), then return; exit rc 3 if it
+    never recovers. The tunnel has been observed fully down for hours (r3)
+    and PARTIALLY down (r5: compute and host→device fine, device→host
+    readback wedged indefinitely) — without this, the bench blocks forever
+    at its first np.asarray with ~0 CPU and the driver records nothing.
+    Each probe runs in a SUBPROCESS so a wedged transfer never poisons
+    this process's axon client; probing is skipped on BENCH_PLATFORM=cpu."""
+    if os.environ.get("BENCH_PLATFORM", "") not in ("", "auto"):
+        return
+    import subprocess
+    import sys
+
+    probe = (
+        "import numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))"
+    )
+    deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT_S", "1800"))
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=300,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                check=True,
+            )
+            if attempt > 1:
+                print(f"[tunnel] recovered on probe {attempt} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            return
+        except Exception:
+            remaining = deadline - time.time()
+            print(f"[tunnel] probe {attempt} failed after "
+                  f"{time.time() - t0:.0f}s ({remaining:.0f}s left)",
+                  flush=True)
+            if remaining <= 0:
+                print("[tunnel] TPU round-trip unavailable for the whole "
+                      "wait budget — aborting (rerun when the tunnel is up, "
+                      "or BENCH_PLATFORM=cpu for a CPU smoke run)",
+                      flush=True)
+                raise SystemExit(3)
+            time.sleep(min(120.0, max(remaining, 1.0)))
+
+
 def main() -> None:
     from codesearch_tpu.utils.output import install_native_log_filter
 
     install_native_log_filter()  # drop spurious XLA AOT-cache stderr spam
+    _wait_for_tunnel()
     import jax
 
     # BENCH_PLATFORM=cpu runs the whole harness on the CPU backend (smoke
