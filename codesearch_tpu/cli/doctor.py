@@ -204,7 +204,61 @@ def run_checks(path: Path) -> list[CheckResult]:
     return checks
 
 
-def run_doctor(path: Path, fix: bool = False, json_out: bool = False) -> int:
+def check_device_roundtrip(timeout_s: float = 300.0,
+                           platform: str = "auto") -> CheckResult:
+    """Opt-in (``doctor --device``) device health probe: run a tiny matmul
+    AND read the result back, in a SUBPROCESS, bounded by ``timeout_s``.
+    Both directions matter on this rig: the tunneled backend has been
+    observed fully down (r3) and partially down (r5: compute and
+    host→device fine, device→host readback wedged indefinitely) — a
+    compute-only probe reports healthy while every real search would
+    block at its first result readback. The subprocess keeps a wedged
+    transfer from poisoning the CLI process, and its exit isolates the
+    failure mode. Not in the default check list: the first device→host
+    transfer of a process legitimately costs minutes of tunnel init."""
+    import subprocess
+    import sys
+    import time as _time
+
+    # the CLI's global --platform must reach the child the same way it
+    # works in-process: jax.config BEFORE the backend materializes (env
+    # vars are consumed by this rig's sitecustomize first)
+    force = (
+        f"import jax; jax.config.update('jax_platforms', {platform!r});"
+        if platform and platform != "auto" else ""
+    )
+    probe = (
+        force
+        + "import numpy as np, jax, jax.numpy as jnp;"
+        "v = np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+        "print(jax.default_backend(), float(v[0,0]))"
+    )
+    t0 = _time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], timeout=timeout_s,
+            capture_output=True, text=True, check=True,
+        )
+        backend, val = out.stdout.split()[-2:]
+        ok = float(val) == 8.0
+        return CheckResult(
+            "device_roundtrip", ok,
+            f"backend={backend}, round trip {_time.time() - t0:.1f}s"
+            + ("" if ok else f" (bad value {val})"),
+        )
+    except subprocess.TimeoutExpired:
+        return CheckResult(
+            "device_roundtrip", False,
+            f"no round trip within {timeout_s:.0f}s — device compute or "
+            "the device→host readback path is down (searches will hang; "
+            "use --platform cpu for small corpora meanwhile)",
+        )
+    except Exception as e:
+        return CheckResult("device_roundtrip", False, f"probe failed: {e}")
+
+
+def run_doctor(path: Path, fix: bool = False, json_out: bool = False,
+               device: bool = False, platform: str = "auto") -> int:
     checks = run_checks(path)
     failed_fixable = [c for c in checks if not c.ok and c.fixable]
     if fix and failed_fixable:
@@ -213,6 +267,8 @@ def run_doctor(path: Path, fix: bool = False, json_out: bool = False) -> int:
 
         index_quiet(path)
         checks = run_checks(path)
+    if device:
+        checks.append(check_device_roundtrip(platform=platform))
     if json_out:
         result_print(
             json.dumps(

@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("path", nargs="?", default=".")
     d.add_argument("--fix", action="store_true")
     d.add_argument("--json", action="store_true", dest="json_out")
+    d.add_argument(
+        "--device", action="store_true",
+        help="also probe the TPU with a bounded compute+readback round "
+             "trip (slow on first use: tunnel init is minutes)",
+    )
 
     setup = sub.add_parser("setup", help="model management")
     setup.add_argument("--list", action="store_true", dest="list_models")
@@ -500,7 +505,8 @@ def _cmd_clear(args) -> int:
 def _cmd_doctor(args) -> int:
     from .doctor import run_doctor
 
-    return run_doctor(Path(args.path), fix=args.fix, json_out=args.json_out)
+    return run_doctor(Path(args.path), fix=args.fix, json_out=args.json_out,
+                      device=args.device, platform=args.platform)
 
 
 def _cmd_setup(args) -> int:

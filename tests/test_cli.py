@@ -41,6 +41,40 @@ class TestCliFlow:
         names = [c["name"] for c in checks]
         assert "serving_state" in names
 
+    def test_doctor_device_probe(self, cli_repo, capsys):
+        """`doctor --device` appends the bounded round-trip check (on the
+        CPU test backend the probe subprocess still exercises the real
+        path: spawn, matmul, readback, value check)."""
+        main(["--quiet", "index", "."])
+        capsys.readouterr()
+        rc = main(["--platform", "cpu", "doctor", ".", "--json", "--device"])
+        checks = json.loads(capsys.readouterr().out)
+        names = [c["name"] for c in checks]
+        assert "device_roundtrip" in names
+        dev = next(c for c in checks if c["name"] == "device_roundtrip")
+        assert dev["ok"], dev
+        assert rc == 0
+        # default doctor must NOT pay the probe
+        capsys.readouterr()
+        assert main(["doctor", ".", "--json"]) == 0
+        checks = json.loads(capsys.readouterr().out)
+        assert "device_roundtrip" not in [c["name"] for c in checks]
+
+    def test_doctor_device_probe_timeout(self, monkeypatch, cli_repo, capsys):
+        """A wedged transfer must surface as a failed check with the
+        explanation, not a hang (observed r5: d2h-only tunnel outage)."""
+        import subprocess as sp
+
+        from codesearch_tpu.cli import doctor as doc
+
+        def hang(*a, **k):
+            raise sp.TimeoutExpired("probe", k.get("timeout", 0))
+
+        monkeypatch.setattr(sp, "run", hang)
+        res = doc.check_device_roundtrip(timeout_s=1.0)
+        assert res.name == "device_roundtrip" and not res.ok
+        assert "readback" in res.detail or "down" in res.detail
+
     def test_search_json_output(self, cli_repo, capsys):
         main(["--quiet", "index", "."])
         capsys.readouterr()
