@@ -262,6 +262,95 @@ class TestSegments:
         assert len(s2) == 170
         assert all(r.chunk_id != 3 for r in s2.search("word_3", limit=200))
 
+    def test_run_level_merge_matches_resort_reference(self, tmp_path):
+        """r5: _merge_segments is a run-level scatter merge (no per-posting
+        re-sort). Its output must stay BYTE-identical — terms, offsets, and
+        per-run posting order — to the old concatenate+stable-argsort
+        algorithm, with and without dead postings in the victims."""
+        from codesearch_tpu.fts.store import Segment
+
+        def reference_merge(store, victims):
+            # the pre-r5 algorithm, verbatim
+            terms = np.concatenate([s.flat_terms() for s in victims])
+            dnums = np.concatenate([np.asarray(s.dnums) for s in victims])
+            tfc = np.concatenate([np.asarray(s.tfc) for s in victims])
+            tfs = np.concatenate([np.asarray(s.tfs) for s in victims])
+            live = store._liveness(dnums)
+            if not live.all():
+                terms, dnums = terms[live], dnums[live]
+                tfc, tfs = tfc[live], tfs[live]
+            order = np.argsort(terms, kind="stable")
+            terms, dnums = terms[order], dnums[order]
+            tfc, tfs = tfc[order], tfs[order]
+            uniq, counts = np.unique(terms, return_counts=True)
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            if len(dnums) and int(dnums.max()) < (1 << 31):
+                dnums = dnums.astype(np.int32)
+            return Segment(uniq, offsets, dnums,
+                           np.clip(tfc, 0, 32767).astype(np.int16),
+                           np.clip(tfs, 0, 32767).astype(np.int16))
+
+        def assert_equal(a: Segment, b: Segment):
+            np.testing.assert_array_equal(a.terms, b.terms)
+            np.testing.assert_array_equal(a.offsets, b.offsets)
+            np.testing.assert_array_equal(np.asarray(a.dnums),
+                                          np.asarray(b.dnums))
+            assert np.asarray(a.dnums).dtype == np.asarray(b.dnums).dtype
+            np.testing.assert_array_equal(np.asarray(a.tfc), np.asarray(b.tfc))
+            np.testing.assert_array_equal(np.asarray(a.tfs), np.asarray(b.tfs))
+
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(40)]
+        s = FtsStore(tmp_path / "fts")
+        for i in range(300):
+            body = " ".join(rng.choice(words, size=8))
+            s.add_chunk(i, body, f"f{i // 16}.rs",
+                        f"fn {words[i % 40]}()", "Function")
+        s._flush_mem()
+        seg_a = s._segments[-1]
+        for i in range(300, 500):
+            # overlapping + fresh terms in the second segment
+            body = " ".join(rng.choice(words, size=8)) + f" only_{i}"
+            s.add_chunk(i, body, f"g{i // 16}.rs")
+        s._flush_mem()
+        seg_b = s._segments[-1]
+        # no-dead fast path (liveness gather skipped entirely)
+        assert s._doc_dnum.n == s._n_live
+        assert_equal(s._merge_segments([seg_b, seg_a]),
+                     reference_merge(s, [seg_b, seg_a]))
+        # dead postings present: filtered path, including terms whose every
+        # posting dies (only_N appears in exactly one doc)
+        for i in list(range(0, 300, 7)) + [311, 312]:
+            s.delete_chunk(i)
+        assert s._doc_dnum.n != s._n_live
+        assert_equal(s._merge_segments([seg_b, seg_a]),
+                     reference_merge(s, [seg_b, seg_a]))
+        # empty-victim edge
+        empty = Segment.from_triples(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int32), np.zeros(0, np.int32))
+        assert_equal(s._merge_segments([seg_a, empty]),
+                     reference_merge(s, [seg_a, empty]))
+
+    def test_from_triples_matches_np_unique(self):
+        """r5: from_triples' run-boundary unique must equal np.unique."""
+        from codesearch_tpu.fts.store import Segment
+
+        rng = np.random.default_rng(3)
+        terms = rng.integers(0, 50, size=400).astype(np.int64)
+        dnums = np.arange(400, dtype=np.int64)
+        tf = rng.integers(1, 9, size=400).astype(np.int32)
+        seg = Segment.from_triples(terms, dnums, tf, tf)
+        uniq, counts = np.unique(terms, return_counts=True)
+        np.testing.assert_array_equal(seg.terms, uniq)
+        np.testing.assert_array_equal(
+            seg.offsets, np.concatenate([[0], np.cumsum(counts)]))
+        # per-run postings keep first-occurrence (stable) order
+        for t in uniq[:5]:
+            lo, hi = seg.term_range(int(t))
+            np.testing.assert_array_equal(
+                np.asarray(seg.dnums[lo:hi]), dnums[terms == t])
+
     def test_legacy_v2_layout_migrates(self, tmp_path):
         import msgpack
         d = tmp_path / "fts"
