@@ -836,8 +836,20 @@ class FtsStore:
         out_c = np.empty(n_total, np.int16)
         out_s = np.empty(n_total, np.int16)
         cursor = offsets[:-1].copy()
+        from ..native import scatter_runs_native
+
         for (terms, counts, dnums, tfc, tfs), pos in zip(parts, pos_per_part):
             if not len(dnums):
+                continue
+            dnums = np.ascontiguousarray(dnums, dtype=out_d.dtype)
+            tfc = np.ascontiguousarray(tfc, dtype=np.int16)
+            tfs = np.ascontiguousarray(tfs, dtype=np.int16)
+            pos = np.ascontiguousarray(pos, dtype=np.int64)
+            counts = np.ascontiguousarray(counts, dtype=np.int64)
+            # native memcpy-per-run (advances cursor in place); numpy
+            # scatter fallback is byte-identical (tests/test_native.py)
+            if scatter_runs_native(pos, counts, cursor, dnums, tfc, tfs,
+                                   out_d, out_c, out_s):
                 continue
             run_starts = np.zeros(len(counts), np.int64)
             np.cumsum(counts[:-1], out=run_starts[1:])

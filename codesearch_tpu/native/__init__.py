@@ -84,6 +84,14 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long),
             ]
+            lib.cs_scatter_runs.restype = ctypes.c_long
+            lib.cs_scatter_runs.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ]
             _lib = lib
             log.info("native tier loaded: %s", so)
         except Exception as e:
@@ -199,6 +207,33 @@ def featurize_native(text: str):
 
 if os.environ.get("CODESEARCH_NO_NATIVE"):
     featurize_native = None  # type: ignore[assignment]
+
+
+def scatter_runs_native(
+    pos: np.ndarray, counts: np.ndarray, cursor: np.ndarray,
+    dnums: np.ndarray, tfc: np.ndarray, tfs: np.ndarray,
+    out_d: np.ndarray, out_c: np.ndarray, out_s: np.ndarray,
+) -> bool:
+    """Copy one segment's term runs into the merged posting arrays at
+    ``cursor[pos]`` (advancing ``cursor`` in place) — the hot inner loop
+    of FtsStore._merge_segments as one native call instead of numpy's
+    arange/repeat/fancy-index scatter. ``dnums`` must already match
+    ``out_d``'s dtype; all arrays must be C-contiguous. Returns False
+    (caller falls back to numpy) when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    n = lib.cs_scatter_runs(
+        pos.ctypes.data_as(i64), counts.ctypes.data_as(i64), len(pos),
+        cursor.ctypes.data_as(i64), out_d.dtype.itemsize,
+        dnums.ctypes.data_as(ctypes.c_void_p),
+        tfc.ctypes.data_as(i16), tfs.ctypes.data_as(i16),
+        out_d.ctypes.data_as(ctypes.c_void_p),
+        out_c.ctypes.data_as(i16), out_s.ctypes.data_as(i16),
+    )
+    return n >= 0
 
 
 def token_hashes_batch_native(

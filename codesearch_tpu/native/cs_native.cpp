@@ -409,4 +409,35 @@ long cs_token_hashes_batch(const char* buf, const long* offsets, long n_texts,
   return pos;
 }
 
+// Run-level posting scatter for the FTS segment merge (fts/store.py
+// _merge_segments): one source part's term runs are copied to their
+// destinations in the merged posting arrays. For source term i (n_terms
+// total), counts[i] postings starting at the running source offset go to
+// out[cursor[pos[i]]]; cursor advances so a later part's run for the same
+// term lands right after. dnums copy with elem_size bytes per element
+// (4 = int32, 8 = int64; the Python wrapper pre-converts when the source
+// dtype differs from the output's). tf arrays are int16. Plain sequential
+// memcpy per run — replaces numpy's arange/repeat/fancy-index scatter
+// (three full-size index temporaries per part). Returns postings copied,
+// or -1 on a bad elem_size.
+long cs_scatter_runs(const int64_t* pos, const int64_t* counts, long n_terms,
+                     int64_t* cursor, int elem_size,
+                     const char* src_d, const int16_t* src_c,
+                     const int16_t* src_s, char* out_d, int16_t* out_c,
+                     int16_t* out_s) {
+  if (elem_size != 4 && elem_size != 8) return -1;
+  long src_off = 0;
+  for (long i = 0; i < n_terms; ++i) {
+    const long c = (long)counts[i];
+    const long dst = (long)cursor[pos[i]];
+    memcpy(out_d + (size_t)dst * elem_size, src_d + (size_t)src_off * elem_size,
+           (size_t)c * elem_size);
+    memcpy(out_c + dst, src_c + src_off, (size_t)c * sizeof(int16_t));
+    memcpy(out_s + dst, src_s + src_off, (size_t)c * sizeof(int16_t));
+    cursor[pos[i]] += c;
+    src_off += c;
+  }
+  return src_off;
+}
+
 }  // extern "C"

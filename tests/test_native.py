@@ -197,6 +197,58 @@ class TestTokenHashesBatchParity:
             np.testing.assert_array_equal(ids_b, native.token_hashes_native(text))
 
 
+class TestScatterRuns:
+    @pytest.mark.parametrize("dtype", [np.int32, np.int64])
+    def test_matches_numpy_scatter(self, dtype):
+        """cs_scatter_runs must be byte-identical to the numpy
+        arange/repeat/fancy-index scatter it replaces in
+        FtsStore._merge_segments, for both posting dtypes."""
+        rng = np.random.default_rng(11)
+        n_merged = 30
+        # two parts with overlapping term positions and varied run lengths
+        def mk_part():
+            pos = np.sort(rng.choice(n_merged, size=18, replace=False))
+            counts = rng.integers(1, 7, size=18)
+            n = int(counts.sum())
+            return (pos.astype(np.int64), counts.astype(np.int64),
+                    rng.integers(0, 1 << 20, size=n).astype(dtype),
+                    rng.integers(1, 99, size=n).astype(np.int16),
+                    rng.integers(0, 9, size=n).astype(np.int16))
+
+        parts = [mk_part(), mk_part()]
+        total = np.zeros(n_merged, np.int64)
+        for pos, counts, *_ in parts:
+            total[pos] += counts
+        offsets = np.zeros(n_merged + 1, np.int64)
+        np.cumsum(total, out=offsets[1:])
+        n_total = int(offsets[-1])
+
+        def run(use_native: bool):
+            out_d = np.full(n_total, -1, dtype)
+            out_c = np.full(n_total, -1, np.int16)
+            out_s = np.full(n_total, -1, np.int16)
+            cursor = offsets[:-1].copy()
+            for pos, counts, dnums, tfc, tfs in parts:
+                if use_native:
+                    assert native.scatter_runs_native(
+                        pos, counts, cursor, dnums, tfc, tfs,
+                        out_d, out_c, out_s)
+                else:
+                    run_starts = np.zeros(len(counts), np.int64)
+                    np.cumsum(counts[:-1], out=run_starts[1:])
+                    within = np.arange(len(dnums), dtype=np.int64) - \
+                        np.repeat(run_starts, counts)
+                    dest = np.repeat(cursor[pos], counts) + within
+                    out_d[dest] = dnums
+                    out_c[dest] = tfc
+                    out_s[dest] = tfs
+                    cursor[pos] += counts
+            return out_d, out_c, out_s, cursor
+
+        for a, b in zip(run(True), run(False)):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestEmbedChunksMatrix:
     def test_matches_embed_chunks_with_cache_mix(self, tmp_path):
         """embed_chunks_matrix must equal the stacked embed_chunks rows
