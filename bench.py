@@ -331,22 +331,34 @@ def bench_product(
 
 
 def _wait_for_tunnel() -> None:
-    """Block until the TPU tunnel serves BOTH transfer directions, bounded
-    by BENCH_TUNNEL_WAIT_S (default 30 min), then return; exit rc 3 if it
-    never recovers. The tunnel has been observed fully down for hours (r3)
-    and PARTIALLY down (r5: compute and host→device fine, device→host
-    readback wedged indefinitely) — without this, the bench blocks forever
-    at its first np.asarray with ~0 CPU and the driver records nothing.
-    Each probe runs in a SUBPROCESS so a wedged transfer never poisons
-    this process's axon client; probing is skipped on BENCH_PLATFORM=cpu."""
+    """Block until the TPU tunnel serves BOTH transfer directions AT
+    USABLE BANDWIDTH, bounded by BENCH_TUNNEL_WAIT_S (default 30 min),
+    then return; exit rc 3 if it never recovers. The tunnel has been
+    observed fully down for hours (r3), PARTIALLY down (r5: compute and
+    host→device fine, device→host readback wedged indefinitely), and
+    DEGRADED (late r5: an 8×8 round-trip passes in seconds while a 6 MB
+    readback takes 281 s — ~1000× under healthy d2h; a 10M build froze
+    mid-embed for >12 min while small probes kept succeeding). So the
+    probe times a bulk [4096,384] fp16 readback (3 MB, the bulk-embed
+    transfer class) and fails it past BENCH_TUNNEL_BULK_S (default 60 s;
+    healthy: <5 s, degraded: ~140 s) — the small round-trip runs first to
+    absorb per-process tunnel init. Each probe runs in a SUBPROCESS so a
+    wedged transfer never poisons this process's axon client; probing is
+    skipped on BENCH_PLATFORM=cpu."""
     if os.environ.get("BENCH_PLATFORM", "") not in ("", "auto"):
         return
     import subprocess
     import sys
 
+    bulk_s = float(os.environ.get("BENCH_TUNNEL_BULK_S", "60"))
     probe = (
-        "import numpy as np, jax.numpy as jnp;"
-        "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))"
+        "import time, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+        "x = jnp.ones((4096, 384), jnp.float16);"
+        "x.block_until_ready();"
+        "t0 = time.time();"
+        "np.asarray(x);"
+        f"assert time.time() - t0 < {bulk_s}, 'd2h degraded'"
     )
     deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT_S", "1800"))
     attempt = 0
